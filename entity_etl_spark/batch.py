@@ -1,0 +1,76 @@
+"""Sink batch assembly (O10).
+
+Reference semantics (app.js:95-107 + templates/targetBody.hbs): slice the
+transformed rows into chunks of ``maxBatchSize`` and join each chunk's JSON
+strings into one JSON array body per HTTP request.
+
+Two strategies, trading determinism against scale:
+
+- :func:`assign_batches` — deterministic global batch ids via ``row_number``
+  over an explicit ordering. Exactly reproduces the reference's sequential
+  ``slice`` (and is oracle-testable), but the global window funnels through a
+  single partition — fine for the ≤10k-per-request sink payloads the
+  reference targets, wrong for bulk data movement.
+- :func:`assign_batches_distributed` — batch ids local to each partition
+  (``spark_partition_id * 2^32 + local row_number``). No global shuffle; ids
+  are not contiguous, which the sink does not care about. This is the 100 TB
+  path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BATCH_COL = "__batch_id"
+
+
+def assign_batches(
+    df: DataFrame, max_batch_size: int, order_by: Sequence[str]
+) -> DataFrame:
+    """Deterministic contiguous batch ids 0..ceil(n/N)-1 (reference
+    app.js:95-101 ``entities.slice(i*N, (i+1)*N)``)."""
+    if max_batch_size <= 0:
+        raise ValueError("max_batch_size must be positive")
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(
+        BATCH_COL,
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_batch_size)),
+    )
+
+
+def assign_batches_distributed(df: DataFrame, max_batch_size: int) -> DataFrame:
+    """Shuffle-free batch ids, unique but non-contiguous."""
+    if max_batch_size <= 0:
+        raise ValueError("max_batch_size must be positive")
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(F.monotonically_increasing_id())
+    return df.withColumn(
+        BATCH_COL,
+        F.spark_partition_id().cast("long") * F.lit(1 << 32)
+        + F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_batch_size)),
+    )
+
+
+def assemble_bodies(
+    batched: DataFrame, json_col: str = "json", batch_col: str = BATCH_COL
+) -> DataFrame:
+    """One JSON-array request body per batch (reference
+    templates/targetBody.hbs: ``[{{#each entities}}{{{.}}},…{{/each}}]``).
+
+    ``collect_list`` order is not deterministic across retries, so the list
+    is sorted before joining — the reference sink is order-insensitive within
+    a batch (each element is an independent upsert by id, README.md:161-171).
+    """
+    return (
+        batched.groupBy(batch_col)
+        .agg(F.array_sort(F.collect_list(F.col(json_col))).alias("__items"))
+        .select(
+            F.col(batch_col).alias("batch_id"),
+            F.size("__items").alias("n_items"),
+            F.concat(F.lit("["), F.array_join("__items", ","), F.lit("]")).alias(
+                "body"
+            ),
+        )
+    )

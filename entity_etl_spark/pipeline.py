@@ -1,0 +1,146 @@
+"""Run orchestration (EP1, O16) — the reference main()/handleEntityType()
+loop (app.js:13-60) re-expressed around DataFrames.
+
+Per table, one incremental run is:
+
+    incoming   = incremental_scan(source, ts, checkpoint)        # O1/O3
+    latest     = keep_latest_per_key(incoming, id, ts)           # O15
+    delta      = changed_rows(latest, state, id, ignore=[ts])    # O5
+    shaped     = apply_mapping(delta, projection_spec)           # O6-O9
+    bodies     = assemble_bodies(assign_batches(to_json(shaped)))# O9/O10
+    sink(bodies)                                                 # O11
+    state'     = merge_state(state, latest, id, ...)             # O12/O13
+    checkpoint'= next_checkpoint(max_ts(incoming), prev, partial)# O14
+
+State/checkpoint are saved after the sink succeeds, preserving the
+reference's at-least-once contract (app.js:55-58): a crash between send and
+save re-sends; the sink upserts by id so re-sends are idempotent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import batch as batch_mod
+from . import checkpoint as ckpt_mod
+from . import state as state_mod
+from .delta import changed_rows
+from .mapping import apply_mapping, to_json_rows
+from .model import EngineConfig, TableSpec
+
+
+def keep_latest_per_key(df: DataFrame, id_field: str, ts_field: str) -> DataFrame:
+    """Latest row per key (O15): the distributed equivalent of the
+    reference's Map.set last-write-wins within a page (cache.js:55-57).
+    Deterministic tiebreak on the full content hash would be overkill; ties
+    on (id, ts) keep an arbitrary-but-single row via row_number."""
+    w = Window.partitionBy(id_field).orderBy(F.desc(ts_field))
+    return (
+        df.filter(F.col(id_field).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@dataclass
+class RunResult:
+    table: str
+    input_rows: int
+    emitted_rows: int
+    batches: int
+    checkpoint_ms: int
+
+
+def run_incremental(
+    spark: SparkSession,
+    spec: TableSpec,
+    source: DataFrame,
+    projection: Sequence[Mapping],
+    config: EngineConfig,
+    sink: Callable[[DataFrame], None],
+    *,
+    partial_results: bool = False,
+    now_epoch_ms: int | None = None,
+) -> RunResult:
+    """One incremental run for one table (reference handleEntityType,
+    app.js:44-60)."""
+    state = state_mod.load_state(spark, config.state_dir, spec.name)
+    checkpoint = ckpt_mod.load_checkpoint(
+        config.state_dir, spec.name, config.initial_checkpoint_ms
+    )
+
+    incoming = ckpt_mod.incremental_scan(source, spec.ts_field, checkpoint)
+    incoming = incoming.cache()  # reused by delta, state merge, and max-ts
+    latest = keep_latest_per_key(incoming, spec.id_field, spec.ts_field)
+    delta = changed_rows(latest, state, spec.id_field, ignore=(spec.ts_field,))
+
+    shaped = apply_mapping(delta, projection)
+    jsons = to_json_rows(shaped)
+    batched = batch_mod.assign_batches_distributed(jsons, config.max_batch_size)
+    bodies = batch_mod.assemble_bodies(batched).cache()
+
+    emitted = delta.count()
+    n_batches = bodies.count()
+    sink(bodies)
+
+    # state + checkpoint persist AFTER the sink (at-least-once, app.js:55-58).
+    # merge over `latest` (all seen keys), not `delta`, reproduces
+    # TTL refresh-on-read for unchanged keys (cache.js:79).
+    next_state = state_mod.merge_state(
+        state,
+        latest,
+        spec.id_field,
+        ignore=(spec.ts_field,),
+        ts_field=spec.ts_field,
+        ttl_hours=config.state_ttl_hours,
+        now_epoch_ms=now_epoch_ms,
+    )
+    state_mod.save_state(next_state, config.state_dir, spec.name)
+    new_ckpt = ckpt_mod.next_checkpoint(
+        ckpt_mod.max_ts(incoming, spec.ts_field), checkpoint, partial_results
+    )
+    ckpt_mod.save_checkpoint(config.state_dir, spec.name, new_ckpt)
+
+    result = RunResult(
+        table=spec.name,
+        input_rows=incoming.count(),
+        emitted_rows=emitted,
+        batches=n_batches,
+        checkpoint_ms=new_ckpt,
+    )
+    incoming.unpersist()
+    bodies.unpersist()
+    return result
+
+
+def run_all(
+    spark: SparkSession,
+    catalog_specs: Sequence[TableSpec],
+    sources: Mapping[str, DataFrame],
+    projections: Mapping[str, Sequence[Mapping]],
+    config: EngineConfig,
+    sink: Callable[[DataFrame], None],
+    requested: Sequence[str] | None = None,
+) -> list[RunResult]:
+    """Loop over tables (reference main(), app.js:20-27): tables without a
+    projection spec are skipped with a warning, mirroring the missing-template
+    guard (app.js:22-25); ``requested`` filters by name (app.js:62-69)."""
+    req = set(requested or [])
+    results = []
+    for spec in catalog_specs:
+        if req and spec.name not in req:
+            continue
+        if spec.name not in projections:
+            print(f"WARN: no projection spec for table {spec.name}; skipping")
+            continue
+        results.append(
+            run_incremental(
+                spark, spec, sources[spec.name], projections[spec.name], config, sink
+            )
+        )
+    return results

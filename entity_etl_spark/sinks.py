@@ -1,0 +1,76 @@
+"""Sinks (O11).
+
+The reference PUT/POSTs each assembled batch body to a templated endpoint and
+fails fast on non-2xx (app.js:88-112, http.js:10-20). Delivery is
+at-least-once: state is saved only after a successful send (app.js:55-58), so
+a crash between send and save re-sends — the target must upsert by id
+(README.md:161-171 documents exactly that contract). The engine keeps the
+same contract.
+
+- :func:`write_parquet` / :func:`write_json` — test-harness sinks.
+- :func:`http_sink` — ``foreachPartition`` POST of assembled bodies. The
+  executor-side callable gets (body, n_items) tuples; non-2xx raises, which
+  fails the task and (with retries exhausted) the job — fail-fast parity.
+  The HTTP client is injected so tests run without a network.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def http_sink(
+    bodies: DataFrame,
+    post: Callable[[str], int] | None = None,
+    *,
+    method: str = "PUT",
+    url: str | None = None,
+    headers: dict[str, str] | None = None,
+) -> None:
+    """Send each assembled batch body (batch.py:assemble_bodies output).
+
+    ``post(body) -> status_code`` is the injected transport; when None, a
+    stdlib ``urllib`` client posting to ``url`` is used. One HTTP round-trip
+    per batch row, executed on the executors partition-parallel — the
+    distributed analogue of the reference's sequential per-batch await
+    (app.js:99-111).
+    """
+    if post is None:
+        if url is None:
+            raise ValueError("http_sink needs either a post callable or a url")
+        frozen_headers = dict(headers or {"Content-Type": "application/json"})
+        frozen_method, frozen_url = method, url
+
+        def post(body: str) -> int:  # pragma: no cover - network path
+            import urllib.request
+
+            req = urllib.request.Request(
+                frozen_url,
+                data=body.encode("utf-8"),
+                headers=frozen_headers,
+                method=frozen_method,
+            )
+            with urllib.request.urlopen(req) as resp:
+                resp.read()
+                return resp.status
+
+    sender = post
+
+    def send_partition(rows) -> None:
+        for row in rows:
+            status = sender(row["body"])
+            if not (200 <= status < 300):
+                # fail-fast on non-2xx (reference http.js:15-19)
+                raise RuntimeError(f"sink returned HTTP {status}")
+
+    bodies.select("body").foreachPartition(send_partition)

@@ -1,0 +1,136 @@
+"""Keyed state table with TTL — the reference's cache (O12/O13/O15).
+
+Reference semantics (cache.js):
+
+- state is a map ``id -> {ttl, entity}`` persisted per table
+  (cache.js:27,56,91-93); entities stored with ``updatedOnMs`` stripped
+  (cache.js:53) — here we store ``(id, content_hash, ttl_ms)`` instead of the
+  full entity: change detection only needs the hash, which is dramatically
+  smaller at 100 TB (the reference stores full copies because it is also the
+  record cache; the engine's sink is idempotent by id so full copies are not
+  needed).
+- upsert is last-write-wins per key (Map.set, cache.js:50-58)  — O12/O15
+- entries expire ``ttl < now`` and are purged each run (cache.js:60-67) — O13
+- TTL is refreshed for every key *seen* this run, even when unchanged
+  (cache.js:79, refresh-on-read) and for every written key (cache.js:51-57)
+
+Batch representation: a plain DataFrame/parquet table
+``(id, __content_hash, __ttl_ms)``. Streaming representation: see
+streaming.py (state store with native TTL).
+
+Scale notes: the merge is union + keep-latest window partitioned by id — one
+shuffle on id, the same key the delta join uses, so a cluster deployment
+bucketing state by id makes both exchanges disappear. Expired rows are
+filtered before the shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .delta import HASH_COL, with_content_hash
+
+TTL_COL = "__ttl_ms"
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def empty_state(spark: SparkSession, id_type: T.DataType, id_field: str) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField(id_field, id_type),
+            T.StructField(HASH_COL, T.StringType()),
+            T.StructField(TTL_COL, T.LongType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def state_path(state_dir: str, table: str) -> str:
+    return os.path.join(state_dir, f"{table}.state.parquet")
+
+
+def load_state(spark: SparkSession, state_dir: str, table: str) -> DataFrame | None:
+    """Load persisted state; None on first run (reference loadCache default,
+    cache.js:20-35)."""
+    path = state_path(state_dir, table)
+    if not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def save_state(state: DataFrame, state_dir: str, table: str) -> None:
+    """Persist state (reference saveCache, cache.js:37-42). Overwrite is the
+    batch-mode equivalent of the reference's whole-file JSON rewrite."""
+    state.write.mode("overwrite").parquet(state_path(state_dir, table))
+
+
+def merge_state(
+    state: DataFrame | None,
+    incoming: DataFrame,
+    id_field: str,
+    *,
+    ignore: Sequence[str] = ("updatedOnMs",),
+    ts_field: str | None = None,
+    ttl_hours: float = 8.0,
+    now_epoch_ms: int | None = None,
+) -> DataFrame:
+    """One run's state transition. Returns the next state table.
+
+    Steps, in reference order (cache.js:44-48 ``updateCache``):
+
+    1. purge expired entries — ``ttl < now`` (cache.js:60-67)
+    2. upsert every incoming row (id, fresh hash, fresh ttl) last-write-wins
+       (cache.js:50-58)
+    3. refresh TTL for every *seen* key even if unchanged — implied by (2)
+       here because the engine upserts all seen rows, not only changed ones,
+       which reproduces refresh-on-read (cache.js:79) exactly: unchanged rows
+       rewrite an identical hash with a fresh TTL.
+    """
+    now_epoch_ms = now_ms() if now_epoch_ms is None else now_epoch_ms
+    ttl_ms = now_epoch_ms + int(ttl_hours * 3600 * 1000)
+
+    # Intra-batch duplicates of a key: the reference's Map.set keeps the last
+    # row in array order (cache.js:55-57); distributed equivalent = keep the
+    # row with the greatest event time when one is available.
+    order_col = (
+        F.col(ts_field).cast("long")
+        if ts_field is not None and ts_field in incoming.columns
+        else F.lit(0)
+    )
+    updates = (
+        with_content_hash(
+            incoming.filter(F.col(id_field).isNotNull()), exclude=ignore
+        )
+        .withColumn("__ord", order_col)
+        .select(id_field, HASH_COL, "__ord")
+        .withColumn(TTL_COL, F.lit(ttl_ms))
+        .withColumn("__prio", F.lit(1))
+    )
+    if state is None:
+        base = updates
+    else:
+        live = (
+            state.filter(F.col(TTL_COL) >= F.lit(now_epoch_ms))
+            .withColumn("__prio", F.lit(0))
+            .withColumn("__ord", F.lit(0))
+        )
+        base = live.select(*updates.columns).unionByName(updates)
+
+    w = Window.partitionBy(id_field).orderBy(F.desc("__prio"), F.desc("__ord"))
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio", "__ord")
+    )

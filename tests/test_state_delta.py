@@ -1,0 +1,105 @@
+"""State/delta semantics — port of reference test/cache.test.js.
+
+The canonical fixture (test/cache.test.js:28):
+    [(1,11,10), (2,12,20), (3,13,30)]   as (id, x, updatedOnMs)
+and the change-detection truth table (test/cache.test.js:84-96):
+    (1,11,11) -> NOT emitted  (same content, bumped updatedOnMs)
+    (2,24,21) -> emitted      (changed field)
+    (3,13,30) -> NOT emitted  (identical)
+    (4,14,40) -> emitted      (new id)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_etl_spark.checkpoint import max_ts, next_checkpoint
+from entity_etl_spark.delta import changed_rows, seen_keys, with_content_hash
+from entity_etl_spark.state import TTL_COL, merge_state
+
+COLS = ["id", "x", "updatedOnMs"]
+SEED = [(1, 11, 10), (2, 12, 20), (3, 13, 30)]
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+@pytest.fixture()
+def seed_state(spark):
+    # first run: everything is new; state built from the seed batch
+    return merge_state(None, df_of(spark, SEED), "id", ignore=("updatedOnMs",),
+                       ttl_hours=8.0, now_epoch_ms=1_000_000)
+
+
+def test_first_run_everything_emitted(spark):
+    out = changed_rows(df_of(spark, SEED), None, "id")
+    assert out.count() == 3
+
+
+def test_change_detection_truth_table(spark, seed_state):
+    batch2 = df_of(spark, [(1, 11, 11), (2, 24, 21), (3, 13, 30), (4, 14, 40)])
+    emitted = changed_rows(batch2, seed_state, "id", ignore=("updatedOnMs",))
+    got = sorted(r["id"] for r in emitted.collect())
+    assert got == [2, 4]  # reference test/cache.test.js:84-96
+
+
+def test_null_id_rows_dropped(spark, seed_state):
+    batch = df_of(spark, [(None, 99, 50), (5, 15, 50)])
+    emitted = changed_rows(batch, seed_state, "id")
+    assert [r["id"] for r in emitted.collect()] == [5]  # cache.js:70-74
+
+
+def test_content_hash_ignores_excluded_and_is_key_order_insensitive(spark):
+    a = spark.createDataFrame([(1, 11, 10)], ["id", "x", "updatedOnMs"])
+    b = spark.createDataFrame([(11, 1, 99)], ["x", "id", "updatedOnMs"])
+    ha = with_content_hash(a, exclude=("updatedOnMs",)).first()["__content_hash"]
+    hb = with_content_hash(b, exclude=("updatedOnMs",)).first()["__content_hash"]
+    assert ha == hb
+
+
+def test_upsert_last_write_wins(spark, seed_state):
+    # same key twice in one batch: the later event time wins (cache.js:55-57)
+    batch = df_of(spark, [(2, 100, 41), (2, 200, 42)])
+    st = merge_state(seed_state, batch, "id", ignore=("updatedOnMs",),
+                     ts_field="updatedOnMs", now_epoch_ms=1_000_000)
+    assert st.count() == 3  # ids 1,2,3
+    h_200 = with_content_hash(df_of(spark, [(2, 200, 0)]), exclude=("updatedOnMs",)).first()["__content_hash"]
+    assert st.filter(F.col("id") == 2).first()["__content_hash"] == h_200
+
+
+def test_ttl_expiry_and_refresh(spark, seed_state):
+    # entries expire when ttl < now (cache.js:60-67); seen keys are
+    # re-stamped (cache.js:79, refresh-on-read)
+    later = 1_000_000 + 9 * 3600 * 1000  # past the 8h TTL
+    touch = df_of(spark, [(3, 13, 31)])  # only key 3 is seen
+    st = merge_state(seed_state, touch, "id", ignore=("updatedOnMs",),
+                     ts_field="updatedOnMs", ttl_hours=8.0, now_epoch_ms=later)
+    rows = st.collect()
+    assert [r["id"] for r in rows] == [3]          # 1,2 expired; 3 survived
+    assert rows[0][TTL_COL] == later + 8 * 3600 * 1000  # fresh TTL
+
+
+def test_seen_keys(spark):
+    batch = df_of(spark, [(1, 11, 10), (1, 12, 11), (None, 0, 1), (2, 5, 5)])
+    assert sorted(r["id"] for r in seen_keys(batch, "id").collect()) == [1, 2]
+
+
+def test_checkpoint_rules(spark):
+    # seed max = 30 (test/cache.test.js:53)
+    assert max_ts(df_of(spark, SEED), "updatedOnMs") == 30
+    assert next_checkpoint(30, 1) == 30
+    # empty page keeps previous (cache.js:101-104)
+    assert next_checkpoint(None, 30) == 30
+    # never regress
+    assert next_checkpoint(10, 30) == 30
+    # partial-results tie-bump 30 -> 31 (test/cache.test.js:76-82)
+    assert next_checkpoint(30, 30, partial_results=True) == 31
+    # no bump when progress was made
+    assert next_checkpoint(40, 30, partial_results=True) == 40
+
+
+def test_max_ts_on_timestamp_column(spark):
+    df = spark.createDataFrame([(1,)], ["id"]).select(
+        "id", F.timestamp_millis(F.lit(1234567890123)).alias("ts")
+    )
+    assert max_ts(df, "ts") == 1234567890123000
