@@ -1,0 +1,122 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry via Spark AND its oracle_sql() twin via DuckDB on the same parquet,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def canon(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = ["\x01".join(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if not problems:
+            cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
+            if cs != cd:
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(cs, cd)) if a != b), None
+                )
+                detail = (
+                    f"first diff @sorted-row {diff}:\n  spark={cs[diff]!r}\n  duck ={cd[diff]!r}"
+                    if diff is not None
+                    else "length mismatch after canon"
+                )
+                problems.append("values differ; " + detail)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"MATCH {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
