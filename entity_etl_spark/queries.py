@@ -414,3 +414,336 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (SURVEY §2.2 categories: aggregations, joins, windows,
+# sorts/top-k, rollup, date/time) — the generalized engine surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: grouped multi-aggregate scan; partial (map-side) "
+    "aggregation + single shuffle on the 2-col group key.",
+    tags=("analytics", "bench"),
+)
+def q_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_orders_revenue",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join + grouped revenue + top-k. The customer "
+    "dim is broadcast; lineitem↔orders is the only real shuffle.",
+    tags=("analytics", "bench"),
+)
+def q_top_orders_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    cust = read_sf_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_sf_table(spark, sf, "orders")
+    li = read_sf_table(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "region_nation_revenue",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+    doc="TPC-H Q5 shape: star join through two broadcast dims into the fact "
+    "chain; grouped revenue per (region, nation).",
+    tags=("analytics", "bench"),
+)
+def q_region_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    region = read_sf_table(spark, sf, "region")
+    nation = read_sf_table(spark, sf, "nation")
+    cust = read_sf_table(spark, sf, "customer")
+    orders = read_sf_table(spark, sf, "orders")
+    li = read_sf_table(spark, sf, "lineitem")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dims, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_name, spend, rnk FROM (
+      SELECT n_name, c_name,
+             round(sum(o_totalprice), 2) AS spend,
+             CAST(row_number() OVER (PARTITION BY n_name
+                  ORDER BY round(sum(o_totalprice), 2) DESC, c_name)
+                  AS BIGINT) AS rnk
+      FROM nation
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY n_name, c_name)
+    WHERE rnk <= 3
+    """,
+    doc="Window top-k per group (SURVEY §2.2 'window functions'): rank "
+    "customers by spend within each nation, keep top 3.",
+    tags=("analytics", "bench"),
+)
+def q_top_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    nation = read_sf_table(spark, sf, "nation")
+    cust = read_sf_table(spark, sf, "customer")
+    orders = read_sf_table(spark, sf, "orders")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend"), "c_name")
+    return (
+        spend.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_name", "spend", "rnk")
+    )
+
+
+@register(
+    "rollup_order_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="Grouping-sets/rollup (SURVEY §2.2 'aggregations — grouping sets "
+    "ABSENT in reference'): hierarchical totals in one pass.",
+    tags=("analytics",),
+)
+def q_rollup_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_sf_table(spark, sf, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "set_ops_except",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-02'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-02'
+    """,
+    doc="Set ops (SURVEY §2.2 'set ops ABSENT in reference'): users who "
+    "viewed but never errored (EXCEPT = distinct left-anti).",
+    tags=("analytics",),
+)
+def q_set_ops_except(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    day1 = F.lit("2024-01-02").cast("timestamp")
+    viewed = ev.filter(
+        (F.col("event_type") == "view") & (F.col("ts") < day1)
+    ).select("user_id")
+    errored = ev.filter(
+        (F.col("event_type") == "error") & (F.col("ts") < day1)
+    ).select("user_id")
+    return viewed.subtract(errored)
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Sessionization (streaming §2.2 'session windows ABSENT in "
+    "reference'; batch form): gap>30min via lag window + cumulative flag.",
+    tags=("analytics", "bench"),
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window (streaming §2.2 'windows ABSENT in "
+    "reference'; batch form = group by date_trunc).",
+    tags=("analytics",),
+)
+def q_tumbling_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_str"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "percentile_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(min(value), 4) AS vmin,
+           round(max(value), 4) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated quantiles per group (E6's exact twin; the "
+    "approx_* variants are registered rows-only).",
+    tags=("analytics",),
+)
+def q_percentile_value_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # sketch algorithms differ across engines; driver rows-only check
+    doc="E6 approx_count_distinct (HLL++). No oracle: DuckDB's HLL yields a "
+    "different estimate; exactness is covered by distinct_users_exact.",
+    tags=("analytics",),
+)
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@register(
+    "distinct_users_exact",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct aggregate (SURVEY §2.2 'distinct-agg ABSENT in "
+    "reference').",
+    tags=("analytics",),
+)
+def q_distinct_users_exact(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
