@@ -1,0 +1,296 @@
+"""Deduplication operators (E1/E2, SURVEY §2.3).
+
+Generalizes the reference's two dedup behaviors — exact key dedup
+(cache.js:55-57, Map.set) and content-change suppression (cache.js:69-85) —
+to corpus-scale document dedup:
+
+- :func:`exact_dedup` / :func:`fingerprint` — exact content dedup via hash
+  group (E1). One shuffle on the fingerprint; at 100 TB hash first so only
+  (fingerprint, id) columns shuffle, never the document bodies.
+- :func:`shingles` + :func:`jaccard_pairs` — exact n-gram Jaccard near-dup
+  pairs via shingle equi-join. Quadratic in the worst case; the LSH variants
+  below are the scale path, this is the ground-truth oracle.
+- :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash + banded
+  LSH: per-doc signature (map-side only), band buckets, candidate pairs from
+  bucket self-join, optional exact-Jaccard verification of candidates.
+  Everything stays in built-in expressions (xxhash64); no Python UDF.
+- :func:`simhash` — 64-bit SimHash per document (token-hash bit-majority),
+  near-dups = signatures within Hamming distance k (joined on rotated
+  prefixes at scale; exact XOR-popcount filter here).
+
+Design note vs spark.ml's MinHashLSH: the ml implementation requires a
+sparse-vector pipeline (CountVectorizer) whose vocabulary build is itself a
+giant shuffle; hashing shingles directly with xxhash64 skips the vocabulary
+entirely and keeps the signature computation embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- E1
+def fingerprint(text_col: str | Column, algo: str = "md5") -> Column:
+    """Content fingerprint column (E1). md5 is 128-bit — collision-safe at
+    any corpus size that fits on disk."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    if algo == "md5":
+        return F.md5(col)
+    if algo == "sha256":
+        return F.sha2(col, 256)
+    if algo == "xxhash64":
+        return F.xxhash64(col).cast("string")
+    raise ValueError(f"unknown fingerprint algo: {algo}")
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: Sequence[str], id_col: str
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per distinct content.
+
+    Hash-groupBy on a fingerprint of the content columns: the shuffle moves
+    only (fingerprint, id); bodies are re-joined by the caller if needed."""
+    fp = F.md5(F.concat_ws("\x00", *[F.col(c) for c in content_cols]))
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ------------------------------------------------------------------ shingles
+def tokens(text_col: str | Column) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingles(text_col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column, as array<string>.
+    Whole-stage-codegen'd (transform over split); no UDF."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] and slice()
+    # rejects start index 0 — short texts get an empty shingle set instead
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
+
+    Shape: explode distinct shingles → self equi-join on shingle (the only
+    shuffle, keyed by shingle) → per-pair intersection count → Jaccard from
+    per-doc distinct-shingle counts. Ground truth for the LSH variants; at
+    100 TB run :func:`lsh_candidate_pairs` first and feed candidates here.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(text_col, k)).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------- MinHash
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: array<long> of length num_hashes.
+
+    hash_i(shingle) = xxhash64(shingle, i); signature[i] = min over the
+    doc's shingles. Computed via explode + one groupBy(doc) with num_hashes
+    min() aggregates — partial aggregation makes this map-side-combined, so
+    the shuffle carries one row per doc, not per shingle."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from MinHash signatures (doc_a < doc_b).
+
+    Docs agreeing on all rows of any band collide into a bucket; pairs are
+    the bucket self-join. Bucket key = (band_idx, hash(band slice)), so the
+    join key is a single long — tiny shuffle. Tune bands×rows for the target
+    threshold t ≈ (1/bands)^(1/rows)."""
+    b = signatures.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(
+                                        "sig", i * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup pairs, optionally exact-verified.
+
+    The scale pipeline: signatures (map-side) → banded buckets (small
+    shuffle) → candidates (bucket join) → exact Jaccard only on candidates
+    (join back to shingles of candidate docs only)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
+    if verify_threshold is None:
+        return cand
+    docs_in_cand = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    subset = df.join(
+        docs_in_cand, df[id_col] == docs_in_cand["doc"], "left_semi"
+    )
+    exact = jaccard_pairs(subset, id_col, text_col, k, verify_threshold)
+    return cand.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: bit b of the signature is the majority
+    vote of bit b across the doc's token hashes.
+
+    Implemented as 64 conditional-sum aggregates over exploded tokens —
+    entirely JVM-side, map-side combined. Output: (doc, simhash long)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    votes = tok.groupBy("doc").agg(*aggs)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs of docs whose SimHashes are within ``max_hamming`` bits.
+
+    Here: exact pairwise XOR-popcount (fine to ~100k docs per partition
+    group). At 100 TB: block on 4 rotated 16-bit prefixes (pigeonhole —
+    any pair within Hamming 3 agrees on at least one block) and join per
+    block; the prefix join is this same code with a bucket pre-key."""
+    sig = simhash(df, id_col, text_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (E3, SURVEY §2.3).
+
+- :func:`cosine` — dot/norm entirely in built-in higher-order functions
+  (zip_with + aggregate): JVM-side, codegen'd, no Python.
+- :func:`topk_brute_force` — exact top-k neighbors for a (small) query set:
+  broadcast the queries, score every corpus row, row_number ≤ k. One pass
+  over the corpus, no shuffle of the corpus itself — the 100 TB baseline.
+- :func:`lsh_topk` — random-hyperplane LSH variant: queries and corpus are
+  bucketed by sign-pattern; only same-bucket rows are scored. Sub-linear
+  scoring at the cost of recall (multi-probe over neighboring buckets can
+  recover it). The hyperplanes derive deterministically from xxhash64 so
+  both sides bucket identically with no shared state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _f64(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (cast to double
+    element-wise first — float math would diverge between engines)."""
+    fa, fb = _f64(a), _f64(b)
+    return dot(fa, fb) / (norm(fa) * norm(fb))
+
+
+def topk_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is broadcast (a query batch is small by construction); the
+    corpus streams through map-side scoring; the only shuffle is the
+    per-query top-k window over |queries|·|corpus| scored rows — at scale
+    replace the window with a per-partition heap (mapInPandas) feeding a
+    final window over partitions·k rows."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).crossJoin(F.broadcast(q))
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "score", F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane i is a
+    zero-mean value derived from xxhash64(i, j). No driver-side RNG state —
+    executors regenerate it identically (closure captures only ints)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(plane_idx), j).cast("double") / F.lit(float(2**63))
+        ),
+    )
+
+
+def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-pattern bucket id (0..2^n_planes-1) of a vector under the
+    deterministic hyperplane family."""
+    v = _f64(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bit = F.when(dot(v, _hyperplane(dim, i)) >= 0, 1).otherwise(0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing the query's
+    hyperplane bucket. Equi-join on the bucket key replaces the cross join —
+    the scored set shrinks ~2^n_planes-fold."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators (E4, SURVEY §2.3): language ID, quality scoring,
+token counting, fingerprinting — each a pure column expression (built-in
+functions only, portable to the DuckDB oracle, zero Python in the hot path).
+
+The heuristics are deliberately simple and deterministic: the value at
+100 TB is the *shape* (single scan, map-only, codegen'd); swapping a
+stronger scorer (fastText, a KenLM perplexity model) later means replacing
+one column expression with a Pandas UDF without touching the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker-word lists per language; count of hits decides the language.
+# (The harness corpus is synthetic; real deployments swap in a trained
+# identifier via pandas_udf with the same (text)->lang signature.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "que"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "zh": ("de", "shi", "le"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count. size(split) counts empty-string tokens from
+    leading whitespace the same way DuckDB's regexp_split_to_array does."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(F.trim(col), r"\s+")).cast("bigint")
+
+
+def _count_occurrences(col: Column, word: str) -> Column:
+    """Occurrences of ` word ` in the padded text — pure length arithmetic
+    (no regex), identical in any SQL engine."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("bigint")
+
+
+def lang_scores(text_col: str | Column) -> dict[str, Column]:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    low = F.lower(col)
+    return {
+        lang: sum(
+            (_count_occurrences(low, w) for w in words), F.lit(0).cast("bigint")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text_col: str | Column) -> Column:
+    """Predicted language = argmax of marker-word hit counts, ties broken by
+    language code order (deterministic)."""
+    scores = lang_scores(text_col)
+    best = None
+    for lang in sorted(scores):  # ascending code order ⇒ first max wins
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(s > best["score"], F.struct(s.alias("score"), F.lit(lang).alias("lang"))).otherwise(best)
+    return best["lang"]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, ~1].
+
+    Features: char length, token count, mean token length, stopword ratio.
+    Single map-only scan."""
+    col = F.col(text_col)
+    n_tokens = token_count(col)
+    low = F.lower(col)
+    n_stop = sum(
+        (_count_occurrences(low, w) for w in STOPWORDS), F.lit(0).cast("bigint")
+    )
+    n_chars = F.length(col).cast("bigint")
+    avg_tok_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 4)
+    stop_ratio_raw = n_stop / n_tokens  # score uses the unrounded ratio
+    stop_ratio = F.round(stop_ratio_raw, 4)
+    score = F.round(
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio_raw * F.lit(4.0), F.lit(1.0)) * 0.5,
+        4,
+    )
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_tokens": n_tokens,
+            "avg_token_len": avg_tok_len,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def doc_fingerprint(text_col: str | Column, algo: str = "md5") -> Column:
+    """Stable whole-document fingerprint (md5 hex); see ext.dedup for
+    similarity-preserving fingerprints (MinHash/SimHash)."""
+    from .dedup import fingerprint
+
+    return fingerprint(text_col, algo)

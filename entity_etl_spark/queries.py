@@ -747,3 +747,325 @@ def q_distinct_users_exact(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators (SURVEY §2.3, E1-E6): LLM-data-pipeline surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="E1 exact dedup: one representative (min id) per distinct content; "
+    "the shuffle carries (fingerprint,id), not document bodies.",
+    tags=("ext", "bench"),
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import fingerprint
+
+    docs = read_sf_table(spark, sf, "documents")
+    return (
+        docs.withColumn("__fp", fingerprint("text", "md5"))
+        .groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    doc="E1 content fingerprint (md5 hex) per document — the stable key the "
+    "dedup/state ops hang off.",
+    tags=("ext",),
+)
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import doc_fingerprint
+
+    docs = read_sf_table(spark, sf, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    doc="E2 exact n-gram (k=3) Jaccard near-dup pairs via shingle equi-join "
+    "— ground truth for the MinHash/SimHash approximations.",
+    tags=("ext",),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import jaccard_pairs
+
+    docs = read_sf_table(spark, sf, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register(
+    "minhash_near_dups",
+    None,  # xxhash64-based signatures are engine-specific; rows-only check.
+    doc="E2 MinHash(32) + banded LSH(8x4) candidates, exact-Jaccard "
+    "verified >= 0.5. The 100 TB near-dup path: signatures map-side, "
+    "bucket join, verify only candidates.",
+    tags=("ext", "bench"),
+)
+def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import minhash_near_dups
+
+    docs = read_sf_table(spark, sf, "documents")
+    return minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.5
+    )
+
+
+@register(
+    "simhash_near_dups",
+    None,  # xxhash64-based; rows-only
+    doc="E2 SimHash(64-bit) near-dup pairs within Hamming distance 3.",
+    tags=("ext",),
+)
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import simhash_near_dups
+
+    docs = read_sf_table(spark, sf, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qe), 6)
+               AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="E3 brute-force cosine top-k: broadcast query batch, map-side "
+    "scoring via zip_with/aggregate (JVM, no UDF), per-query top-k window.",
+    tags=("ext", "bench"),
+)
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import topk_brute_force
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_brute_force(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "embedding_lsh_topk",
+    None,  # hyperplanes derive from engine-specific xxhash64; rows-only
+    doc="E3 LSH-bucketed approximate top-k (random-hyperplane signs): "
+    "equi-join on bucket replaces the cross join — the 100 TB ANN path.",
+    tags=("ext",),
+)
+def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import lsh_topk
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, dim=64, n_planes=6)
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    doc="E3/E6 vector stats: L2 norm via higher-order aggregate (JVM-side), "
+    "grouped per label.",
+    tags=("ext",),
+)
+def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import norm
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+def _duck_count_occ(word: str) -> str:
+    """DuckDB twin of ext.text._count_occurrences (padded replace-count)."""
+    needle = f" {word} "
+    return (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{needle}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+def _duck_lang_scores() -> dict[str, str]:
+    from .ext.text import LANG_MARKERS
+
+    return {
+        lang: "(" + " + ".join(_duck_count_occ(w) for w in words) + ")"
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def _duck_lang_case() -> str:
+    """Argmax cascade in lang-code order (ties -> earlier code), matching
+    ext.text.lang_id exactly."""
+    s = _duck_lang_scores()
+    langs = sorted(s)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{s[lang]} >= {s[rest]}" for rest in langs[i + 1:])
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+@register(
+    "lang_id_pred",
+    f"""
+    SELECT doc_id, {_duck_lang_case()} AS pred_lang FROM documents
+    """,
+    doc="E4 language ID: marker-word hit counts per language, argmax with "
+    "deterministic ties — pure column arithmetic, single map-only scan.",
+    tags=("ext",),
+)
+def q_lang_id_pred(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import lang_id
+
+    docs = read_sf_table(spark, sf, "documents")
+    return docs.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_calc,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             ({" + ".join(_duck_count_occ(w) for w in
+                          ("the", "a", "of", "and", "to", "in", "is", "it"))})
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           round((n_chars_calc - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
+           round(n_stop / n_tokens, 4) AS stopword_ratio,
+           round(least(n_tokens / 200.0, 1.0) * 0.5
+                 + least((n_stop / n_tokens) * 4.0, 1.0) * 0.5, 4)
+             AS quality_score
+    FROM feats
+    """,
+    doc="E4 quality scoring: char/token counts, mean token length, stopword "
+    "ratio, composite score — one map-only scan, no UDF.",
+    tags=("ext", "bench"),
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import quality_features
+
+    docs = read_sf_table(spark, sf, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    """,
+    doc="E4 token counting (whitespace tokenizer).",
+    tags=("ext",),
+)
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import token_count
+
+    docs = read_sf_table(spark, sf, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+    doc="E5 multimodal metadata: binary payload column + typed metadata "
+    "struct (byte length, content digest) — the blob never shuffles.",
+    tags=("ext",),
+)
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.multimodal import attach_binary
+
+    docs = read_sf_table(spark, sf, "documents")
+    return attach_binary(docs, "text").select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.digest").alias("digest"),
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # decoder is a deterministic stub; plumbing checked rows-only
+    doc="E5 feature extraction over binary media via mapInPandas (Arrow "
+    "batches, fixed output schema; decoder stubbed — swap point is one "
+    "function).",
+    tags=("ext",),
+)
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.multimodal import attach_binary, extract_features
+
+    docs = read_sf_table(spark, sf, "documents")
+    return extract_features(attach_binary(docs, "text"), "doc_id", "media")

@@ -1,0 +1,144 @@
+"""Extension-operator tests (E1-E5): dedup, similarity, text, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_etl_spark.ext.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dups,
+    shingles,
+    simhash_near_dups,
+)
+from entity_etl_spark.ext.multimodal import attach_binary, extract_features
+from entity_etl_spark.ext.similarity import cosine, lsh_topk, topk_brute_force
+from entity_etl_spark.ext.text import lang_id, quality_features, token_count
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_shingles(spark, docs):
+    row = docs.filter("doc_id = 1").select(shingles("text", 3).alias("s")).first()
+    assert "the quick brown" in row["s"]
+    assert all(len(s.split(" ")) == 3 for s in row["s"])
+
+
+def test_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
+    assert df.select(shingles("text", 3).alias("s")).first()["s"] == []
+
+
+def test_jaccard_pairs_finds_near_and_exact_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
+    assert pairs[(1, 4)] == 1.0           # exact dup
+    assert 0.5 <= pairs[(1, 2)] < 1.0     # near dup
+    assert (1, 3) not in pairs            # unrelated
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_near_dups(docs, "doc_id", "text", verify_threshold=0.5).collect()}
+    assert (1, 4) in got
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_simhash_near_dups(spark, docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           simhash_near_dups(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert (1, 4) in got        # identical text -> hamming 0
+    assert (1, 3) not in got
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], ["a", "b"]
+    )
+    vals = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0)
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = []
+    for i in range(20):
+        angle = i * math.pi / 40
+        rows.append((i, [math.cos(angle), math.sin(angle)], 0))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_topk_brute_force(spark, vectors):
+    out = topk_brute_force(vectors, vectors.filter("vec_id = 0"), k=3).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2, 3]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_lsh_topk_subset_of_bucket(spark, vectors):
+    out = lsh_topk(vectors, vectors.filter("vec_id = 0"), k=3, dim=2, n_planes=2)
+    rows = out.collect()
+    # approximate: every returned neighbor must be a real vector, ranked
+    assert all(1 <= r["rnk"] <= 3 for r in rows)
+    assert all(0 <= r["neighbor_id"] < 20 for r in rows)
+
+
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "el gato que la casa el perro que")],
+        ["doc_id", "text"],
+    )
+    toks = {r["doc_id"]: r["n"] for r in
+            df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert toks == {1: 8, 2: 8}
+    langs = {r["doc_id"]: r["lang"] for r in
+             df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert langs[1] == "en"
+    assert langs[2] == "es"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    row = quality_features(df, "text").first()
+    assert row["n_tokens"] == 6
+    assert row["n_chars_calc"] == 22
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert row["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-4)
+
+
+def test_multimodal_plumbing(spark, docs):
+    enriched = attach_binary(docs, "text")
+    meta = enriched.select("doc_id", "media_meta.n_bytes").collect()
+    assert all(r["n_bytes"] > 0 for r in meta)
+    feats = extract_features(enriched, "doc_id", "media", mode="fake").collect()
+    assert len(feats) == 4
+    assert all(r["feat_dim"] == 64 and r["n_bytes"] > 0 for r in feats)
+    # identical texts -> identical fake features (deterministic decode)
+    by_id = {r["doc_id"]: r["feat_mean"] for r in feats}
+    assert by_id[1] == by_id[4]
+
+
+def test_multimodal_error_mode_raises(spark, docs):
+    import py4j.protocol
+
+    enriched = attach_binary(docs, "text")
+    with pytest.raises(Exception):
+        extract_features(enriched, "doc_id", "media", mode="error").collect()
