@@ -143,21 +143,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length num_hashes.
 
-    hash_i(shingle) = xxhash64(shingle, i); signature[i] = min over the
-    doc's shingles. Computed via explode + one groupBy(doc) with num_hashes
-    min() aggregates — partial aggregation makes this map-side-combined, so
-    the shuffle carries one row per doc, not per shingle."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(text_col, k)).alias("sh"),
+    Entirely map-side — zero shuffle: each shingle is hashed ONCE to a long
+    (xxhash64 of the string), then the num_hashes family derives from that
+    long (xxhash64(h, i) — long input, far cheaper than re-hashing strings),
+    and signature[i] = array_min over the per-row hash array. At 100 TB this
+    is the difference between a per-shingle explode shuffle (rows ×
+    shingles) and a pure scan.
+
+    Docs with fewer than k tokens have no shingles and are dropped (their
+    Jaccard similarity is undefined)."""
+    sh_hashes = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        "__sh",
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc").agg(*aggs)
-    return sig.select(
-        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    return (
+        df.select(F.col(id_col).alias("doc"), sh_hashes.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select("doc", sig.alias("sig"))
     )
 
 
@@ -169,40 +178,31 @@ def lsh_candidate_pairs(
     """Banded-LSH candidate pairs from MinHash signatures (doc_a < doc_b).
 
     Docs agreeing on all rows of any band collide into a bucket; pairs are
-    the bucket self-join. Bucket key = (band_idx, hash(band slice)), so the
-    join key is a single long — tiny shuffle. Tune bands×rows for the target
-    threshold t ≈ (1/bands)^(1/rows)."""
+    the bucket self-join. The band index is mixed into a single 64-bit
+    bucket key (cross-band hash collisions are vanishingly rare and get
+    removed by exact verification anyway), so the join key is one long and
+    the pre-join repartition on it is REUSED by both sides of the self-join
+    — signatures are computed once, not twice. Tune bands×rows for the
+    target threshold t ≈ (1/bands)^(1/rows)."""
     b = signatures.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(
-                                        "sig", i * rows_per_band + 1, rows_per_band
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band)
                     )
                     for i in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+        ).alias("bucket"),
+    ).repartition(F.col("bucket"))
     left = b.alias("l")
     right = b.alias("r")
     return (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
@@ -230,17 +230,48 @@ def minhash_near_dups(
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
     if verify_threshold is None:
         return cand
-    docs_in_cand = (
-        cand.select(F.col("doc_a").alias("doc"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+    # the candidate set is consumed three times by verification (two sides
+    # of the doc semi-join + the pair join); materialize it once so the LSH
+    # graph runs once — candidates are tiny relative to the corpus, and the
+    # concurrent scans of a lazy cache would race and recompute it
+    cand = cand.localCheckpoint(eager=True)
+    return jaccard_verify(cand, df, id_col, text_col, k, verify_threshold)
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set (doc_a, doc_b).
+
+    Joins each side's distinct-shingle ARRAY onto the pair and computes
+    |A∩B| / |A∪B| with array_intersect — no shingle explode, no per-shingle
+    join: two hash joins keyed by doc id, then per-row array math. Shingles
+    are computed only for docs appearing in a candidate pair (semi-join
+    first), so verify cost scales with candidate count, not corpus size."""
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("__cd"))
+        .unionByName(pairs.select(F.col("doc_b").alias("__cd")))
         .distinct()
     )
-    subset = df.join(
-        docs_in_cand, df[id_col] == docs_in_cand["doc"], "left_semi"
+    sh = (
+        df.join(cand_docs, df[id_col] == cand_docs["__cd"], "left_semi")
+        .select(F.col(id_col).alias("__doc"), shingles(text_col, k).alias("__sh"))
     )
-    exact = jaccard_pairs(subset, id_col, text_col, k, verify_threshold)
-    return cand.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    a = sh.select(F.col("__doc").alias("doc_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__doc").alias("doc_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
