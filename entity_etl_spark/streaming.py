@@ -1,0 +1,174 @@
+"""Structured Streaming variant of the incremental pipeline.
+
+The reference *is* a micro-batch streaming job by construction (15-min cron,
+crontab:1; checkpointed incremental fetch, app.js:76-82; keyed TTL state,
+cache.js:50-67 — SURVEY §0). This module maps it onto Spark Structured
+Streaming natively:
+
+- file/parquet ``readStream`` + checkpointLocation replaces the
+  ``updatedFromMs`` high-water mark (the source tracks processed files;
+  offsets live in the checkpoint — O1/O3/O14 for free);
+- ``withWatermark`` bounds state, replacing the TTL horizon for the dedup
+  operator (O13);
+- changed-row suppression (O5) = ``dropDuplicates([id, content_hash])``
+  within the watermark — identical content re-arriving is suppressed,
+  changed content (new hash) passes;
+- last-write-wins upsert state (O12/O15) with explicit TTL =
+  ``applyInPandasWithState`` keyed by id, state = (content_hash, ttl),
+  ProcessingTimeTimeout purges idle keys — the exact cache.js contract;
+- ``Trigger.AvailableNow`` drains everything pending then stops — the
+  streaming twin of the reference's do…while(partialResults) page loop
+  (app.js:48-59) on a cron tick.
+
+Delivery remains at-least-once toward the sink (state commits after the
+batch), matching app.js:55-58; sinks must upsert by id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .delta import HASH_COL, content_hash
+from .model import TableSpec
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental file source (O1): new files under ``path`` are the
+    micro-batches; processed-file tracking lives in the checkpoint (O14)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def changed_rows_stream(
+    stream: DataFrame,
+    spec: TableSpec,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming changed-row suppression (O5 + O13 in one operator).
+
+    Emits a row iff its (id, content-hash-ignoring-ts) pair was not seen
+    within the watermark horizon. The watermark bounds the dedup state the
+    same way the reference's TTL bounds its cache (cache.js:60-67)."""
+    hashed = stream.withColumn(
+        HASH_COL, content_hash(stream.columns, exclude=(spec.ts_field,))
+    )
+    return (
+        hashed.filter(F.col(spec.id_field).isNotNull())
+        .withWatermark(spec.ts_field, watermark_delay)
+        .dropDuplicates([spec.id_field, HASH_COL])
+        .drop(HASH_COL)
+    )
+
+
+def _ttl_dedup_fn(
+    id_field: str,
+    ts_field: str,
+    ttl_ms: int,
+    columns: Sequence[str],
+):
+    """Builds the applyInPandasWithState function for stateful TTL dedup
+    (O5/O12/O13): state per key = (content_hash, ttl); emit on new/changed;
+    refresh TTL on every sighting (cache.js:79 refresh-on-read); purge on
+    timeout."""
+    import hashlib
+    import json
+
+    import pandas as pd
+
+    hash_cols = sorted(c for c in columns if c != ts_field)
+
+    def row_hash(row) -> str:
+        payload = {c: row[c] for c in hash_cols if not pd.isna(row[c])}
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True, default=str).encode()
+        ).hexdigest()
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()  # TTL purge (cache.js:60-67)
+            return
+        prev_hash = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_field)
+            for _, row in pdf.iterrows():
+                h = row_hash(row)
+                if h != prev_hash:
+                    out.append(row)
+                    prev_hash = h
+        state.update((prev_hash,))
+        state.setTimeoutDuration(ttl_ms)  # refresh-on-read (cache.js:79)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def stateful_ttl_dedup(
+    stream: DataFrame,
+    spec: TableSpec,
+    ttl_hours: float = 8.0,
+) -> DataFrame:
+    """Keyed state with explicit TTL via applyInPandasWithState — the full
+    cache.js contract (change detection + last-write-wins + TTL purge +
+    refresh-on-read) as one stateful streaming operator.
+
+    Use :func:`changed_rows_stream` (watermark + dropDuplicates, pure
+    built-ins) when event-time TTL is acceptable; use this when TTL must be
+    processing-time like the reference's wall-clock TTL (cache.js:95-97)."""
+    out_schema = stream.schema
+    fn = _ttl_dedup_fn(
+        spec.id_field,
+        spec.ts_field,
+        int(ttl_hours * 3600 * 1000),
+        stream.columns,
+    )
+    return (
+        stream.filter(F.col(spec.id_field).isNotNull())
+        .groupBy(spec.id_field)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="h string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], Any],
+    timeout_sec: float = 120.0,
+) -> None:
+    """Drain everything pending, then stop (reference page loop,
+    app.js:48-59, on one cron tick). ``batch_fn(df, batch_id)`` is the sink
+    (foreachBatch = at-least-once; upsert by id for effective idempotence)."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
