@@ -77,8 +77,18 @@ def _ts_str(col):
     tags=("core", "bench"),
 )
 def q_incremental_scan(spark: SparkSession, sf: str) -> DataFrame:
-    ev = read_sf_table(spark, sf, "events")
-    return ev.filter(F.col("ts") > F.lit(CUTOFF).cast("timestamp")).select(
+    from datetime import datetime, timezone
+
+    from .sources import read_events_since
+
+    cutoff_us = int(
+        datetime.strptime(CUTOFF, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    ev = read_events_since(spark, sf, cutoff_us)
+    return ev.select(
         "event_id",
         _ts_str(F.col("ts")).alias("ts_str"),
         "user_id",

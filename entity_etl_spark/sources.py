@@ -58,6 +58,31 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_events_since(
+    spark: SparkSession, sf_dir: str, min_ts_exclusive_micros: int
+) -> DataFrame:
+    """Incremental events scan with the time predicate pushed into the
+    parquet scan (O3 parity: the reference evaluates ``updatedFromMs``
+    source-side, app.js:76-82).
+
+    The ns→µs conversion is monotonic, so ``converted_ts > C`` is rewritten
+    onto the RAW nanosecond column (``ts_ns > C*1000 + 999``) *before* the
+    conversion — Catalyst pushes the raw predicate to parquet row-group
+    stats; a filter on the derived column would not be pushable."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.filter(
+            F.col("ts") > F.lit(min_ts_exclusive_micros * 1000 + 999)
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.filter(
+        F.col("ts").cast("timestamp")
+        > F.timestamp_micros(F.lit(min_ts_exclusive_micros))
+    )
+
+
 def register_sf_views(spark: SparkSession, sf_dir: str, names: Iterable[str]) -> None:
     """Register the harness tables as temp views for spark.sql queries."""
     for name in names:
