@@ -1079,3 +1079,298 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     return extract_features(attach_binary(docs, "text"), "doc_id", "media")
+
+
+# ---------------------------------------------------------------------------
+# Custom composed operators (operators.py) + function-category coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{DUCK_TS_FMT}') AS purchase_ts,
+           strftime(s.ts, '{DUCK_TS_FMT}') AS last_signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of join (ABSENT in Spark builtins; composed as union + "
+    "last-value window, one shuffle, no join): latest signup at-or-before "
+    "each purchase per user.",
+    tags=("custom", "bench"),
+)
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import asof_join
+
+    ev = read_sf_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(purchases, signups, "user_id", "ts", "signup_ts", ["signup_ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts_str(F.col("ts")).alias("purchase_ts"),
+        _ts_str(F.col("signup_ts")).alias("last_signup_ts"),
+    )
+
+
+@register(
+    "range_join",
+    f"""
+    SELECT p.event_id AS purchase_id, e.event_id AS incident_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 1 HOUR
+    """,
+    doc="Range/interval join (ABSENT in Spark as an equi-join; naive theta "
+    "join = BroadcastNestedLoop): bucketized to a hash join on "
+    "(key, hour-bucket) + exact refine.",
+    tags=("custom", "bench"),
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import range_join_bucketed
+
+    ev = read_sf_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("inc_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("inc_end"),
+    )
+    out = range_join_bucketed(
+        purchases, incidents, "user_id", "pts", "inc_start", "inc_end", 3600
+    )
+    return out.select("purchase_id", "incident_id", "user_id")
+
+
+@register(
+    "salted_agg_stats",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-phase aggregation (salted partial + merge) — result "
+    "identical to a plain groupBy, verified by the oracle; the plan spreads "
+    "each hot key over 16 reducers.",
+    tags=("custom",),
+)
+def q_salted_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import salted_aggregate
+
+    ev = read_sf_table(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {"total_cents": ("sum", "cents"), "n": ("count", "cents"),
+         "max_user": ("max", "user_id")},
+        salt_buckets=16,
+    )
+
+
+@register(
+    "time_rollup_multi",
+    """
+    SELECT 'hour' AS gran,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day' AS gran,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 2
+    """,
+    doc="Hypertable-style multi-granularity rollup: one scan, one shuffle "
+    "(map-side melt to (gran,bucket) pairs), hour+day levels together.",
+    tags=("custom",),
+)
+def q_time_rollup_multi(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import time_rollup
+
+    ev = read_sf_table(spark, sf, "events")
+    out = time_rollup(
+        ev, "ts", ["hour", "day"], [],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")],
+    )
+    return out.select(
+        "gran",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "total",
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (o_orderstatus, c_mktsegment)
+    """,
+    doc="CUBE aggregation (all 4 grouping combinations in one pass).",
+    tags=("analytics",),
+)
+def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_sf_table(spark, sf, "orders")
+    cust = read_sf_table(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "intersect_users",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03'
+    """,
+    doc="INTERSECT set op: users who both purchased and errored in the "
+    "window.",
+    tags=("analytics",),
+)
+def q_intersect_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    lim = F.lit("2024-01-03").cast("timestamp")
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("ts") < lim)).select("user_id")
+    b = ev.filter((F.col("event_type") == "error") & (F.col("ts") < lim)).select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           substring(p_name, 1, 8) AS name_prefix,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowels,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+    doc="String-function coverage (SURVEY §2.2): case, substring, pad, "
+    "regexp, split_part, length.",
+    tags=("functions",),
+)
+def q_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    part = read_sf_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_type", "[aeiou]", "").alias("type_novowels"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "datetime_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+    doc="Date/time-function coverage (SURVEY §2.2): extract, interval "
+    "arithmetic, last_day, datediff.",
+    tags=("functions",),
+)
+def q_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_sf_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+           round(abs(l_extendedprice - l_quantity * 1000), 2) AS abs_diff,
+           round(sqrt(l_quantity), 4) AS qty_sqrt,
+           round(power(1 + l_tax, 2), 6) AS tax_sq
+    FROM lineitem
+    """,
+    doc="Math-function coverage (SURVEY §2.2): ceil/floor/abs/sqrt/power.",
+    tags=("functions",),
+)
+def q_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000), 2).alias("abs_diff"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+    )
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT doc_id,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS n_unique_tokens,
+           array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ')
+             AS first3
+    FROM documents
+    """,
+    doc="Array-function coverage (SURVEY §2.2): split, distinct, slice, "
+    "join.",
+    tags=("functions",),
+)
+def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+    )

@@ -1,0 +1,91 @@
+"""Custom-operator tests: as-of join, bucketed range join, salted
+aggregation, time rollup."""
+
+from pyspark.sql import functions as F
+
+
+def ts(s):
+    return F.lit(s).cast("timestamp")
+
+
+def test_asof_join_basic(spark):
+    from entity_etl_spark.operators import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", "2024-01-01 00:00:10", 10.0),
+         ("A", "2024-01-01 00:00:20", 11.0),
+         ("B", "2024-01-01 00:00:15", 5.0)],
+        "sym string, qts string, px double",
+    ).select("sym", F.col("qts").cast("timestamp").alias("qts"), "px")
+    trades = spark.createDataFrame(
+        [("A", "2024-01-01 00:00:05"),   # before any quote -> NULL
+         ("A", "2024-01-01 00:00:10"),   # tie -> matches 10.0 (<= semantics)
+         ("A", "2024-01-01 00:00:25"),   # after both -> 11.0
+         ("B", "2024-01-01 00:00:30"),   # -> 5.0
+         ("C", "2024-01-01 00:00:30")],  # no quotes for key -> NULL
+        "sym string, tts string",
+    ).select("sym", F.col("tts").cast("timestamp").alias("tts"))
+
+    out = asof_join(trades, quotes, "sym", "tts", "qts", ["px"])
+    got = {(r["sym"], str(r["tts"])): r["px"] for r in out.collect()}
+    assert got[("A", "2024-01-01 00:00:05")] is None
+    assert got[("A", "2024-01-01 00:00:10")] == 10.0
+    assert got[("A", "2024-01-01 00:00:25")] == 11.0
+    assert got[("B", "2024-01-01 00:00:30")] == 5.0
+    assert got[("C", "2024-01-01 00:00:30")] is None
+    assert out.count() == 5  # every left row survives
+
+
+def test_range_join_bucketed(spark):
+    from entity_etl_spark.operators import range_join_bucketed
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (1, "2024-01-01 02:30:00"),
+         (2, "2024-01-01 00:30:00")],
+        "uid long, pts string",
+    ).select("uid", F.col("pts").cast("timestamp").alias("pts"))
+    ivals = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", "w1"),
+         (1, "2024-01-01 02:00:00", "2024-01-01 05:00:00", "w2"),
+         (2, "2024-01-01 01:00:00", "2024-01-01 02:00:00", "w3")],
+        "uid long, s string, e string, name string",
+    ).select("uid", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"), "name")
+
+    out = range_join_bucketed(points, ivals, "uid", "pts", "s", "e", 3600)
+    got = {(r["uid"], str(r["pts"])): r["name"] for r in out.collect()}
+    assert got[(1, "2024-01-01 00:30:00")] == "w1"
+    assert got[(1, "2024-01-01 02:30:00")] == "w2"   # multi-bucket interval
+    assert (2, "2024-01-01 00:30:00") not in got      # outside w3
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from entity_etl_spark.operators import salted_aggregate
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    salted = salted_aggregate(
+        df, ["k"],
+        {"total": ("sum", "v"), "n": ("count", "v"), "vmax": ("max", "v")},
+        salt_buckets=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("vmax")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_time_rollup_two_granularities(spark):
+    from entity_etl_spark.operators import time_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1.0), ("2024-01-01 00:50:00", 2.0),
+         ("2024-01-01 01:10:00", 4.0)],
+        "t string, v double",
+    ).select(F.col("t").cast("timestamp").alias("t"), "v")
+    out = time_rollup(df, "t", ["hour", "day"], [], [F.sum("v").alias("total")])
+    got = {(r["gran"], str(r["bucket_start"])): r["total"] for r in out.collect()}
+    assert got[("hour", "2024-01-01 00:00:00")] == 3.0
+    assert got[("hour", "2024-01-01 01:00:00")] == 4.0
+    assert got[("day", "2024-01-01 00:00:00")] == 7.0
