@@ -1374,3 +1374,66 @@ def q_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
         F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
     )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (SURVEY §2.2 'pivot/unpivot'): per-user event counts wide by "
+    "type. Spark-side uses the native pivot() operator with an explicit "
+    "value list (no extra distinct-values job).",
+    tags=("analytics",),
+)
+def q_pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+           round(l_quantity, 2) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price' AS metric,
+           round(l_extendedprice, 2) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+           round(l_discount, 2) AS val FROM lineitem
+    """,
+    doc="Unpivot/melt (SURVEY §2.2 'pivot/unpivot'): wide metrics to "
+    "(metric, val) rows via the native unpivot operator — map-side only, "
+    "no shuffle.",
+    tags=("analytics",),
+)
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("qty"),
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("l_discount", 2).alias("discount"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty", "price", "discount"],
+        "metric",
+        "val",
+    )
