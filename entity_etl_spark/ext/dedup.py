@@ -143,30 +143,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length num_hashes.
 
-    Entirely map-side — zero shuffle: each shingle is hashed ONCE to a long
-    (xxhash64 of the string), then the num_hashes family derives from that
-    long (xxhash64(h, i) — long input, far cheaper than re-hashing strings),
-    and signature[i] = array_min over the per-row hash array. At 100 TB this
-    is the difference between a per-shingle explode shuffle (rows ×
-    shingles) and a pure scan.
+    Each shingle string is hashed ONCE to a long (xxhash64); the
+    num_hashes family derives from that long (xxhash64(h0, i) — long
+    input, far cheaper than re-hashing strings). signature[i] = grouped
+    min_i over the doc's shingle hashes.
+
+    Physical shape: explode + groupBy(doc) with num_hashes min() columns.
+    Partial (map-side) aggregation collapses shingles to one row per doc
+    per partition before the shuffle, so the exchange carries ~|docs| rows,
+    not |shingles|. An equivalent zero-shuffle higher-order fold
+    (aggregate + zip_with) was benchmarked and loses: its fused expression
+    costs seconds of codegen compilation and allocates a num_hashes array
+    per shingle, while 32 flat min() aggregates stay in vectorized
+    whole-stage codegen.
 
     Docs with fewer than k tokens have no shingles and are dropped (their
     Jaccard similarity is undefined)."""
-    sh_hashes = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
-    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
-    sig = F.aggregate(
-        "__sh",
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("__s")
+    ).withColumn("__h0", F.xxhash64("__s"))
+    agg = sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return (
-        df.select(F.col(id_col).alias("doc"), sh_hashes.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .select("doc", sig.alias("sig"))
+    return agg.select(
+        "doc",
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -180,10 +184,14 @@ def lsh_candidate_pairs(
     Docs agreeing on all rows of any band collide into a bucket; pairs are
     the bucket self-join. The band index is mixed into a single 64-bit
     bucket key (cross-band hash collisions are vanishingly rare and get
-    removed by exact verification anyway), so the join key is one long and
-    the pre-join repartition on it is REUSED by both sides of the self-join
-    — signatures are computed once, not twice. Tune bands×rows for the
-    target threshold t ≈ (1/bands)^(1/rows)."""
+    removed by exact verification anyway), so the join key is one long.
+
+    ``signatures`` MUST be materialized (cached / checkpointed / read from
+    storage): each of the ``bands`` bucket expressions references the sig
+    column, and Catalyst's projection collapse would otherwise inline — and
+    recompute — the full signature fold once per band, and again for each
+    side of the self-join (:func:`minhash_near_dups` handles this). Tune
+    bands×rows for the target threshold t ≈ (1/bands)^(1/rows)."""
     b = signatures.select(
         "doc",
         F.explode(
@@ -226,7 +234,18 @@ def minhash_near_dups(
     shuffle) → candidates (bucket join) → exact Jaccard only on candidates
     (join back to shingles of candidate docs only)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # spread the CPU-heavy map-side signature work across all cores: a small
+    # parquet file arrives as one scan partition (maxPartitionBytes) and
+    # would otherwise serialize the whole corpus through one task
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    # materialize signatures: the band expressions and the self-join would
+    # otherwise re-inline (and re-run) the signature fold bands×2 times; at
+    # deployment scale this is the "persist the signature table" step
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).localCheckpoint(
+        eager=True
+    )
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
     if verify_threshold is None:
         return cand
@@ -261,6 +280,9 @@ def jaccard_verify(
     sh = (
         df.join(cand_docs, df[id_col] == cand_docs["__cd"], "left_semi")
         .select(F.col(id_col).alias("__doc"), shingles(text_col, k).alias("__sh"))
+        # materialized once: both pair sides consume it, and without this
+        # each side re-scans the corpus and rebuilds the shingle arrays
+        .localCheckpoint(eager=True)
     )
     a = sh.select(F.col("__doc").alias("doc_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col("__doc").alias("doc_b"), F.col("__sh").alias("__sh_b"))
