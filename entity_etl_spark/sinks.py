@@ -25,6 +25,30 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and sorted) by join/merge keys.
+
+    Bucketing the state table by its id column makes both recurring
+    exchanges of the incremental pipeline disappear: the delta join (O5) and
+    the state merge window (O12) read pre-partitioned buckets instead of
+    shuffling — at 100 TB the difference between a scan and a full network
+    pass per run. Readers pick the layout up via the catalog
+    (``spark.table(table_name)``)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
