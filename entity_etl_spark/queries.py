@@ -1437,3 +1437,114 @@ def q_unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH slid AS (
+      SELECT to_timestamp(CAST(floor((epoch(ts) - k * 900) / 3600) AS BIGINT) * 3600
+                          + k * 900) AS win_start,
+             value
+      FROM events, UNNEST(range(0, 4)) AS t(k)
+      WHERE epoch(ts) >= CAST(floor((epoch(ts) - k * 900) / 3600) AS BIGINT) * 3600 + k * 900
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM slid GROUP BY win_start
+    """,
+    doc="Sliding event-time window (1h length, 15min slide) via the native "
+    "window() function — each event lands in 4 overlapping windows, "
+    "exploded map-side.",
+    tags=("analytics",),
+)
+def q_sliding_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{fmt}') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """.format(fmt="%Y-%m-%d %H:%M:%S.%f"),
+    doc="Native session_window aggregation (30min gap) — Spark's built-in "
+    "dynamic-gap session windows; the oracle reconstructs sessions via the "
+    "lag/cumsum islands technique.",
+    tags=("analytics", "bench"),
+)
+def q_session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            _ts_str(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    doc="E2 embedding-cosine near-dup pairs (threshold 0.4 — the synthetic corpus has no true dups; the tail of the cosine distribution exercises the operator). Exact "
+    "all-pairs here (the oracle-checkable ground truth); the LSH-bucketed "
+    "variant (ext.similarity.lsh_topk machinery) is the 100 TB path.",
+    tags=("ext",),
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import cosine
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", cosine(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("__cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
+    )
