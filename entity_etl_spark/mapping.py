@@ -134,3 +134,27 @@ def to_json_rows(df: DataFrame, columns: Sequence[str] | None = None) -> DataFra
     every template render emits a JSON string per entity, app.js:85)."""
     cols = list(columns) if columns else df.columns
     return df.select(F.to_json(F.struct(*[F.col(c) for c in cols])).alias("json"))
+
+
+def load_projection_specs(specs_dir: str | None = None) -> dict[str, list]:
+    """Load the per-entity-type projection specs (the engine's counterpart
+    of the reference's templates/ directory, templates.js:15-28: one spec
+    per type, discovered from disk at startup).
+
+    The shipped specs re-express all 19 entity-type templates of the
+    reference in the declarative grammar above, with its two
+    invalid-JSON template bugs fixed (awsS3.hbs:6 trailing comma,
+    awsDynamoDb.hbs:6-7 missing comma) and its azureVm aws_hypervisor
+    copy-paste bug reproduced-but-documented (specs/azureVm.json)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    if specs_dir is None:
+        specs_dir = _os.path.join(_os.path.dirname(__file__), "specs")
+    out: dict[str, list] = {}
+    for path in sorted(_glob.glob(_os.path.join(specs_dir, "*.json"))):
+        name = _os.path.splitext(_os.path.basename(path))[0]
+        with open(path) as f:
+            out[name] = _json.load(f)
+    return out

@@ -88,3 +88,42 @@ def test_to_json_rows(spark):
     df = spark.createDataFrame([{"b": "x", "a": 1}])
     row = to_json_rows(df, ["a", "b"]).first()["json"]
     assert json.loads(row) == {"a": 1, "b": "x"}
+
+
+def test_load_projection_specs_compile(spark):
+    """All 19 shipped per-type specs load and compile to select lists."""
+    from entity_etl_spark.mapping import compile_mapping, load_projection_specs
+
+    specs = load_projection_specs()
+    assert len(specs) == 19
+    assert {"awsEc2", "azureVm", "gce", "awsElb"} <= set(specs)
+    for name, spec in specs.items():
+        cols = compile_mapping(spec, schema_fields=set())
+        assert len(cols) == len(spec), name
+
+
+def test_awsEc2_spec_golden_render(spark):
+    """Reference awsEc2 template semantics over the documented sample
+    entity (README.md:209-228)."""
+    from entity_etl_spark.mapping import apply_mapping, load_projection_specs
+
+    entity = {
+        "AWSUniqueId": "i-0abc_us-east-1_123",
+        "aws_arn": "arn:aws:ec2:us-east-1:123:instance/i-0abc",
+        "aws_architecture": "x86_64",
+        "aws_state": "{Code: 80,Name: stopped}",
+        "aws_instance_id": "i-0abc",
+        "aws_instance_type": "t2.micro",
+        "aws_image_id": "ami-123",
+        "aws_hypervisor": "xen",
+        "aws_launch_time": "Tue Feb 18 18:14:10 UTC 2020",
+    }
+    df = spark.createDataFrame([entity])
+    out = apply_mapping(df, load_projection_specs()["awsEc2"]).first().asDict()
+    assert out["cmdb_ci"] == entity["aws_arn"]
+    assert out["asset"] == entity["AWSUniqueId"]
+    assert out["name"] == "i-0abc"          # no aws_tag_Name -> fallback
+    assert out["type"] == "VM"
+    assert out["vendor"] == "AWS/EC2"
+    assert out["hardware_status"] == entity["aws_state"]
+    assert out["hardware_substatus"] == ""  # absent field renders empty
