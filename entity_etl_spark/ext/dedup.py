@@ -347,3 +347,30 @@ def simhash_near_dups(
             "hamming",
         )
     )
+
+
+def drop_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Corpus-level near-dup removal: keep one representative per near-dup
+    group (the standard keep-the-smaller-id policy over MinHash pairs, as
+    used by large text-corpus pipelines: every doc that appears as the
+    GREATER id of a verified pair is dropped, so each connected group keeps
+    at least its minimum-id member).
+
+    Returns df minus dropped docs — the "switch your corpus to the deduped
+    one" API; :func:`minhash_near_dups` is the pair-level forensic view."""
+    pairs = minhash_near_dups(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, k=k,
+        verify_threshold=verify_threshold,
+    )
+    losers = pairs.select(F.col("doc_b").alias("__loser")).distinct()
+    return df.join(losers, df[id_col] == losers["__loser"], "left_anti")

@@ -1548,3 +1548,61 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("__cos", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_corpus_minhash",
+    None,  # engine-specific MinHash inside; rows-only
+    doc="E2 corpus-level near-dup removal: docs surviving the "
+    "keep-min-id-per-pair policy over verified MinHash pairs — the "
+    "'deduplicated training corpus' output surface.",
+    tags=("ext",),
+)
+def q_dedup_corpus_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import drop_near_dups
+
+    docs = read_sf_table(spark, sf, "documents")
+    out = drop_near_dups(docs, "doc_id", "text")
+    return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "full_outer_join_daily",
+    """
+    WITH p AS (
+      SELECT date_trunc('day', ts) AS d, round(sum(value), 2) AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    e AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT strftime(coalesce(p.d, e.d), '%Y-%m-%d') AS day,
+           p.purchase_total, e.n_errors
+    FROM p FULL OUTER JOIN e ON p.d = e.d
+    """,
+    doc="FULL OUTER join (SURVEY §2.2 join-type coverage): daily purchase "
+    "totals against daily error counts, preserving days present on either "
+    "side only.",
+    tags=("analytics",),
+)
+def q_full_outer_join_daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("purchase_total"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        p.join(e, p["d"] == e["d2"], "full_outer")
+        .select(
+            F.date_format(F.coalesce("d", "d2"), "yyyy-MM-dd").alias("day"),
+            "purchase_total",
+            "n_errors",
+        )
+    )

@@ -142,3 +142,12 @@ def test_multimodal_error_mode_raises(spark, docs):
     enriched = attach_binary(docs, "text")
     with pytest.raises(Exception):
         extract_features(enriched, "doc_id", "media", mode="error").collect()
+
+
+def test_drop_near_dups_keeps_min_id_representative(spark, docs):
+    from entity_etl_spark.ext.dedup import drop_near_dups
+
+    out = drop_near_dups(docs, "doc_id", "text")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 1,2,4 are a near-dup group -> only min id 1 survives; 3 unrelated
+    assert kept == [1, 3]
