@@ -103,3 +103,29 @@ def test_max_ts_on_timestamp_column(spark):
         "id", F.timestamp_millis(F.lit(1234567890123)).alias("ts")
     )
     assert max_ts(df, "ts") == 1234567890123000
+
+
+def test_content_hash_stable_under_schema_evolution(spark):
+    """Ragged schemas (FIXTURES.md F2, SURVEY §7.5.2): a row whose new
+    column is NULL must hash identically to the same row before the column
+    existed — to_json omits NULL fields, so absent and null canonicalize
+    the same way and schema evolution does not produce false changes."""
+    old = spark.createDataFrame([(1, 11, 10)], "id long, x long, updatedOnMs long")
+    new = spark.createDataFrame(
+        [(1, 11, None, 99)], "id long, x long, aws_tag_Name string, updatedOnMs long"
+    )
+    h_old = with_content_hash(old, exclude=("updatedOnMs",)).first()["__content_hash"]
+    h_new = with_content_hash(new, exclude=("updatedOnMs",)).first()["__content_hash"]
+    assert h_old == h_new
+
+
+def test_changed_rows_with_added_column(spark, seed_state):
+    """A batch that ADDS a column: rows where the new column is null are
+    unchanged; rows where it has a value are changes."""
+    batch = spark.createDataFrame(
+        [(1, 11, None, 50),      # same content, new null column -> suppressed
+         (2, 12, "tagged", 51)], # new column populated -> emitted
+        "id long, x long, tag string, updatedOnMs long",
+    )
+    emitted = changed_rows(batch, seed_state, "id", ignore=("updatedOnMs",))
+    assert [r["id"] for r in emitted.collect()] == [2]
