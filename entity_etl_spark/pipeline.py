@@ -74,6 +74,22 @@ def run_incremental(
         config.state_dir, spec.name, config.initial_checkpoint_ms
     )
 
+    if spec.ts_field not in source.columns or spec.id_field not in source.columns:
+        # empty/schemaless fetch (a dynamic-schema source returns no rows, so
+        # no columns): reference behavior for an empty page — expired state
+        # entries still purge, checkpoint is kept (cache.js:60-67,101-104)
+        if state is not None:
+            now = state_mod.now_ms() if now_epoch_ms is None else now_epoch_ms
+            live = state.filter(F.col(state_mod.TTL_COL) >= F.lit(now))
+            state_mod.save_state(live, config.state_dir, spec.name)
+        return RunResult(
+            table=spec.name,
+            input_rows=0,
+            emitted_rows=0,
+            batches=0,
+            checkpoint_ms=checkpoint,
+        )
+
     incoming = ckpt_mod.incremental_scan(source, spec.ts_field, checkpoint)
     incoming = incoming.cache()  # reused by delta, state merge, and max-ts
     latest = keep_latest_per_key(incoming, spec.id_field, spec.ts_field)

@@ -71,9 +71,21 @@ def load_state(spark: SparkSession, state_dir: str, table: str) -> DataFrame | N
 
 
 def save_state(state: DataFrame, state_dir: str, table: str) -> None:
-    """Persist state (reference saveCache, cache.js:37-42). Overwrite is the
-    batch-mode equivalent of the reference's whole-file JSON rewrite."""
-    state.write.mode("overwrite").parquet(state_path(state_dir, table))
+    """Persist state (reference saveCache, cache.js:37-42).
+
+    The next state is usually DERIVED from the current state file, so a
+    direct overwrite would delete the input while the lazy plan still reads
+    it (FAILED_READ_FILE race). Write to a temp dir, then swap — also makes
+    the save atomic-ish: a crash mid-write leaves the old state intact,
+    preserving the at-least-once contract (app.js:55-58)."""
+    import shutil
+
+    path = state_path(state_dir, table)
+    tmp = path + ".tmp"
+    state.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
 
 
 def merge_state(

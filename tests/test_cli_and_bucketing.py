@@ -42,9 +42,12 @@ def test_bucketed_state_join_has_no_shuffle(spark, tmp_path):
     )
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     # force a non-broadcast join so the bucketed layout is what avoids the
-    # shuffle (a broadcast join would sidestep bucketing for a tiny table)
+    # shuffle (a broadcast join would sidestep bucketing for a tiny table);
+    # disable AQE so the printed plan is the final static plan
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     write_bucketed(warehouse_df, "bucketed_state_test", ["k"], n_buckets=4)
     try:
         t = spark.table("bucketed_state_test")
@@ -60,4 +63,5 @@ def test_bucketed_state_join_has_no_shuffle(spark, tmp_path):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS bucketed_state_test")
