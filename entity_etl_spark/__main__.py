@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     state_dir = os.environ.get("ENGINE_STATE_DIR", "data/state")
     out_dir = os.environ.get("ENGINE_OUT_DIR", "data/out")
 
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="entity-etl-spark-cli")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -78,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
             f"{r.table}: input={r.input_rows} emitted={r.emitted_rows} "
             f"batches={r.batches} checkpoint={r.checkpoint_ms}"
         )
-    spark.stop()
+    if owns_session:  # don't tear down a session some host process owns
+        spark.stop()
     return 0
 
 
