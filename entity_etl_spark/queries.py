@@ -1606,3 +1606,79 @@ def q_full_outer_join_daily(spark: SparkSession, sf: str) -> DataFrame:
             "n_errors",
         )
     )
+
+
+@register(
+    "anti_join_users",
+    """
+    SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+    WHERE user_id NOT IN (
+      SELECT user_id FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03')
+    """,
+    doc="Left-anti join (O5's pure-new-rows half, SURVEY §2.1): users with "
+    "no purchase in the opening window.",
+    tags=("analytics",),
+)
+def q_anti_join_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    users = ev.select("user_id").distinct()
+    purchasers = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    ).select(F.col("user_id").alias("pu"))
+    return users.join(purchasers, users.user_id == purchasers.pu, "left_anti")
+
+
+@register(
+    "map_funcs",
+    """
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_props
+    FROM events
+    """,
+    doc="Map-function coverage (SURVEY §2.2 'array/map functions'): JSON "
+    "string -> MAP column, key extraction, cardinality.",
+    tags=("functions",),
+)
+def q_map_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_props"),
+    )
+
+
+@register(
+    "grouped_pandas_normalize",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4)
+             AS value_z
+    FROM events
+    """,
+    doc="Grouped-map Pandas UDF surface (applyInPandas, Arrow-batched): "
+    "per-group z-score normalization; the oracle is the equivalent window "
+    "SQL — demonstrating the UDF escape hatch produces engine-identical "
+    "results.",
+    tags=("ext",),
+)
+def q_grouped_pandas_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    ev = read_sf_table(spark, sf, "events").select("event_id", "event_type", "value")
+
+    def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        std = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - pdf["value"].mean()) / std
+        return pd.DataFrame({"event_id": pdf["event_id"], "value_z": z.round(4)})
+
+    return ev.groupBy("event_type").applyInPandas(
+        normalize, "event_id bigint, value_z double"
+    )

@@ -94,3 +94,24 @@ def test_http_sink_posts_every_batch(bodies):
 def test_http_sink_fails_fast_on_non_2xx(bodies):
     with pytest.raises(Exception):
         http_sink(bodies, lambda body: 503)
+
+
+def test_read_table_formats_round_trip(spark, tmp_path):
+    from entity_etl_spark.sinks import write_json, write_parquet
+    from entity_etl_spark.sources import read_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    write_parquet(df, str(tmp_path / "p"))
+    write_json(df, str(tmp_path / "j"))
+    df.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "c"))
+
+    assert read_table(spark, str(tmp_path / "p"), "parquet").count() == 2
+    got_j = read_table(spark, str(tmp_path / "j"), "json")
+    assert sorted(r["s"] for r in got_j.collect()) == ["a", "b"]
+    got_c = read_table(spark, str(tmp_path / "c"), "csv")
+    assert sorted(r["s"] for r in got_c.collect()) == ["a", "b"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "p"), "avro-nope")
