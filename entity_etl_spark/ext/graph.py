@@ -1,0 +1,83 @@
+"""Iterative graph operators over DataFrames.
+
+Near-dup pairs (ext.dedup) form a graph; corpus dedup wants one
+representative per CONNECTED COMPONENT, not per pair (A~B, B~C must
+collapse A,B,C together even when A~C was never emitted). Spark has no
+built-in iterative fixpoint, so :func:`connected_components` drives one
+from the scheduler side: min-label propagation, each iteration one
+join + aggregate, lineage cut via localCheckpoint so the plan does not
+grow with iterations.
+
+Converges in O(diameter) iterations — near-dup graphs are unions of small
+cliques (diameter ≤ 2-3), so the loop runs 2-4 times in practice; a
+``max_iter`` bound guards pathological chains."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (one row per pair, either orientation).
+    Each iteration: every node adopts the min label among itself and its
+    neighbors; stop when no label changed. Labels and the symmetrized edge
+    list are both small relative to a corpus (nodes appearing in any pair),
+    so each iteration is one shuffle on node id."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def near_dup_groups(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """(doc, group_rep) for every doc in a near-dup pair: the transitive
+    closure of pairwise similarity, each group labeled by its min doc id —
+    the correct reduction for corpus dedup (keep one rep per GROUP)."""
+    return connected_components(pairs, src, dst).select(
+        F.col("node").alias("doc"), F.col("comp").alias("group_rep")
+    )

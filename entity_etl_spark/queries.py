@@ -1682,3 +1682,50 @@ def q_grouped_pandas_normalize(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         normalize, "event_id bigint, value_z double"
     )
+
+
+@register(
+    "neardup_groups",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc, CAST(least(u, min(v)) AS BIGINT) AS group_rep
+    FROM reach GROUP BY u
+    """,
+    doc="Iterative connected components (min-label propagation, lineage cut "
+    "per iteration) over exact near-dup pairs: the transitive-closure "
+    "grouping corpus dedup needs; oracle = recursive CTE.",
+    tags=("ext",),
+)
+def q_neardup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import jaccard_pairs
+    from .ext.graph import near_dup_groups
+
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    return near_dup_groups(pairs)

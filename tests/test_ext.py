@@ -151,3 +151,25 @@ def test_drop_near_dups_keeps_min_id_representative(spark, docs):
     kept = sorted(r["doc_id"] for r in out.collect())
     # 1,2,4 are a near-dup group -> only min id 1 survives; 3 unrelated
     assert kept == [1, 3]
+
+
+def test_connected_components_chain_and_island(spark):
+    from entity_etl_spark.ext.graph import connected_components
+
+    # chain 1-2-3 (1~3 never directly paired) + island 7-8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["doc_a", "doc_b"]
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_near_dup_groups_transitive(spark, docs):
+    from entity_etl_spark.ext.dedup import jaccard_pairs
+    from entity_etl_spark.ext.graph import near_dup_groups
+
+    pairs = jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    groups = {r["doc"]: r["group_rep"] for r in near_dup_groups(pairs).collect()}
+    # 1,2,4 form one near-dup component labeled by min id 1
+    assert groups[1] == 1 and groups[2] == 1 and groups[4] == 1
+    assert 3 not in groups  # never in any pair
