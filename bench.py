@@ -49,11 +49,16 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads
     REGISTRY[bench_queries[0]].fn(spark, sf_dir).count()
 
+    # best-of-2 per query: the second run amortizes codegen compilation and
+    # GC noise, so round-over-round comparisons track plan quality, not JIT
     timings: dict[str, float] = {}
     for name in bench_queries:
-        t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -1729,3 +1729,37 @@ def q_neardup_groups(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
     return near_dup_groups(pairs)
+
+
+@register(
+    "lsh_topk_recall",
+    None,  # measures the engine's own LSH against its own brute force
+    doc="E3 quality metric: recall@5 of the hyperplane-LSH ANN against the "
+    "exact brute-force top-k for the query batch — the number a deployment "
+    "watches when trading n_planes for speed.",
+    tags=("ext",),
+)
+def q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import lsh_topk, topk_brute_force
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = topk_brute_force(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5, dim=64, n_planes=6
+    ).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    hit = exact.join(
+        approx,
+        (exact.query_id == approx.q2) & (exact.neighbor_id == approx.n2),
+        "left",
+    )
+    return hit.agg(
+        F.round(
+            F.count("n2") / F.count(F.lit(1)), 4
+        ).alias("recall_at_5"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
+    )
