@@ -134,3 +134,75 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def topk_partition_heap(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k at scale: per-partition vectorized scoring + local top-k,
+    then one tiny global reduce.
+
+    :func:`topk_brute_force` ranks |corpus|·|queries| scored rows through a
+    window — fine locally, but the window shuffle carries every scored row.
+    Here each corpus partition computes a numpy matmul against the
+    broadcast query matrix (Arrow batches, BLAS — far faster per row than
+    expression-tree dot products) and emits only its local top-k per query;
+    the final window ranks |partitions|·|queries|·k rows — negligible at
+    any corpus size. Scores are float64, rounded like the brute-force path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_norm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        q_ids_l, q_norm_l = bq.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(mat) == 0:
+                continue
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = mat @ q_norm_l.T  # |rows| x |queries|
+            top = min(k + 1, len(ids))  # +1 absorbs the self-match
+            part = np.argpartition(-scores, top - 1, axis=0)[:top]
+            rows = []
+            for qi in range(len(q_ids_l)):
+                for ci in part[:, qi]:
+                    if ids[ci] != q_ids_l[qi]:
+                        rows.append(
+                            (int(q_ids_l[qi]), int(ids[ci]), round(float(scores[ci, qi]), 6))
+                        )
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    local_tops = corpus.select(id_col, vec_col).mapInPandas(
+        score_partition, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        local_tops.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

@@ -1763,3 +1763,20 @@ def q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("recall_at_5"),
         F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
     )
+
+
+@register(
+    "embedding_topk_heap",
+    None,  # BLAS summation order differs from sequential-sum oracles at the
+    # last ulp; exactness vs the JVM brute force is unit-tested instead
+    doc="E3 scale-path exact top-k: per-partition numpy matmul + local "
+    "top-k via mapInPandas, final reduce over partitions*queries*k rows — "
+    "the shuffle no longer carries every scored row.",
+    tags=("ext", "bench"),
+)
+def q_embedding_topk_heap(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import topk_partition_heap
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_partition_heap(emb, queries, "vec_id", "embedding", k=5)

@@ -173,3 +173,14 @@ def test_near_dup_groups_transitive(spark, docs):
     # 1,2,4 form one near-dup component labeled by min id 1
     assert groups[1] == 1 and groups[2] == 1 and groups[4] == 1
     assert 3 not in groups  # never in any pair
+
+
+def test_topk_partition_heap_matches_brute_force(spark, vectors):
+    from entity_etl_spark.ext.similarity import topk_brute_force, topk_partition_heap
+
+    q = vectors.filter("vec_id IN (0, 10)")
+    exact = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+             for r in topk_brute_force(vectors, q, k=3).collect()}
+    heap = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+            for r in topk_partition_heap(vectors.repartition(4), q, k=3).collect()}
+    assert heap == exact
