@@ -1780,3 +1780,21 @@ def q_embedding_topk_heap(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_sf_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return topk_partition_heap(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "embedding_ivf_topk",
+    None,  # index cells derive from engine-side k-means; rows-only
+    doc="E3 IVF ANN: deterministic spherical k-means cells (map-side "
+    "assignment, one groupBy per Lloyd iteration), queries probe the "
+    "n_probe nearest cells — candidate volume ~ corpus/n_centroids*n_probe.",
+    tags=("ext",),
+)
+def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.ivf import ivf_topk
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    )

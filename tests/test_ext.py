@@ -184,3 +184,41 @@ def test_topk_partition_heap_matches_brute_force(spark, vectors):
     heap = {(r["query_id"], r["rnk"]): r["neighbor_id"]
             for r in topk_partition_heap(vectors.repartition(4), q, k=3).collect()}
     assert heap == exact
+
+
+def test_ivf_topk_high_recall_on_clustered_data(spark):
+    import math
+
+    from entity_etl_spark.ext.ivf import ivf_topk, train_centroids
+    from entity_etl_spark.ext.similarity import topk_brute_force
+
+    # two tight clusters on the unit circle -> k-means separates them and
+    # probing 1 cell of 2 already finds every true neighbor
+    rows = []
+    for i in range(30):
+        base = 0.0 if i < 15 else math.pi
+        a = base + (i % 15) * 0.01
+        rows.append((i, [math.cos(a), math.sin(a)], 0))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = vecs.filter("vec_id IN (0, 20)")
+
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             topk_brute_force(vecs, q, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk(vecs, q, k=3, n_centroids=2, n_probe=1).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall == 1.0
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    from entity_etl_spark.ext.ivf import train_centroids
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)], 0) for i in range(20)],
+        ["vec_id", "embedding", "label"],
+    )
+    c1 = train_centroids(vecs, n_centroids=3, iterations=1)
+    c2 = train_centroids(vecs, n_centroids=3, iterations=1)
+    assert np.array_equal(c1, c2)
