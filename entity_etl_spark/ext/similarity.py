@@ -107,10 +107,18 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing the query's
     hyperplane bucket. Equi-join on the bucket key replaces the cross join —
-    the scored set shrinks ~2^n_planes-fold."""
+    the scored set shrinks ~2^n_planes-fold.
+
+    ``n_probe`` > 1 enables multi-probe: each query additionally searches
+    the buckets at Hamming distance 1 on its first (n_probe - 1) planes —
+    recall recovery without growing the index (queries explode
+    n_probe-fold; the corpus side is untouched). A margin-aware probe
+    order (flip the least-confident planes first) is the obvious upgrade
+    and slots into the same shape."""
     from pyspark.sql import Window
 
     c = corpus.select(
@@ -118,14 +126,26 @@ def lsh_topk(
         F.col(vec_col).alias("__cvec"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
     )
+    base_bucket = lsh_bucket(F.col(vec_col), dim, n_planes)
+    probe_buckets = F.array_distinct(
+        F.array(
+            base_bucket,
+            *[
+                base_bucket.bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(max(0, min(n_probe - 1, n_planes)))
+            ],
+        )
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        F.explode(probe_buckets).alias("__bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a neighbor found via several probed buckets must count once
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))

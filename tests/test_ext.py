@@ -222,3 +222,18 @@ def test_ivf_centroids_deterministic(spark):
     c1 = train_centroids(vecs, n_centroids=3, iterations=1)
     c2 = train_centroids(vecs, n_centroids=3, iterations=1)
     assert np.array_equal(c1, c2)
+
+
+def test_lsh_multiprobe_recall_not_worse(spark, vectors):
+    from entity_etl_spark.ext.similarity import lsh_topk, topk_brute_force
+
+    q = vectors.filter("vec_id IN (0, 10)")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             topk_brute_force(vectors, q, k=3).collect()}
+
+    def recall(n_probe):
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               lsh_topk(vectors, q, k=3, dim=2, n_planes=2, n_probe=n_probe).collect()}
+        return len(exact & got) / len(exact)
+
+    assert recall(3) >= recall(1)  # probing more buckets never loses recall
