@@ -1798,3 +1798,86 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
     )
+
+
+@register(
+    "exists_subquery",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_big_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    GROUP BY o_orderstatus
+    """,
+    doc="Correlated EXISTS subquery via the spark.sql() surface (decorrelated "
+    "by Catalyst into a left-semi join).",
+    tags=("analytics",),
+)
+def q_exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources import register_sf_views
+
+    register_sf_views(spark, sf, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_big_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "scalar_subquery",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rich
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+    doc="Scalar subquery via spark.sql(): customers above the global mean "
+    "balance (the subquery runs once; no per-row recompute).",
+    tags=("analytics",),
+)
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources import register_sf_views
+
+    register_sf_views(spark, sf, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rich
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "string_agg_top_names",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           array_to_string((array_agg(c_name ORDER BY c_name))[1:3], ',')
+             AS first3_names
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Ordered string aggregation (targetBody array-join generalized, "
+    "O10): deterministic because the list is sorted before joining.",
+    tags=("analytics",),
+)
+def q_string_agg_top_names(spark: SparkSession, sf: str) -> DataFrame:
+    nation = read_sf_table(spark, sf, "nation")
+    cust = read_sf_table(spark, sf, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("c_name")), 1, 3), ","
+            ).alias("first3_names"),
+        )
+    )
