@@ -1881,3 +1881,125 @@ def q_string_agg_top_names(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("first3_names"),
         )
     )
+
+
+@register(
+    "window_lag_lead_running",
+    f"""
+    SELECT user_id, event_id,
+           strftime(ts, '{DUCK_TS_FMT}') AS ts_str,
+           CAST(lag(event_id) OVER w AS BIGINT) AS prev_event,
+           CAST(lead(event_id) OVER w AS BIGINT) AS next_event,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2)
+             AS running_value,
+           CAST(row_number() OVER w AS BIGINT) AS seq
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Window-function breadth (SURVEY §2.2 'window functions ABSENT in "
+    "reference'): lag/lead/running sum/row_number in one frame.",
+    tags=("analytics",),
+)
+def q_window_lag_lead_running(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        _ts_str(F.col("ts")).alias("ts_str"),
+        F.lag("event_id").over(w).cast("bigint").alias("prev_event"),
+        F.lead("event_id").over(w).cast("bigint").alias("next_event"),
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+@register(
+    "conditional_agg",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2)
+             AS purchase_value,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_errors,
+           round(avg(CASE WHEN value > 100 THEN value END), 4) AS avg_big_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Conditional aggregation (FILTER clauses / count_if): one scan, "
+    "several predicated aggregates.",
+    tags=("analytics",),
+)
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    is_p = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_p, 1)).alias("n_purchases"),
+        F.round(
+            F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 2
+        ).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.round(F.avg(F.when(F.col("value") > 100, F.col("value"))), 4).alias(
+            "avg_big_value"
+        ),
+    )
+
+
+@register(
+    "null_semantics",
+    """
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderpriority, ''), 'UNKNOWN') AS prio_norm,
+           CAST(o_orderstatus IS DISTINCT FROM 'F' AS VARCHAR) AS not_f
+    FROM orders
+    """,
+    doc="NULL-semantics functions: NULLIF / COALESCE / IS DISTINCT FROM "
+    "(null-safe equality, the <=> operator).",
+    tags=("functions",),
+)
+def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_sf_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("")), F.lit("UNKNOWN")
+        ).alias("prio_norm"),
+        (~F.col("o_orderstatus").eqNullSafe("F")).cast("string").alias("not_f"),
+    )
+
+
+@register(
+    "ntile_value_buckets",
+    """
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi
+    FROM (SELECT value,
+                 CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT)
+                   AS bucket
+          FROM events)
+    GROUP BY bucket
+    """,
+    doc="ntile decile bucketing + per-bucket range — the sort-based "
+    "histogram shape.",
+    tags=("analytics",),
+)
+def q_ntile_value_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select(
+            "value", F.ntile(10).over(w).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
