@@ -2003,3 +2003,75 @@ def q_ntile_value_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "date_spine_gap_fill",
+    """
+    WITH spine AS (
+      SELECT s AS day
+      FROM generate_series(TIMESTAMP '2024-01-01',
+                           TIMESTAMP '2024-01-30', INTERVAL 1 DAY) AS t(s)
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day, round(sum(value), 2) AS total
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           daily.total,
+           CAST(daily.total IS NULL AS VARCHAR) AS was_gap
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    doc="Date-spine gap detection: a generated series (sequence + explode) "
+    "left-joined to daily aggregates exposes missing days — the gap-filling "
+    "skeleton every reporting pipeline needs.",
+    tags=("analytics",),
+)
+def q_date_spine_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").alias("d2"))
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    return spine.join(daily, spine.day == daily.d2, "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total",
+        F.col("total").isNull().cast("string").alias("was_gap"),
+    )
+
+
+@register(
+    "regexp_extract_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(regexp_matches(p_type, 'BRUSHED|POLISHED') AS VARCHAR)
+             AS is_finished,
+           CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT)
+             AS consonant_len
+    FROM part
+    """,
+    doc="Regexp-function coverage: extract with group, boolean match, "
+    "global replace.",
+    tags=("functions",),
+)
+def q_regexp_extract_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    part = read_sf_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").cast("string").alias("is_finished"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).cast("bigint").alias(
+            "consonant_len"
+        ),
+    )

@@ -153,3 +153,23 @@ def rest_source(
     if not rows:
         df = df.limit(0)
     return df, saw_partial
+
+
+def reference_catalog() -> Catalog:
+    """The catalog a reference deployment migrates with: one TableSpec per
+    shipped projection spec (entity type), with the reference's id fields
+    (``uniqueIdField``, app.js:46: AWSUniqueId for AWS types — the sample
+    payload README.md:209-228; the Azure/GCE specs key on their stable
+    instance ids) and the reserved ``updatedOnMs`` event-time column
+    (cache.js:16)."""
+    from .mapping import load_projection_specs
+
+    id_fields = {"azureVm": "azure_vm_id", "gce": "gcp_id"}
+    return Catalog(
+        TableSpec(
+            name=name,
+            id_field=id_fields.get(name, "AWSUniqueId"),
+            ts_field="updatedOnMs",
+        )
+        for name in load_projection_specs()
+    )

@@ -115,3 +115,15 @@ def test_read_table_formats_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_table(spark, str(tmp_path / "p"), "avro-nope")
+
+
+def test_reference_catalog_covers_all_specs():
+    from entity_etl_spark.mapping import load_projection_specs
+    from entity_etl_spark.sources import reference_catalog
+
+    cat = reference_catalog()
+    assert set(cat.names()) == set(load_projection_specs())
+    assert cat.get("awsEc2").id_field == "AWSUniqueId"
+    assert cat.get("azureVm").id_field == "azure_vm_id"
+    assert cat.get("gce").id_field == "gcp_id"
+    assert all(cat.get(n).ts_field == "updatedOnMs" for n in cat.names())
