@@ -1,0 +1,73 @@
+"""Deterministic sampling & dataset splitting (training-data pipeline ops).
+
+Training corpora need *reproducible* selections: the same input must
+produce the same sample/split on every run, on any cluster layout, with no
+RNG state. Everything here keys on a content/id hash, so selection is a
+pure function of the row — re-runs, retries, and scale-out cannot change
+it (Spark's ``df.sample`` is seed-dependent per partition layout and NOT
+stable across repartitioning).
+
+- :func:`hash_sample` — keep ~fraction of rows by md5-bucket of the id.
+- :func:`stratified_take` — deterministic first-n per group (md5 order).
+- :func:`train_val_test_split` — stable split assignment from the id hash;
+  fractions configurable; the split column is reproducible forever.
+
+md5 (not xxhash64) so the semantics are portable across engines — the
+DuckDB oracles compute the identical assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^8 buckets from the first 8 hex chars of md5 — plenty of resolution
+_BUCKETS = 16**8
+
+
+def _hash_unit(id_col: Column) -> Column:
+    """Uniform [0,1) value derived from md5 of the id's string form."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~fraction sample: row kept iff hash_unit(id) < f."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_hash_unit(F.col(id_col)) < fraction)
+
+
+def stratified_take(
+    df: DataFrame, group_col: str, id_col: str, n_per_group: int
+) -> DataFrame:
+    """Deterministic n rows per group: md5 order within the group (a
+    reproducible shuffle), row_number ≤ n."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Stable split column: 'test' for hash < test_f, 'val' for the next
+    val_f band, 'train' otherwise. Membership is a pure function of the id
+    — adding new rows later never reassigns existing ones."""
+    u = _hash_unit(F.col(id_col))
+    return df.withColumn(
+        split_col,
+        F.when(u < test_fraction, "test")
+        .when(u < test_fraction + val_fraction, "val")
+        .otherwise("train"),
+    )

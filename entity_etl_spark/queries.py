@@ -2075,3 +2075,58 @@ def q_regexp_extract_funcs(spark: SparkSession, sf: str) -> DataFrame:
             "consonant_len"
         ),
     )
+
+
+_DUCK_HASH_UNIT = (
+    "(CAST(('0x' || substring(md5(CAST({id} AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0)"
+)
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT lang,
+             CASE WHEN {_DUCK_HASH_UNIT.format(id='doc_id')} < 0.1 THEN 'test'
+                  WHEN {_DUCK_HASH_UNIT.format(id='doc_id')} < 0.2 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents)
+    GROUP BY split, lang
+    """,
+    doc="Deterministic train/val/test split from the id hash: membership "
+    "is a pure row function — stable across runs, retries, partitioning, "
+    "and corpus growth (ext/sampling.py).",
+    tags=("ext",),
+)
+def q_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.sampling import train_val_test_split
+
+    docs = read_sf_table(spark, sf, "documents")
+    return (
+        train_val_test_split(docs, "doc_id", val_fraction=0.1, test_fraction=0.1)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+    doc="Deterministic stratified sampling: md5 order is a reproducible "
+    "shuffle, so 'first 20 per language' is the same set on every run.",
+    tags=("ext",),
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.sampling import stratified_take
+
+    docs = read_sf_table(spark, sf, "documents")
+    return stratified_take(docs, "lang", "doc_id", 20).select("doc_id", "lang")

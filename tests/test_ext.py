@@ -237,3 +237,30 @@ def test_lsh_multiprobe_recall_not_worse(spark, vectors):
         return len(exact & got) / len(exact)
 
     assert recall(3) >= recall(1)  # probing more buckets never loses recall
+
+
+def test_hash_sample_deterministic_and_stable_under_repartition(spark):
+    from entity_etl_spark.ext.sampling import hash_sample
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(df.repartition(7), "doc_id", 0.3).collect()
+    )
+    assert a == b                      # layout-independent
+    assert 0.25 < len(a) / 2000 < 0.35  # ~fraction
+
+
+def test_train_val_test_split_stable_under_growth(spark):
+    from entity_etl_spark.ext.sampling import train_val_test_split
+
+    small = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    big = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    s_small = {r["doc_id"]: r["split"]
+               for r in train_val_test_split(small, "doc_id").collect()}
+    s_big = {r["doc_id"]: r["split"]
+             for r in train_val_test_split(big, "doc_id").collect()}
+    # growing the corpus never reassigns existing rows
+    assert all(s_big[k] == v for k, v in s_small.items())
+    assert set(s_big.values()) == {"train", "val", "test"}
