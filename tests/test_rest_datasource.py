@@ -1,0 +1,134 @@
+"""Python DataSource REST connector tests (rest_datasource.py — O1/O2/O3).
+
+Covers: batch read over page files, REAL filter pushdown (the absorbed
+predicate is not re-checked by Spark, so wrong absorption would surface as
+wrong rows), unsupported-filter passthrough, live-fetcher drain loop, and
+the streaming reader whose offset is the reference checkpoint
+(cache.js:18,99-119)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_etl_spark.rest_datasource import RestEntitiesDataSource
+
+SCHEMA = "id STRING, value STRING, updatedOnMs LONG"
+
+
+def _write_page(path, items, partial=False):
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump({"items": items, "partialResults": partial}, fh)
+
+
+def _entity(i, ts, value="v"):
+    return {"id": f"e{i}", "value": value, "updatedOnMs": ts}
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(RestEntitiesDataSource)
+    # runtime conf, in case the shared session predates session.py's default
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return spark
+
+
+@pytest.fixture()
+def pages_dir(tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_page(d / "page0.json", [_entity(1, 10), _entity(2, 20)], partial=True)
+    _write_page(d / "page1.json", [_entity(3, 30), _entity(4, 40)], partial=False)
+    return str(d)
+
+
+def _read(spark, path):
+    return spark.read.format("rest_entities").schema(SCHEMA).option("path", path).load()
+
+
+def test_batch_read_all_pages_parallel(registered, pages_dir):
+    df = _read(registered, pages_dir)
+    assert sorted(r.id for r in df.collect()) == ["e1", "e2", "e3", "e4"]
+    # one InputPartition per page file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_time_predicate_pushed_to_source(registered, pages_dir):
+    """The GreaterThan filter is absorbed by pushFilters and evaluated
+    source-side; Spark does not re-apply it, so these assertions prove the
+    pushdown is real (a broken absorb would leak e1/e2)."""
+    df = _read(registered, pages_dir).filter(F.col("updatedOnMs") > 20)
+    assert sorted(r.id for r in df.collect()) == ["e3", "e4"]
+    gte = _read(registered, pages_dir).filter(F.col("updatedOnMs") >= 30)
+    assert sorted(r.id for r in gte.collect()) == ["e3", "e4"]
+
+
+def test_unsupported_filters_stay_with_spark(registered, pages_dir):
+    df = (
+        _read(registered, pages_dir)
+        .filter(F.col("updatedOnMs") > 10)
+        .filter(F.col("id") == "e3")
+    )
+    assert [r.id for r in df.collect()] == ["e3"]
+
+
+def test_null_ts_rows_dropped_when_not_null_pushed(registered, tmp_path):
+    d = tmp_path / "p"
+    d.mkdir()
+    _write_page(d / "p0.json", [_entity(1, 10), {"id": "bad", "value": "x"}])
+    df = _read(registered, str(d)).filter(F.col("updatedOnMs").isNotNull())
+    assert [r.id for r in df.collect()] == ["e1"]
+
+
+def test_live_fetcher_drains_pagination(registered, pages_dir):
+    """fetcher mode: the do…while(partialResults) loop (app.js:48-59) runs on
+    the executor; the pushed time bound becomes the initial cursor."""
+    fixture = os.path.join(os.path.dirname(__file__), "rest_fetcher_fixture.py")
+    registered.sparkContext.addPyFile(fixture)
+    df = (
+        registered.read.format("rest_entities")
+        .schema(SCHEMA)
+        .option("fetcher", "rest_fetcher_fixture:fetch_pages")
+        .option("pagesdir", pages_dir)
+        .load()
+        .filter(F.col("updatedOnMs") > 10)
+    )
+    assert sorted(r.id for r in df.collect()) == ["e2", "e3", "e4"]
+
+
+def test_stream_offset_is_reference_checkpoint(registered, tmp_path):
+    """Streaming: initial offset updatedFromMs=1 (cache.js:18); each batch
+    advances it to max(updatedOnMs) (cache.js:99-119); a restarted query
+    resumes from the persisted offset and re-reads nothing."""
+    pages = tmp_path / "stream_pages"
+    pages.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_page(pages / "p0.json", [_entity(1, 10), _entity(2, 20)])
+
+    def run_batch():
+        q = (
+            registered.readStream.format("rest_entities")
+            .schema(SCHEMA)
+            .option("path", str(pages))
+            .load()
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {r.id for r in registered.read.schema(SCHEMA).json(out).collect()}
+
+    assert run_batch() == {"e1", "e2"}
+    # new data arrives; ts=5 is BELOW the committed offset → the resumed
+    # cursor scan skips it (same contract as the reference: checkpoint is a
+    # high-water mark; late rows below it are the TTL/overlap path,
+    # README.md:305-309). e1/e2 appearing only once proves the restart
+    # resumed from the persisted offset instead of re-reading history.
+    _write_page(pages / "p1.json", [_entity(3, 30), _entity(9, 5)])
+    assert run_batch() == {"e1", "e2", "e3"}
+    rows = registered.read.schema(SCHEMA).json(out).collect()
+    assert len(rows) == 3  # no duplicates → nothing was re-read
