@@ -69,7 +69,24 @@ def run_incremental(
 ) -> RunResult:
     """One incremental run for one table (reference handleEntityType,
     app.js:44-60)."""
-    state = state_mod.load_state(spark, config.state_dir, spec.name)
+    bucketed = bool(config.state_buckets)
+    if bucketed:
+        state = state_mod.load_state_bucketed(spark, config.state_dir, spec.name)
+    else:
+        state = state_mod.load_state(spark, config.state_dir, spec.name)
+
+    def persist_state(df: DataFrame) -> None:
+        if bucketed:
+            state_mod.save_state_bucketed(
+                df,
+                config.state_dir,
+                spec.name,
+                spec.id_field,
+                n_buckets=config.state_buckets,
+            )
+        else:
+            state_mod.save_state(df, config.state_dir, spec.name)
+
     checkpoint = ckpt_mod.load_checkpoint(
         config.state_dir, spec.name, config.initial_checkpoint_ms
     )
@@ -81,7 +98,7 @@ def run_incremental(
         if state is not None:
             now = state_mod.now_ms() if now_epoch_ms is None else now_epoch_ms
             live = state.filter(F.col(state_mod.TTL_COL) >= F.lit(now))
-            state_mod.save_state(live, config.state_dir, spec.name)
+            persist_state(live)
         return RunResult(
             table=spec.name,
             input_rows=0,
@@ -107,16 +124,28 @@ def run_incremental(
     # state + checkpoint persist AFTER the sink (at-least-once, app.js:55-58).
     # merge over `latest` (all seen keys), not `delta`, reproduces
     # TTL refresh-on-read for unchanged keys (cache.js:79).
-    next_state = state_mod.merge_state(
-        state,
-        latest,
-        spec.id_field,
-        ignore=(spec.ts_field,),
-        ts_field=spec.ts_field,
-        ttl_hours=config.state_ttl_hours,
-        now_epoch_ms=now_epoch_ms,
-    )
-    state_mod.save_state(next_state, config.state_dir, spec.name)
+    if bucketed:
+        # `latest` is one-row-per-key here, so the join-based MERGE is exact;
+        # with the state table bucketed by id only the delta shuffles
+        next_state = state_mod.merge_state_join(
+            state,
+            latest,
+            spec.id_field,
+            ignore=(spec.ts_field,),
+            ttl_hours=config.state_ttl_hours,
+            now_epoch_ms=now_epoch_ms,
+        )
+    else:
+        next_state = state_mod.merge_state(
+            state,
+            latest,
+            spec.id_field,
+            ignore=(spec.ts_field,),
+            ts_field=spec.ts_field,
+            ttl_hours=config.state_ttl_hours,
+            now_epoch_ms=now_epoch_ms,
+        )
+    persist_state(next_state)
     new_ckpt = ckpt_mod.next_checkpoint(
         ckpt_mod.max_ts(incoming, spec.ts_field), checkpoint, partial_results
     )

@@ -88,6 +88,119 @@ def save_state(state: DataFrame, state_dir: str, table: str) -> None:
     os.replace(tmp, path)
 
 
+def _bucketed_meta_path(state_dir: str, table: str) -> str:
+    return os.path.join(state_dir, f"{table}.state.bucketed.json")
+
+
+def load_state_bucketed(
+    spark: SparkSession, state_dir: str, table: str
+) -> DataFrame | None:
+    """Load state from its bucketed warehouse table (None on first run).
+
+    The catalog carries the bucket spec, so every downstream join/merge on
+    the id column reads pre-partitioned buckets — the 'bucket state by id and
+    both recurring exchanges disappear' design note in sinks.write_bucketed."""
+    import json as _json
+
+    meta_path = _bucketed_meta_path(state_dir, table)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = _json.load(fh)
+    if not spark.catalog.tableExists(meta["table"]):
+        return None
+    return spark.table(meta["table"])
+
+
+def save_state_bucketed(
+    state: DataFrame,
+    state_dir: str,
+    table: str,
+    id_field: str,
+    n_buckets: int = 32,
+) -> None:
+    """Persist state bucketed+sorted by id, atomically via generation swap.
+
+    The next state is derived from the current generation's table, so the
+    write goes to the *other* generation first (materializing the plan while
+    its input still exists), then the pointer file flips and the old
+    generation drops — a crash at any point leaves a readable state, same
+    contract as save_state's tmp-dir swap (app.js:55-58 at-least-once)."""
+    import json as _json
+
+    from .sinks import write_bucketed
+
+    spark = state.sparkSession
+    meta_path = _bucketed_meta_path(state_dir, table)
+    old_name, gen = None, 0
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = _json.load(fh)
+        old_name, gen = meta["table"], (meta["generation"] + 1) % 2
+    new_name = f"{table}_state_g{gen}"
+    spark.sql(f"DROP TABLE IF EXISTS {new_name}")  # stale leftover of a crash
+    write_bucketed(state, new_name, [id_field], n_buckets=n_buckets)
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump({"table": new_name, "generation": gen}, fh)
+    os.replace(tmp, meta_path)
+    if old_name and old_name != new_name:
+        spark.sql(f"DROP TABLE IF EXISTS {old_name}")
+
+
+def merge_state_join(
+    state: DataFrame | None,
+    incoming: DataFrame,
+    id_field: str,
+    *,
+    ignore: Sequence[str] = ("updatedOnMs",),
+    ttl_hours: float = 8.0,
+    now_epoch_ms: int | None = None,
+) -> DataFrame:
+    """Join-based MERGE: the state transition as a full-outer join on id —
+    WHEN MATCHED take the update, WHEN NOT MATCHED keep the (live) state row.
+
+    Semantically equal to :func:`merge_state` when ``incoming`` is already
+    one-row-per-key (pipeline.keep_latest_per_key runs first); the payoff is
+    physical: against a bucketed state table the join needs NO shuffle on the
+    state side — only the (much smaller) per-run delta moves, where the
+    union+window path re-shuffles the full state every run. At 100 TB of
+    accumulated state that is the difference between a bucket-local merge and
+    a nightly full-network pass.
+
+    TTL semantics unchanged: expired rows filtered before the join
+    (cache.js:60-67); every seen key gets a fresh TTL (cache.js:79
+    refresh-on-read); unmatched live state keeps its old TTL.
+    """
+    now_epoch_ms = now_ms() if now_epoch_ms is None else now_epoch_ms
+    ttl_ms = now_epoch_ms + int(ttl_hours * 3600 * 1000)
+    updates = (
+        with_content_hash(incoming.filter(F.col(id_field).isNotNull()), exclude=ignore)
+        .select(
+            F.col(id_field),
+            F.col(HASH_COL).alias("__u_hash"),
+            F.lit(ttl_ms).alias("__u_ttl"),
+        )
+    )
+    if state is None:
+        return updates.select(
+            F.col(id_field),
+            F.col("__u_hash").alias(HASH_COL),
+            F.col("__u_ttl").alias(TTL_COL),
+        )
+    live = state.filter(F.col(TTL_COL) >= F.lit(now_epoch_ms)).select(
+        F.col(id_field),
+        F.col(HASH_COL).alias("__s_hash"),
+        F.col(TTL_COL).alias("__s_ttl"),
+    )
+    return live.join(updates, [id_field], "full_outer").select(
+        F.col(id_field),
+        F.coalesce("__u_hash", "__s_hash").alias(HASH_COL),
+        F.coalesce("__u_ttl", "__s_ttl").alias(TTL_COL),
+    )
+
+
 def merge_state(
     state: DataFrame | None,
     incoming: DataFrame,
