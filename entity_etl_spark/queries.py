@@ -2130,3 +2130,184 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     return stratified_take(docs, "lang", "doc_id", 20).select("doc_id", "lang")
+
+
+@register(
+    "stats_aggregates",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 2) AS std_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr/covar/stddev/variance) — single-scan "
+    "partial+final hash aggregation; SURVEY §2.2 aggregation breadth.",
+    tags=("analytics",),
+)
+def q_stats_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+@register(
+    "explode_word_counts",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    HAVING count(*) >= 50
+    """,
+    doc="explode / LATERAL VIEW (UNNEST): tokenize documents and count "
+    "words — the generator runs inside codegen; no Python in the loop.",
+    tags=("ext",),
+)
+def q_explode_word_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@register(
+    "window_first_last_nth",
+    f"""
+    SELECT user_id, event_id,
+           CAST(first_value(event_id) OVER w AS BIGINT) AS first_event,
+           CAST(last_value(event_id) OVER w AS BIGINT) AS last_event,
+           CAST(nth_value(event_id, 2) OVER w AS BIGINT) AS second_event
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value/nth_value over an unbounded frame — "
+    "per-user session anchors in one windowed scan.",
+    tags=("analytics",),
+)
+def q_window_first_last_nth(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(w).cast("bigint").alias("first_event"),
+        F.last("event_id").over(w).cast("bigint").alias("last_event"),
+        F.nth_value("event_id", 2).over(w).cast("bigint").alias("second_event"),
+    )
+
+
+@register(
+    "percent_rank_cume_dist",
+    """
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM events
+    WHERE user_id < 5 AND value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="Rank-family windows (percent_rank/cume_dist): relative position "
+    "of each event's value within its type.",
+    tags=("analytics",),
+)
+def q_percent_rank_cume_dist(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        (F.col("user_id") < 5) & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "least_greatest_bitwise",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(least(l_quantity, l_linenumber * 10) AS DOUBLE) AS lo,
+           CAST(greatest(l_quantity, l_linenumber * 10) AS DOUBLE) AS hi,
+           CAST(l_orderkey & 255 AS BIGINT) AS key_band,
+           CAST(xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT)
+             AS key_xor,
+           CAST(l_orderkey << 1 AS BIGINT) AS key_shl
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    doc="least/greatest + bitwise and/xor/shift — scalar-function breadth "
+    "(SURVEY §2.2 math functions), all whole-stage-codegen.",
+    tags=("analytics",),
+)
+def q_least_greatest_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.col("l_quantity"), F.col("l_linenumber") * 10)
+        .cast("double")
+        .alias("lo"),
+        F.greatest(F.col("l_quantity"), F.col("l_linenumber") * 10)
+        .cast("double")
+        .alias("hi"),
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).cast("bigint").alias("key_band"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("bigint")))
+        .cast("bigint")
+        .alias("key_xor"),
+        F.shiftleft(F.col("l_orderkey"), 1).cast("bigint").alias("key_shl"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() disambiguation — completes "
+    "the rollup/cube family (SURVEY §2.2 'grouping sets ABSENT').",
+    tags=("analytics",),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from .sources import register_sf_views
+
+    register_sf_views(spark, sf, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+                 AS gid,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
