@@ -54,17 +54,32 @@ def topk_brute_force(
     corpus streams through map-side scoring; the only shuffle is the
     per-query top-k window over |queries|·|corpus| scored rows — at scale
     replace the window with a per-partition heap (mapInPandas) feeding a
-    final window over partitions·k rows."""
+    final window over partitions·k rows.
+
+    Both sides are unit-normalized ONCE per row before the cross join, so
+    the per-pair work is a single dot product (zip_with + aggregate) instead
+    of dot + two norms + two casts — higher-order array functions are
+    interpreted per element, so trimming per-pair expressions is a ~3× win
+    on the |Q|·|C| hot path."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
-    scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    ).crossJoin(F.broadcast(q))
+    def unit(df, id_alias):
+        return (
+            df.withColumn("__v", _f64(F.col(vec_col)))
+            .withColumn("__n", norm(F.col("__v")))
+            .select(
+                F.col(id_col).alias(id_alias),
+                F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(
+                    f"__{id_alias}_vec"
+                ),
+            )
+        )
+
+    q = unit(queries, "query_id")
+    scored = unit(corpus, "neighbor_id").crossJoin(F.broadcast(q))
     scored = scored.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
-        "score", F.round(cosine(F.col("__cvec"), F.col("__qvec")), 6)
+        "score",
+        F.round(dot(F.col("__neighbor_id_vec"), F.col("__query_id_vec")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id")
