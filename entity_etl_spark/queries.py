@@ -2311,3 +2311,84 @@ def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+_CHUNK_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents{where})
+    SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+           array_to_string(words[g.i*80+1 : g.i*80+100], ' ') AS chunk,
+           CAST(least(100, len(words) - g.i*80) AS BIGINT) AS n_words
+    FROM w, UNNEST(generate_series(0, CAST(ceil(len(words)/80.0) AS INT)-1))
+              AS g(i)
+    WHERE len(words) > 0
+"""
+
+
+@register(
+    "chunk_documents_udtf",
+    _CHUNK_ORACLE.format(where=" WHERE doc_id < 200"),
+    doc="LLM-training chunking via a registered Python UDTF (LATERAL "
+    "row→rows) — the engine's pluggable-UDTF seam, the generalized form of "
+    "the reference's runtime template registry (templates.js:15-34).",
+    tags=("ext",),
+)
+def q_chunk_documents_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.chunking import chunk_documents
+
+    docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return chunk_documents(docs, "doc_id", "text", size=100, stride=80)
+
+
+@register(
+    "chunk_documents_builtin",
+    _CHUNK_ORACLE.format(where=""),
+    doc="Same chunking in pure built-ins (sequence/explode/slice): "
+    "whole-stage codegen, no Python workers — the 100 TB path.",
+    tags=("ext",),
+)
+def q_chunk_documents_builtin(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.chunking import chunk_documents_builtin
+
+    docs = read_sf_table(spark, sf, "documents")
+    return chunk_documents_builtin(docs, "doc_id", "text", size=100, stride=80)
+
+
+@register(
+    "variant_shred",
+    """
+    SELECT event_id,
+           event_type AS etype,
+           user_id AS uid,
+           event_id AS nested_eid,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS VARCHAR) AS missing_path
+    FROM events
+    """,
+    doc="Spark 4 VARIANT for schemaless entities (SURVEY §1.3: the "
+    "reference's ragged JSON rows): parse_json → variant_get typed paths, "
+    "incl. a nested path and a missing path (NULL, not error). The oracle "
+    "states the expected values relationally — a faithful round-trip "
+    "re-derives each field.",
+    tags=("ext",),
+)
+def q_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("user_id").alias("u"),
+            F.struct(F.col("event_id").alias("eid")).alias("n"),
+        )
+    )
+    v = F.parse_json(j)
+    pv = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.t", "string").alias("etype"),
+        F.variant_get(v, "$.u", "bigint").alias("uid"),
+        F.variant_get(v, "$.n.eid", "bigint").alias("nested_eid"),
+        F.variant_get(pv, "$.k", "bigint").alias("k_val"),
+        F.variant_get(pv, "$.missing", "string").alias("missing_path"),
+    )

@@ -264,3 +264,31 @@ def test_train_val_test_split_stable_under_growth(spark):
     # growing the corpus never reassigns existing rows
     assert all(s_big[k] == v for k, v in s_small.items())
     assert set(s_big.values()) == {"train", "val", "test"}
+
+
+def test_chunking_udtf_equals_builtin(spark):
+    from entity_etl_spark.ext.chunking import chunk_documents, chunk_documents_builtin
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(250))),  # 4 chunks (stride 80)
+            (2, "a b c"),                                 # 1 short chunk
+            (3, ""),                                      # no chunks
+            (4, None),                                    # no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(size=100, stride=80)
+    a = sorted(
+        (r.doc_id, r.chunk_id, r.chunk, r.n_words)
+        for r in chunk_documents(docs, **kw).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.chunk_id, r.chunk, r.n_words)
+        for r in chunk_documents_builtin(docs, **kw).collect()
+    )
+    assert a == b
+    assert [x[:2] for x in a] == [(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)]
+    # overlap: chunk 1 starts at word 80
+    assert a[1][2].startswith("w80 ")
+    assert a[4][3] == 3  # short doc: one 3-word chunk
