@@ -163,6 +163,62 @@ def run_incremental(
     return result
 
 
+def run_streaming(
+    spark: SparkSession,
+    spec: TableSpec,
+    stream: DataFrame,
+    projection: Sequence[Mapping],
+    config: EngineConfig,
+    sink: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    *,
+    timeout_sec: float = 120.0,
+    now_epoch_ms: int | None = None,
+) -> None:
+    """The whole reference program as ONE Structured Streaming job.
+
+    ``stream`` is any streaming DataFrame (the `rest_entities` DataSource,
+    Kafka, files…). Per micro-batch, foreachBatch runs the same transition
+    as :func:`run_incremental` — keep-latest (O15) → changed-rows vs state
+    (O5) → projection (O6-O9) → batch bodies (O10) → sink (O11) → state
+    MERGE w/ TTL (O12/O13) — while the SOURCE's offset log replaces the
+    checkpoint scalar (O3/O14): for the rest_entities source the offset
+    literally is ``{"updatedFromMs": N}``.
+
+    Two-layer dedup mirrors the reference exactly: offsets suppress
+    re-reads (cache.js:99-119); the content-hash state suppresses re-sends
+    of entities whose ``updatedOnMs`` advanced without a real change
+    (cache.js:69-85 — the case offsets cannot catch).
+
+    foreachBatch is at-least-once; the sink must upsert by id — the same
+    contract the reference documents for its target (README.md:161-171).
+    """
+    from .streaming import run_available_now
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = keep_latest_per_key(batch_df, spec.id_field, spec.ts_field)
+        state = state_mod.load_state(spark, config.state_dir, spec.name)
+        delta = changed_rows(latest, state, spec.id_field, ignore=(spec.ts_field,))
+        shaped = apply_mapping(delta, projection)
+        jsons = to_json_rows(shaped)
+        batched = batch_mod.assign_batches_distributed(jsons, config.max_batch_size)
+        sink(batch_mod.assemble_bodies(batched))
+        next_state = state_mod.merge_state(
+            state,
+            latest,
+            spec.id_field,
+            ignore=(spec.ts_field,),
+            ts_field=spec.ts_field,
+            ttl_hours=config.state_ttl_hours,
+            now_epoch_ms=now_epoch_ms,
+        )
+        state_mod.save_state(next_state, config.state_dir, spec.name)
+
+    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+
+
 def run_all(
     spark: SparkSession,
     catalog_specs: Sequence[TableSpec],

@@ -132,3 +132,54 @@ def test_stream_offset_is_reference_checkpoint(registered, tmp_path):
     assert run_batch() == {"e1", "e2", "e3"}
     rows = registered.read.schema(SCHEMA).json(out).collect()
     assert len(rows) == 3  # no duplicates → nothing was re-read
+
+
+def test_streaming_pipeline_end_to_end(registered, tmp_path):
+    """rest_entities stream -> foreachBatch(run_incremental transition):
+    offsets suppress re-reads; content-hash state suppresses the
+    bumped-ts-no-change re-send that offsets cannot catch (cache.js:69-85)."""
+    import json as _json
+
+    from entity_etl_spark import pipeline
+    from entity_etl_spark.model import EngineConfig, TableSpec
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_page(pages / "p0.json", [_entity(1, 10, "a"), _entity(2, 20, "b")])
+
+    spec = TableSpec(name="sevents", id_field="id", ts_field="updatedOnMs")
+    proj = [{"target": "out_id", "source": "id"},
+            {"target": "out_value", "source": "value"}]
+    cfg = EngineConfig(state_dir=str(tmp_path / "state"), max_batch_size=10)
+    got = []
+
+    def sink(bodies):
+        for r in bodies.collect():
+            got.extend(_json.loads(r["body"]))
+
+    def run():
+        stream = (
+            registered.readStream.format("rest_entities")
+            .schema(SCHEMA)
+            .option("path", str(pages))
+            .load()
+        )
+        pipeline.run_streaming(registered, spec, stream, proj, cfg, sink, ckpt)
+
+    run()
+    assert sorted(e["out_id"] for e in got) == ["e1", "e2"]
+
+    # p1: e1 re-served with bumped ts but SAME content (must be suppressed
+    # by the hash state); e2 actually changed; e3 new
+    got.clear()
+    _write_page(pages / "p1.json",
+                [_entity(1, 30, "a"), _entity(2, 31, "B"), _entity(3, 32, "c")])
+    run()
+    assert sorted((e["out_id"], e["out_value"]) for e in got) == [
+        ("e2", "B"), ("e3", "c")]
+
+    # nothing new: no batch, no emissions
+    got.clear()
+    run()
+    assert got == []
