@@ -2392,3 +2392,65 @@ def q_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
         F.variant_get(pv, "$.k", "bigint").alias("k_val"),
         F.variant_get(pv, "$.missing", "string").alias("missing_path"),
     )
+
+
+@register(
+    "rest_source_scan",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS updatedOnMs
+    FROM events
+    WHERE CAST(epoch_ms(ts) AS BIGINT) > 1705708800000
+    """,
+    doc="O1/O3 through the rest_entities Python DataSource: the events "
+    "table staged as paginated REST page files, read back with the "
+    "updatedFromMs predicate ABSORBED by pushFilters (evaluated "
+    "source-side, app.js:76-82 parity) — pages scan executor-parallel.",
+    tags=("ext",),
+)
+def q_rest_source_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    from .rest_datasource import RestEntitiesDataSource
+
+    try:
+        spark.dataSource.register(RestEntitiesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    # runtime conf: the harness session may not have session.py's default
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    # stage the events table as REST page files (deterministic: 8 pages
+    # split by event_id; rewritten only when absent)
+    tag = _os.path.basename(sf.rstrip("/"))
+    pages_dir = f"/tmp/spark_graft_rest_pages_{tag}"
+    done = _os.path.join(pages_dir, "_STAGED")
+    if not _os.path.exists(done):
+        _os.makedirs(pages_dir, exist_ok=True)
+        rows = (
+            read_sf_table(spark, sf, "events")
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                (F.unix_micros("ts") / 1000).cast("long").alias("updatedOnMs"),
+            )
+            .collect()
+        )
+        n_pages = 8
+        pages = [[] for _ in range(n_pages)]
+        for r in rows:
+            pages[r["event_id"] % n_pages].append(r.asDict())
+        for i, items in enumerate(pages):
+            with open(_os.path.join(pages_dir, f"page{i}.json"), "w") as fh:
+                _json.dump({"items": items, "partialResults": i < n_pages - 1}, fh)
+        open(done, "w").close()
+
+    df = (
+        spark.read.format("rest_entities")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, updatedOnMs BIGINT")
+        .option("path", pages_dir)
+        .load()
+    )
+    return df.filter(F.col("updatedOnMs") > 1705708800000)
