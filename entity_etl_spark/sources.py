@@ -37,6 +37,8 @@ def read_table(
         return reader.json(path)
     if fmt == "csv":
         return reader.option("header", "true").csv(path)
+    if fmt == "orc":
+        return reader.orc(path)
     raise ValueError(f"unsupported format: {fmt}")
 
 

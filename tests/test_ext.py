@@ -292,3 +292,26 @@ def test_chunking_udtf_equals_builtin(spark):
     # overlap: chunk 1 starts at word 80
     assert a[1][2].startswith("w80 ")
     assert a[4][3] == 3  # short doc: one 3-word chunk
+
+
+def test_lsh_margin_probe_beats_or_ties_fixed(spark):
+    """Margin-aware probing (flip least-confident planes) must never lose
+    to fixed-position probing at the same probe budget, and must agree with
+    single-probe when n_probe=1."""
+    from entity_etl_spark.ext.similarity import lsh_topk, topk_brute_force
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 8")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             topk_brute_force(emb, q, k=3).collect()}
+
+    def recall(probe, n_probe):
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               lsh_topk(emb, q, k=3, dim=64, n_planes=6,
+                        n_probe=n_probe, probe=probe).collect()}
+        return len(exact & got) / len(exact)
+
+    assert recall("margin", 1) == recall("fixed", 1)  # same base bucket
+    r_margin, r_fixed = recall("margin", 3), recall("fixed", 3)
+    assert r_margin >= r_fixed
+    assert r_margin >= recall("margin", 1)

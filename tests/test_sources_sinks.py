@@ -110,6 +110,9 @@ def test_read_table_formats_round_trip(spark, tmp_path):
     assert sorted(r["s"] for r in got_j.collect()) == ["a", "b"]
     got_c = read_table(spark, str(tmp_path / "c"), "csv")
     assert sorted(r["s"] for r in got_c.collect()) == ["a", "b"]
+    df.write.mode("overwrite").orc(str(tmp_path / "o"))
+    got_o = read_table(spark, str(tmp_path / "o"), "orc")
+    assert sorted(r["s"] for r in got_o.collect()) == ["a", "b"]
 
     import pytest as _pytest
 
