@@ -2346,7 +2346,7 @@ def q_chunk_documents_udtf(spark: SparkSession, sf: str) -> DataFrame:
     _CHUNK_ORACLE.format(where=""),
     doc="Same chunking in pure built-ins (sequence/explode/slice): "
     "whole-stage codegen, no Python workers — the 100 TB path.",
-    tags=("ext",),
+    tags=("ext", "bench"),
 )
 def q_chunk_documents_builtin(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.chunking import chunk_documents_builtin
@@ -2371,7 +2371,7 @@ def q_chunk_documents_builtin(spark: SparkSession, sf: str) -> DataFrame:
     "incl. a nested path and a missing path (NULL, not error). The oracle "
     "states the expected values relationally — a faithful round-trip "
     "re-derives each field.",
-    tags=("ext",),
+    tags=("ext", "bench"),
 )
 def q_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_sf_table(spark, sf, "events")
