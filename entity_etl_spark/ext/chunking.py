@@ -24,9 +24,14 @@ def make_chunker_udtf(size: int, stride: int):
     """Build a chunker UDTF class for a fixed (size, stride).
 
     UDTF constructor args must be constants, so the window geometry is baked
-    into the class via closure — ``eval`` receives only data columns."""
+    into the class via closure — ``eval`` receives only data columns.
+    ``useArrow=True``: rows cross the Python boundary as Arrow batches
+    (the same 10-100× transfer win as Pandas UDFs over pickled rows)."""
 
-    @udtf(returnType="chunk_id: bigint, chunk: string, n_words: bigint")
+    @udtf(
+        returnType="chunk_id: bigint, chunk: string, n_words: bigint",
+        useArrow=True,
+    )
     class Chunker:
         def eval(self, text: str):  # noqa: D401 - UDTF contract
             words = [w for w in (text or "").split(" ") if w]
