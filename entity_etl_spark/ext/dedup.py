@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -51,16 +51,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one deterministic representative (min id) per distinct content.
 
-    Hash-groupBy on a fingerprint of the content columns: the shuffle moves
-    only (fingerprint, id); bodies are re-joined by the caller if needed."""
+    Hash-groupBy on a fingerprint of the content columns. The aggregation
+    exchange carries ONLY (fingerprint, id) — the fingerprint is computed
+    map-side and the document bodies never ride the fp-keyed shuffle. Winner
+    ids (min per fingerprint) are then semi-joined back onto the original
+    rows; at moderate dup rates the winner set is small enough for AQE to
+    broadcast that join, otherwise it is an id-keyed join — either way the
+    wide rows move at most once, never grouped by fingerprint."""
     fp = F.md5(F.concat_ws("\x00", *[F.col(c) for c in content_cols]))
-    w = Window.partitionBy("__fp").orderBy(id_col)
-    return (
-        df.withColumn("__fp", fp)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+    slim = df.select(F.col(id_col).alias("__id"), fp.alias("__fp"))
+    winners = (
+        slim.groupBy("__fp").agg(F.min("__id").alias("__id")).select("__id")
     )
+    return df.join(winners, df[id_col] == winners["__id"], "left_semi")
 
 
 # ------------------------------------------------------------------ shingles
@@ -236,9 +239,11 @@ def minhash_near_dups(
     rows_per_band = num_hashes // bands
     # spread the CPU-heavy map-side signature work across all cores: a small
     # parquet file arrives as one scan partition (maxPartitionBytes) and
-    # would otherwise serialize the whole corpus through one task
+    # would otherwise serialize the whole corpus through one task. File
+    # count proxies partition count plan-side (no RDD conversion); a corpus
+    # already split across >= parallelism files is left alone.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    if len(df.inputFiles() or ()) < parallelism:
         df = df.repartition(parallelism)
     # materialize signatures: the band expressions and the self-join would
     # otherwise re-inline (and re-run) the signature fold bands×2 times; at
@@ -330,22 +335,56 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs of docs whose SimHashes are within ``max_hamming`` bits.
 
-    Here: exact pairwise XOR-popcount (fine to ~100k docs per partition
-    group). At 100 TB: block on 4 rotated 16-bit prefixes (pigeonhole —
-    any pair within Hamming 3 agrees on at least one block) and join per
-    block; the prefix join is this same code with a bucket pre-key."""
-    sig = simhash(df, id_col, text_col)
-    a, b = sig.alias("a"), sig.alias("b")
+    Blocked join (the standard pigeonhole construction): split the 64-bit
+    signature into ``max_hamming + 1`` equal blocks — a pair within Hamming
+    distance ``max_hamming`` differs in at most ``max_hamming`` blocks, so
+    it must agree EXACTLY on at least one block. Each doc explodes into one
+    (block_idx, block_bits) key per block; candidates come from an equi-join
+    on that key (a hash join — never an all-pairs nested loop), and the
+    exact XOR-popcount Hamming filter refines candidates to true pairs.
+    ``distinct`` collapses pairs that collide in several blocks.
+
+    Cost: |docs| × blocks rows in the join (tiny — (doc, long, int, long)),
+    candidate count driven by block-key collisions, not |docs|²."""
+    blocks = max_hamming + 1
+    bits = 64 // blocks
+    # signatures are one row per doc; materialize so the 64-aggregate
+    # simhash fold runs once, not once per self-join side
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    mask = (1 << bits) - 1
+    blocked = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.blk", "bk.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            "hamming",
+            ham.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
