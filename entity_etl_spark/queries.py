@@ -730,15 +730,33 @@ def q_percentile_value_by_type(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    None,  # sketch algorithms differ across engines; driver rows-only check
-    doc="E6 approx_count_distinct (HLL++). No oracle: DuckDB's HLL yields a "
-    "different estimate; exactness is covered by distinct_users_exact.",
+    """
+    SELECT event_type, true AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="E6 approx_count_distinct (HLL++), stated decidably: per event_type "
+    "the HLL estimate must land within 5% of the exact distinct count "
+    "(observed HLL++ relative error here: 0.7%). Another engine cannot "
+    "reproduce a sketch's exact estimate, so the cross-engine-checkable "
+    "claim is the epsilon bound, computed in-engine and asserted as a "
+    "boolean the oracle pins.",
     tags=("analytics",),
 )
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_sf_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("__approx"),
+            F.countDistinct("user_id").alias("__exact"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("__approx") - F.col("__exact")) / F.col("__exact")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
     )
 
 
@@ -844,10 +862,37 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "minhash_near_dups",
-    None,  # xxhash64-based signatures are engine-specific; rows-only check.
+    r"""
+    -- the exact n-gram-Jaccard pair set: because every emitted pair is
+    -- exact-verified (>= 0.5) the LSH output is a SUBSET of this, and at
+    -- this scale LSH recall is 100% (pinned by tests/test_ext.py), so the
+    -- oracle doubles as a full-recall assertion.
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
     doc="E2 MinHash(32) + banded LSH(8x4) candidates, exact-Jaccard "
     "verified >= 0.5. The 100 TB near-dup path: signatures map-side, "
-    "bucket join, verify only candidates.",
+    "bucket join, verify only candidates. Oracle: the exact Jaccard pair "
+    "set — asserts both verification correctness and 100% LSH recall.",
     tags=("ext", "bench"),
 )
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -861,8 +906,24 @@ def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "simhash_near_dups",
-    None,  # xxhash64-based; rows-only
-    doc="E2 SimHash(64-bit) near-dup pairs within Hamming distance 3.",
+    """
+    -- golden pair set: SimHash signatures are xxhash64-derived (integer
+    -- arithmetic only — bit-for-bit deterministic on fixed data), so the
+    -- sf0.01 output is pinned exactly. Regenerate via
+    -- `python tools/check_parity.py /root/testdata/sf0.01 simhash_near_dups`
+    -- if the testdata generator ever changes.
+    SELECT CAST(c1 AS BIGINT) AS doc_a, CAST(c2 AS BIGINT) AS doc_b,
+           CAST(c3 AS INT) AS hamming
+    FROM (VALUES
+      (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1),
+      (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3),
+      (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0),
+      (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)
+    ) t(c1, c2, c3)
+    """,
+    doc="E2 SimHash(64-bit) near-dup pairs within Hamming distance 3, via "
+    "the pigeonhole blocked equi-join. Oracle: the pinned golden pair set "
+    "(integer-deterministic on the fixed sf0.01 corpus).",
     tags=("ext",),
 )
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -903,9 +964,39 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embedding_lsh_topk",
-    None,  # hyperplanes derive from engine-specific xxhash64; rows-only
-    doc="E3 LSH-bucketed approximate top-k (random-hyperplane signs): "
-    "equi-join on bucket replaces the cross join — the 100 TB ANN path.",
+    """
+    -- golden result set: hyperplanes are xxhash64-derived and scores are
+    -- computed per-row in fixed array order, so the sf0.01 output is
+    -- fully deterministic and pinned exactly (planes=4, margin multi-probe
+    -- n_probe=4 -> 25% of buckets scanned, recall@5 = 0.46 vs brute force
+    -- on these UNIFORM-RANDOM embeddings — near the theoretical ceiling
+    -- for LSH on structureless vectors at that scan fraction).
+    SELECT CAST(c1 AS BIGINT) AS query_id, CAST(c2 AS BIGINT) AS neighbor_id,
+           CAST(c3 AS DOUBLE) AS score, CAST(c4 AS BIGINT) AS rnk
+    FROM (VALUES
+      (0, 131, 0.240641, 4), (0, 344, 0.252487, 3), (0, 365, 0.369994, 1),
+      (0, 423, 0.296934, 2), (0, 478, 0.237283, 5), (1, 27, 0.348208, 2),
+      (1, 195, 0.322744, 3), (1, 203, 0.268155, 4), (1, 363, 0.263306, 5),
+      (1, 386, 0.371485, 1), (2, 109, 0.228351, 4), (2, 112, 0.245311, 3),
+      (2, 145, 0.263494, 1), (2, 188, 0.263272, 2), (2, 198, 0.226855, 5),
+      (3, 192, 0.290803, 4), (3, 207, 0.291702, 3), (3, 231, 0.298788, 2),
+      (3, 343, 0.308472, 1), (3, 363, 0.268615, 5), (4, 89, 0.265964, 5),
+      (4, 249, 0.279631, 4), (4, 280, 0.279826, 3), (4, 408, 0.322753, 1),
+      (4, 482, 0.313897, 2), (5, 225, 0.259515, 3), (5, 359, 0.305821, 2),
+      (5, 419, 0.319237, 1), (5, 433, 0.240255, 5), (5, 453, 0.240669, 4),
+      (6, 53, 0.233706, 4), (6, 252, 0.25563, 3), (6, 268, 0.259942, 2),
+      (6, 381, 0.223811, 5), (6, 430, 0.32252, 1), (7, 156, 0.279233, 5),
+      (7, 209, 0.394463, 2), (7, 302, 0.314524, 3), (7, 332, 0.285446, 4),
+      (7, 340, 0.492766, 1), (8, 39, 0.384696, 1), (8, 138, 0.356671, 2),
+      (8, 207, 0.285675, 5), (8, 380, 0.304526, 4), (8, 497, 0.317798, 3),
+      (9, 198, 0.258676, 3), (9, 259, 0.251484, 4), (9, 319, 0.241903, 5),
+      (9, 414, 0.3323, 2), (9, 489, 0.343538, 1)
+    ) t(c1, c2, c3, c4)
+    """,
+    doc="E3 LSH-bucketed approximate top-k (random-hyperplane signs, "
+    "margin-aware multi-probe): equi-join on bucket replaces the cross "
+    "join — the 100 TB ANN path. Oracle: pinned golden result "
+    "(hash-deterministic).",
     tags=("ext",),
 )
 def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -913,7 +1004,10 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = read_sf_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, dim=64, n_planes=6)
+    return lsh_topk(
+        emb, queries, "vec_id", "embedding",
+        k=5, dim=64, n_planes=4, n_probe=4, probe="margin",
+    )
 
 
 @register(
@@ -1068,10 +1162,25 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # decoder is a deterministic stub; plumbing checked rows-only
+    """
+    -- the stub decoder's features are pure byte arithmetic over the UTF-8
+    -- payload (sum of first 64 bytes / min(len, 64)), restated relationally:
+    -- the corpus text is pure ASCII (octet_length(encode(x)) == length(x)
+    -- for every row), so byte values equal codepoints and ord() per char
+    -- reproduces the byte sum exactly. Integer-over-integer division in
+    -- double precision is bit-identical across engines.
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                      i -> ord(substring(text, CAST(i AS INT), 1))))
+             / least(length(text), 64) END AS feat_mean,
+           CAST(64 AS INT) AS feat_dim
+    FROM documents
+    """,
     doc="E5 feature extraction over binary media via mapInPandas (Arrow "
     "batches, fixed output schema; decoder stubbed — swap point is one "
-    "function).",
+    "function). Oracle: the stub's byte arithmetic restated in SQL.",
     tags=("ext",),
 )
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -1552,10 +1661,37 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_corpus_minhash",
-    None,  # engine-specific MinHash inside; rows-only
+    r"""
+    -- keep-min-id policy over the EXACT Jaccard pair set: every verified
+    -- MinHash pair is an exact pair, and LSH recall is 100% here, so the
+    -- surviving corpus is documents minus the greater id of each pair.
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+    """,
     doc="E2 corpus-level near-dup removal: docs surviving the "
     "keep-min-id-per-pair policy over verified MinHash pairs — the "
-    "'deduplicated training corpus' output surface.",
+    "'deduplicated training corpus' output surface. Oracle: the same "
+    "policy over the exact Jaccard pair set.",
     tags=("ext",),
 )
 def q_dedup_corpus_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1733,10 +1869,18 @@ def q_neardup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "lsh_topk_recall",
-    None,  # measures the engine's own LSH against its own brute force
+    """
+    -- recall is a ratio of integer hit counts (hash-deterministic), pinned
+    -- at the embedding_lsh_topk config's measured value; the truth-pair
+    -- count is relational (k * |queries| — every query has >= 5 neighbors).
+    SELECT CAST(0.46 AS DOUBLE) AS recall_at_5,
+           CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+                AS BIGINT) AS n_truth_pairs
+    """,
     doc="E3 quality metric: recall@5 of the hyperplane-LSH ANN against the "
     "exact brute-force top-k for the query batch — the number a deployment "
-    "watches when trading n_planes for speed.",
+    "watches when trading n_planes/n_probe for speed. Oracle: pinned "
+    "measured recall + relational truth-pair count.",
     tags=("ext",),
 )
 def q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -1748,7 +1892,8 @@ def q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     approx = lsh_topk(
-        emb, queries, "vec_id", "embedding", k=5, dim=64, n_planes=6
+        emb, queries, "vec_id", "embedding",
+        k=5, dim=64, n_planes=4, n_probe=4, probe="margin",
     ).select(
         F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
     )
@@ -1767,11 +1912,28 @@ def q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embedding_topk_heap",
-    None,  # BLAS summation order differs from sequential-sum oracles at the
-    # last ulp; exactness vs the JVM brute force is unit-tested instead
+    """
+    -- same oracle as embedding_topk: the heap path is an EXACT algorithm,
+    -- and rounding scores to 6 decimals absorbs the last-ulp difference
+    -- between BLAS and sequential summation order.
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qe), 6)
+               AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
     doc="E3 scale-path exact top-k: per-partition numpy matmul + local "
     "top-k via mapInPandas, final reduce over partitions*queries*k rows — "
-    "the shuffle no longer carries every scored row.",
+    "the shuffle no longer carries every scored row. Oracle: the exact "
+    "brute-force top-k (heap path is exact, so outputs are identical).",
     tags=("ext", "bench"),
 )
 def q_embedding_topk_heap(spark: SparkSession, sf: str) -> DataFrame:
@@ -1784,19 +1946,43 @@ def q_embedding_topk_heap(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embedding_ivf_topk",
-    None,  # index cells derive from engine-side k-means; rows-only
+    """
+    -- IVF centroids come from distributed float k-means, whose summation
+    -- order is not bit-deterministic across runs — the exact neighbor set
+    -- can wobble at cluster boundaries, so the decidable cross-engine claim
+    -- is the recall floor (observed 0.54 probing 4/16 cells; pinned with
+    -- margin) plus the relational result-shape invariant.
+    SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+                AS BIGINT) AS n_truth_pairs,
+           true AS recall_ok
+    """,
     doc="E3 IVF ANN: deterministic spherical k-means cells (map-side "
     "assignment, one groupBy per Lloyd iteration), queries probe the "
-    "n_probe nearest cells — candidate volume ~ corpus/n_centroids*n_probe.",
+    "n_probe nearest cells — candidate volume ~ corpus/n_centroids*n_probe. "
+    "Stated decidably: recall@5 vs brute force >= 0.35 (floats forbid "
+    "pinning the pair set).",
     tags=("ext",),
 )
 def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.ivf import ivf_topk
+    from .ext.similarity import topk_brute_force
 
     emb = read_sf_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(
+    exact = topk_brute_force(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
         emb, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
+    hit = exact.join(
+        approx,
+        (exact.query_id == approx.q2) & (exact.neighbor_id == approx.n2),
+        "left",
+    )
+    return hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
+        (F.count("n2") / F.count(F.lit(1)) >= 0.35).alias("recall_ok"),
     )
 
 
