@@ -42,14 +42,30 @@ def assign_batches(
 
 
 def assign_batches_distributed(df: DataFrame, max_batch_size: int) -> DataFrame:
-    """Shuffle-free batch ids, unique but non-contiguous."""
+    """Parallel batch ids, unique but non-contiguous: one id space per
+    ORIGINAL map partition.
+
+    The partition key is captured from ``monotonically_increasing_id``'s
+    upper bits in a projection BEFORE the window's exchange, so the id
+    prefix and the grouping key agree (``spark_partition_id()`` re-evaluated
+    after the exchange would not). The window still plans one hash exchange
+    keyed by that captured id — rows move once, whole partitions at a time —
+    but there is no global single-task funnel like :func:`assign_batches`'s
+    unpartitioned window, and batch sizes stay exact."""
     if max_batch_size <= 0:
         raise ValueError("max_batch_size must be positive")
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(F.monotonically_increasing_id())
-    return df.withColumn(
-        BATCH_COL,
-        F.spark_partition_id().cast("long") * F.lit(1 << 32)
-        + F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_batch_size)),
+    mid = F.monotonically_increasing_id()
+    staged = df.withColumn("__mid", mid).withColumn(
+        "__pid", F.shiftright(F.col("__mid"), 33)
+    )
+    w = Window.partitionBy("__pid").orderBy("__mid")
+    return (
+        staged.withColumn(
+            BATCH_COL,
+            F.col("__pid") * F.lit(1 << 32)
+            + F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_batch_size)),
+        )
+        .drop("__mid", "__pid")
     )
 
 

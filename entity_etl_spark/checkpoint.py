@@ -37,15 +37,33 @@ def max_ts(df: DataFrame, ts_field: str) -> int | None:
     columns (the reference's epoch-ms ``updatedOnMs``)."""
     if ts_field not in df.columns:
         return None
+    row = df.agg(F.max(_ts_native_expr(df, ts_field)).alias("m")).first()
+    return None if row is None or row["m"] is None else int(row["m"])
+
+
+def _ts_native_expr(df: DataFrame, ts_field: str):
     col = F.col(ts_field)
     dtype = dict(df.dtypes)[ts_field]
-    expr = (
+    return (
         F.unix_micros(col.cast("timestamp"))
         if dtype.startswith("timestamp")
         else col.cast("long")
     )
-    row = df.agg(F.max(expr).alias("m")).first()
-    return None if row is None or row["m"] is None else int(row["m"])
+
+
+def max_ts_and_count(df: DataFrame, ts_field: str) -> tuple[int | None, int]:
+    """Fused max(ts) + row count in ONE aggregate job.
+
+    run_incremental needs both numbers from the same scan; separate
+    ``max_ts`` and ``count()`` actions would read the input twice."""
+    if ts_field not in df.columns:
+        return None, df.count()
+    row = df.agg(
+        F.max(_ts_native_expr(df, ts_field)).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    mx = None if row is None or row["m"] is None else int(row["m"])
+    return mx, 0 if row is None else int(row["n"])
 
 
 # Backwards-compatible name for epoch-ms (long) columns.

@@ -69,6 +69,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still moving: the result is
+        # truncated (a component wider than max_iter hops would be split) —
+        # surface it instead of returning silently-wrong groups
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; labels are truncated — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", "comp")
 
 

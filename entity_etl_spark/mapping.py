@@ -100,7 +100,11 @@ def compile_field(spec: Mapping, schema_fields: set[str] | None = None) -> Colum
     elif "value" in spec:
         col = F.lit(spec["value"])
     elif "first_nonempty" in spec:
-        # Handlebars #with: "" and NULL are both falsy (templates/awsEc2.hbs:8)
+        # Handlebars #with: "" and NULL are both falsy (templates/awsEc2.hbs:8).
+        # DIVERGENCE: Handlebars also treats numeric 0 as falsy; this
+        # post-stringification chain cannot distinguish 0 from "0" and keeps
+        # "0" truthy. For byte-faithful numeric-source fallbacks use the
+        # type-aware hbs.py compiler ({{#with}} there is 0-falsy).
         col = F.lit("")
         for name in reversed(spec["first_nonempty"]):
             c = _str_ref(name, schema_fields)

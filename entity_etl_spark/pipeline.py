@@ -117,8 +117,14 @@ def run_incremental(
     batched = batch_mod.assign_batches_distributed(jsons, config.max_batch_size)
     bodies = batch_mod.assemble_bodies(batched).cache()
 
-    emitted = delta.count()
-    n_batches = bodies.count()
+    # metrics derive from the cached bodies in ONE aggregate — emitted rows
+    # = sum of per-batch item counts (delta is one row per emitted item), so
+    # no separate delta.count()/bodies.count() recomputation jobs
+    stats = bodies.agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.coalesce(F.sum("n_items"), F.lit(0)).alias("emitted"),
+    ).first()
+    n_batches, emitted = int(stats["n_batches"]), int(stats["emitted"])
     sink(bodies)
 
     # state + checkpoint persist AFTER the sink (at-least-once, app.js:55-58).
@@ -146,14 +152,15 @@ def run_incremental(
             now_epoch_ms=now_epoch_ms,
         )
     persist_state(next_state)
-    new_ckpt = ckpt_mod.next_checkpoint(
-        ckpt_mod.max_ts(incoming, spec.ts_field), checkpoint, partial_results
-    )
+    # one fused job gives both the checkpoint high-water mark and the
+    # input-row metric from the cached incoming scan
+    mx, n_input = ckpt_mod.max_ts_and_count(incoming, spec.ts_field)
+    new_ckpt = ckpt_mod.next_checkpoint(mx, checkpoint, partial_results)
     ckpt_mod.save_checkpoint(config.state_dir, spec.name, new_ckpt)
 
     result = RunResult(
         table=spec.name,
-        input_rows=incoming.count(),
+        input_rows=n_input,
         emitted_rows=emitted,
         batches=n_batches,
         checkpoint_ms=new_ckpt,

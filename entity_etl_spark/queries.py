@@ -955,11 +955,13 @@ def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     tags=("ext", "bench"),
 )
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from .ext.similarity import topk_brute_force
+    from .ext.similarity import topk
 
     emb = read_sf_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return topk_brute_force(emb, queries, "vec_id", "embedding", k=5)
+    # auto: brute-force cross join below 1k corpus rows, partition-heap
+    # above (identical exact results; the heap shape survives 100x)
+    return topk(emb, queries, "vec_id", "embedding", k=5, strategy="auto")
 
 
 @register(
@@ -2640,3 +2642,39 @@ def q_rest_source_scan(spark: SparkSession, sf: str) -> DataFrame:
         .load()
     )
     return df.filter(F.col("updatedOnMs") > 1705708800000)
+
+
+@register(
+    "hbs_render",
+    """
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(replace(
+             source || '&<"src">', '&', '&amp;'), '<', '&lt;'),
+             '>', '&gt;'), '"', '&quot;'), chr(39), '&#x27;'), '`', '&#x60;'),
+             '=', '&#x3D;')
+           || ' / ' ||
+           CASE WHEN nullif(lang, 'en') IS NOT NULL
+                THEN lang ELSE 'fallback-' || doc_id END AS rendered
+    FROM documents
+    """,
+    doc="O6-O9 via the Handlebars-dialect compiler (hbs.py): mustache "
+    "HTML-escaping ({{x}}), raw triple-stache ({{{x}}}), and the #with/else "
+    "fallback block, compiled to built-in Column expressions (reference "
+    "templates.js:15-40, templates/awsElb.hbs). Oracle: the escape table "
+    "and truthiness restated as SQL replace/CASE chains.",
+    tags=("reference",),
+)
+def q_hbs_render(spark: SparkSession, sf: str) -> DataFrame:
+    from .hbs import render_hbs
+
+    docs = (
+        read_sf_table(spark, sf, "documents")
+        .withColumn("seg", F.concat(F.col("source"), F.lit('&<"src">')))
+        .withColumn("maybe_lang", F.expr("nullif(lang, 'en')"))
+        .withColumn("fb", F.concat(F.lit("fallback-"), F.col("doc_id")))
+    )
+    tpl = (
+        "{{entity.seg}} / "
+        "{{#with entity.maybe_lang}}{{{.}}}{{else}}{{{entity.fb}}}{{/with}}"
+    )
+    return render_hbs(docs, tpl).select("doc_id", "rendered")

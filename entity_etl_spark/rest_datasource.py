@@ -161,8 +161,11 @@ class RestEntitiesReader(DataSourceReader):
             ]
             if not ts_values:
                 break
+            # monotone cursor (cf. checkpoint.next_checkpoint's max clamp):
+            # a page of stale rows (max ts < cursor) must never move the
+            # cursor backward, and equality bumps +1 for forward progress
             new_cursor = max(ts_values)
-            cursor = new_cursor + 1 if new_cursor == cursor else new_cursor
+            cursor = new_cursor if new_cursor > cursor else cursor + 1
 
 
 class RestEntitiesStreamReader(SimpleDataSourceStreamReader):

@@ -149,8 +149,10 @@ def rest_source(
             ]
             if not ts_values:
                 break
+            # monotone: stale pages can't move the cursor backward; equality
+            # (or regression) bumps +1 for forward progress
             new_cursor = max(ts_values)
-            cursor = new_cursor + 1 if new_cursor == cursor else new_cursor
+            cursor = new_cursor if new_cursor > cursor else cursor + 1
     df = spark.read.json(spark.sparkContext.parallelize(rows or ["{}"]))
     if not rows:
         df = df.limit(0)

@@ -74,28 +74,30 @@ def changed_rows_stream(
     )
 
 
+_TTL_HASH_COL = "__ttl_hash"
+
+
 def _ttl_dedup_fn(
     id_field: str,
     ts_field: str,
     ttl_ms: int,
-    columns: Sequence[str],
+    out_columns: Sequence[str],
 ):
     """Builds the applyInPandasWithState function for stateful TTL dedup
     (O5/O12/O13): state per key = (content_hash, ttl); emit on new/changed;
     refresh TTL on every sighting (cache.js:79 refresh-on-read); purge on
-    timeout."""
-    import hashlib
-    import json
+    timeout.
 
+    The content hash arrives PRE-COMPUTED in ``_TTL_HASH_COL`` — the same
+    JVM-side :func:`delta.content_hash` expression the batch path uses, so
+    batch and streaming dedup states are interchangeable and the Python side
+    does no per-row work. The chain rule "emit iff hash differs from the
+    previously kept hash" collapses to a vectorized shifted-series compare:
+    a skipped row's hash always EQUALS the carried hash, so the carried hash
+    is simply the previous row's hash — first-of-each-consecutive-run."""
     import pandas as pd
 
-    hash_cols = sorted(c for c in columns if c != ts_field)
-
-    def row_hash(row) -> str:
-        payload = {c: row[c] for c in hash_cols if not pd.isna(row[c])}
-        return hashlib.sha256(
-            json.dumps(payload, sort_keys=True, default=str).encode()
-        ).hexdigest()
+    out_cols = list(out_columns)
 
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -104,18 +106,22 @@ def _ttl_dedup_fn(
             state.remove()  # TTL purge (cache.js:60-67)
             return
         prev_hash = state.get[0] if state.exists else None
-        out = []
         for pdf in pdfs:
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values(ts_field)
-            for _, row in pdf.iterrows():
-                h = row_hash(row)
-                if h != prev_hash:
-                    out.append(row)
-                    prev_hash = h
+            h = pdf[_TTL_HASH_COL]
+            shifted = h.shift(1)
+            if prev_hash is not None:
+                shifted.iloc[0] = prev_hash
+            # NaN != anything -> first row emits when there is no prior state
+            keep = h.ne(shifted)
+            prev_hash = h.iloc[-1]
+            out = pdf.loc[keep, out_cols]
+            if len(out):
+                yield out
         state.update((prev_hash,))
         state.setTimeoutDuration(ttl_ms)  # refresh-on-read (cache.js:79)
-        if out:
-            yield pd.DataFrame(out)
 
     return fn
 
@@ -139,8 +145,14 @@ def stateful_ttl_dedup(
         int(ttl_hours * 3600 * 1000),
         stream.columns,
     )
+    # hash JVM-side with the SAME expression as the batch path (delta.py) —
+    # batch and streaming states share hash semantics, and Python only does
+    # one vectorized series compare per key-batch
+    hashed = stream.withColumn(
+        _TTL_HASH_COL, content_hash(stream.columns, exclude=(spec.ts_field,))
+    )
     return (
-        stream.filter(F.col(spec.id_field).isNotNull())
+        hashed.filter(F.col(spec.id_field).isNotNull())
         .groupBy(spec.id_field)
         .applyInPandasWithState(
             fn,

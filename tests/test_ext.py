@@ -186,6 +186,21 @@ def test_topk_partition_heap_matches_brute_force(spark, vectors):
     assert heap == exact
 
 
+def test_topk_auto_dispatch(spark, vectors):
+    from entity_etl_spark.ext.similarity import topk, topk_brute_force
+
+    q = vectors.filter("vec_id IN (0, 10)")
+    exact = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+             for r in topk_brute_force(vectors, q, k=3).collect()}
+    # force each strategy through the dispatcher + auto at both thresholds
+    for kwargs in ({"strategy": "brute"}, {"strategy": "heap"},
+                   {"strategy": "auto", "heap_threshold": 1},
+                   {"strategy": "auto", "heap_threshold": 10**9}):
+        got = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+               for r in topk(vectors, q, k=3, **kwargs).collect()}
+        assert got == exact, kwargs
+
+
 def test_ivf_topk_high_recall_on_clustered_data(spark):
     import math
 

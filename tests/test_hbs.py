@@ -1,0 +1,98 @@
+"""Golden tests for the Handlebars-dialect compiler (hbs.py) against the
+reference's own template + fixture (reference test/templates.test.js:24-43,
+templates/awsElb.hbs)."""
+
+import os
+
+import pytest
+
+from entity_etl_spark.hbs import compile_hbs, render_hbs
+
+# templates/awsElb.hbs, byte-for-byte (fixture data, cited above)
+AWS_ELB_HBS = (
+    '{\n'
+    '"cmdb_ci": "{{entity.aws_arn}}",\n'
+    '"asset": "{{entity.AWSUniqueId}}",\n'
+    '"install_date": "{{entity.aws_create_time}}",\n'
+    '"name": "{{#with entity.aws_tag_Name}}{{.}}{{else}}'
+    '{{entity.AWSUniqueId}}{{/with}}",\n'
+    '"type": "ELB"\n'
+    '}'
+)
+
+REF_PATH = "/root/reference/templates/awsElb.hbs"
+
+
+def _fixture_df(spark, tag_name):
+    return spark.createDataFrame(
+        [("arn-1", "awsuid-2", "2020-05-12T12:34:56.123Z", tag_name)],
+        "aws_arn string, AWSUniqueId string, aws_create_time string, "
+        "aws_tag_Name string",
+    )
+
+
+def test_template_matches_reference_file():
+    if not os.path.exists(REF_PATH):
+        pytest.skip("reference checkout not present")
+    with open(REF_PATH) as f:
+        assert f.read() == AWS_ELB_HBS
+
+
+def test_awselb_render_byte_identical(spark):
+    # reference fixture entity (test/templates.test.js:26-33) renders to the
+    # template text with refs substituted — newlines and all
+    out = render_hbs(_fixture_df(spark, "name-3"), AWS_ELB_HBS).first()["rendered"]
+    assert out == (
+        '{\n'
+        '"cmdb_ci": "arn-1",\n'
+        '"asset": "awsuid-2",\n'
+        '"install_date": "2020-05-12T12:34:56.123Z",\n'
+        '"name": "name-3",\n'
+        '"type": "ELB"\n'
+        '}'
+    )
+    import json
+
+    assert json.loads(out) == {
+        "cmdb_ci": "arn-1",
+        "asset": "awsuid-2",
+        "install_date": "2020-05-12T12:34:56.123Z",
+        "name": "name-3",
+        "type": "ELB",
+    }
+
+
+def test_with_fallback_on_empty_and_null(spark):
+    for tag in ("", None):
+        out = render_hbs(_fixture_df(spark, tag), AWS_ELB_HBS).first()["rendered"]
+        assert '"name": "awsuid-2"' in out
+
+
+def test_mustache_escapes_html_triple_does_not(spark):
+    df = _fixture_df(spark, 'a&b<c>"d\'e`f=g')
+    esc = render_hbs(df, "{{entity.aws_tag_Name}}").first()["rendered"]
+    assert esc == "a&amp;b&lt;c&gt;&quot;d&#x27;e&#x60;f&#x3D;g"
+    raw = render_hbs(df, "{{{entity.aws_tag_Name}}}").first()["rendered"]
+    assert raw == 'a&b<c>"d\'e`f=g'
+
+
+def test_with_numeric_zero_is_falsy(spark):
+    df = spark.createDataFrame([(0, "fb"), (7, "fb")], ["n", "alt"])
+    tpl = "{{#with entity.n}}{{.}}{{else}}{{entity.alt}}{{/with}}"
+    rows = render_hbs(df.orderBy("n"), tpl).collect()
+    assert [r["rendered"] for r in rows] == ["fb", "7"]
+
+
+def test_missing_column_renders_empty_and_env(spark):
+    df = _fixture_df(spark, "x")
+    assert render_hbs(df, "[{{entity.nope}}]").first()["rendered"] == "[]"
+    os.environ["HBS_TEST_FOO"] = "bar"
+    assert (
+        render_hbs(df, "foo={{env.HBS_TEST_FOO}}").first()["rendered"] == "foo=bar"
+    )
+
+
+def test_each_rejected(spark):
+    df = _fixture_df(spark, "x")
+    with pytest.raises(ValueError, match="each"):
+        compile_hbs("{{#each entities}}{{{.}}}{{/each}}", df)
