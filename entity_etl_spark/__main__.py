@@ -49,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
         print(USAGE)
         return 0
 
+    from .log import setup_logger
     from .model import EngineConfig, TableSpec
     from .pipeline import run_all
     from .session import get_spark
@@ -61,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
+    setup_logger(os.environ.get("ENGINE_LOG_LEVEL", "info"))
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="entity-etl-spark-cli")
     spark.sparkContext.setLogLevel("WARN")

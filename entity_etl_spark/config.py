@@ -56,6 +56,10 @@ def load_config(path: str, ctx: Mapping[str, Any] | None = None) -> EngineConfig
     with open(path) as f:
         raw = json.load(f)
     raw = _render_deep(raw, ctx or {})
+    # reference index.js boot order: logger first, from config.json:2
+    from .log import setup_logger
+
+    setup_logger(str(raw.get("logLevel", "info")))
     return EngineConfig(
         max_batch_size=int(raw.get("maxBatchSize", 10_000)),
         state_ttl_hours=float(raw.get("entitiesCacheTtlInHours", 8)),

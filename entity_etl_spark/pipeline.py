@@ -29,6 +29,7 @@ from . import batch as batch_mod
 from . import checkpoint as ckpt_mod
 from . import state as state_mod
 from .delta import changed_rows
+from .log import log
 from .mapping import apply_mapping, to_json_rows
 from .model import EngineConfig, TableSpec
 
@@ -165,6 +166,11 @@ def run_incremental(
         batches=n_batches,
         checkpoint_ms=new_ckpt,
     )
+    # reference per-type summary logging (app.js:56-58)
+    log.info(
+        "%s: input=%d emitted=%d batches=%d checkpoint=%d",
+        spec.name, n_input, emitted, n_batches, new_ckpt,
+    )
     incoming.unpersist()
     bodies.unpersist()
     return result
@@ -244,7 +250,7 @@ def run_all(
         if req and spec.name not in req:
             continue
         if spec.name not in projections:
-            print(f"WARN: no projection spec for table {spec.name}; skipping")
+            log.warning("no projection spec for table %s; skipping", spec.name)
             continue
         results.append(
             run_incremental(
