@@ -101,6 +101,62 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction.
+    High repetition (low distinct fraction / high top fractions) is the
+    classic low-quality-document filter for pre-training corpora.
+
+    Shape: one explode + two-level aggregation keyed by (doc, gram) then
+    doc — map-side combined, shuffle carries only (doc, gram, count) rows.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        toks.alias("__t"),
+        F.size(toks).alias("n_tokens"),
+    )
+    uni = base.select(
+        "doc", "n_tokens", F.explode("__t").alias("g"), F.lit(1).alias("k")
+    )
+    bi = base.select(
+        "doc",
+        "n_tokens",
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+        F.lit(2).alias("k"),
+    )
+    grams = uni.unionByName(bi)
+    per_gram = grams.groupBy("doc", "n_tokens", "k", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc", "n_tokens").agg(
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("n_distinct"),
+        F.max(F.when(F.col("k") == 1, F.col("c")).otherwise(0)).alias("top1"),
+        F.max(F.when(F.col("k") == 2, F.col("c")).otherwise(0)).alias("top2"),
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "distinct_token_frac"
+        ),
+        F.round(F.col("top1") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.round(
+            F.col("top2") / F.greatest(F.col("n_tokens") - 1, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def doc_fingerprint(text_col: str | Column, algo: str = "md5") -> Column:
     """Stable whole-document fingerprint (md5 hex); see ext.dedup for
     similarity-preserving fingerprints (MinHash/SimHash)."""

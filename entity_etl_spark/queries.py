@@ -2678,3 +2678,408 @@ def q_hbs_render(spark: SparkSession, sf: str) -> DataFrame:
         "{{#with entity.maybe_lang}}{{{.}}}{{else}}{{{entity.fb}}}{{/with}}"
     )
     return render_hbs(docs, tpl).select("doc_id", "rendered")
+
+
+# ---------------------------------------------------------------------------
+# Round 2: training-data pipeline surface (PII, quality, packing,
+# contamination) + engine-surface breadth (recursive CTE, posexplode,
+# catalog, orchestration-as-query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_redact",
+    r"""
+    WITH staged AS (
+      SELECT doc_id,
+             text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip=10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || ' ssn=123-45-6789 tel=+1-555-867-5309' AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b')) AS INT)
+             AS n_ssn,
+           CAST(len(regexp_extract_all(txt,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(txt,
+             '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS INT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '[PHONE]', 'g')
+             AS redacted
+    FROM staged
+    """,
+    doc="Training-data hygiene: PII detection counts + masking over "
+    "document text (emails, SSNs, IPv4, phone numbers), pure "
+    "regexp_count/regexp_replace column expressions — map-only, no "
+    "shuffle, the single-scan 100 TB shape (ext/pii.py). Deterministic "
+    "PII is injected per doc so the operator is exercised on every row.",
+    tags=("ext",),
+)
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.pii import pii_counts, redact_pii
+
+    docs = read_sf_table(spark, sf, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip=10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" ssn=123-45-6789 tel=+1-555-867-5309"),
+        ).alias("txt"),
+    )
+    return staged.select(
+        "doc_id", *pii_counts("txt"), redact_pii("txt").alias("redacted")
+    )
+
+
+@register(
+    "repetition_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
+    uni AS (SELECT doc_id, n_tokens, unnest(w) AS g FROM base),
+    uc AS (SELECT doc_id, n_tokens, g, count(*) AS c FROM uni GROUP BY 1, 2, 3),
+    ustats AS (
+      SELECT doc_id, n_tokens, count(*) AS n_distinct, max(c) AS top1
+      FROM uc GROUP BY 1, 2
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(w[1:len(w)-1]) || ' ' || unnest(w[2:len(w)]) AS g
+      FROM base WHERE len(w) >= 2
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+    bstats AS (SELECT doc_id, max(c) AS top2 FROM bc GROUP BY 1)
+    SELECT u.doc_id, u.n_tokens,
+           round(n_distinct / CAST(n_tokens AS DOUBLE), 6)
+             AS distinct_token_frac,
+           round(top1 / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac,
+           round(coalesce(top2, 0)
+                 / CAST(greatest(n_tokens - 1, 1) AS DOUBLE), 6)
+             AS top_bigram_frac
+    FROM ustats u LEFT JOIN bstats b USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals per document: distinct-"
+    "token fraction, top-token fraction, top-bigram fraction — the "
+    "standard low-quality filter for pre-training corpora "
+    "(ext/text.py repetition_metrics). Shuffle carries only "
+    "(doc, gram, count) rows, map-side combined.",
+    tags=("ext",),
+)
+def q_repetition_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import repetition_metrics
+
+    docs = read_sf_table(spark, sf, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
+@register(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT source AS shard, doc_id AS doc_key,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    o AS (
+      SELECT shard, doc_key, n,
+             CAST(coalesce(sum(n) OVER (
+               PARTITION BY shard ORDER BY doc_key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS off
+      FROM t
+    ),
+    ex AS (
+      SELECT shard, doc_key, off, n,
+             unnest(range(off // 1024,
+                          (off + greatest(n, 1) - 1) // 1024 + 1)) AS seq_id
+      FROM o
+    )
+    SELECT shard, doc_key, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(least((seq_id + 1) * 1024, off + n)
+                - greatest(seq_id * 1024, off) AS BIGINT) AS span_tokens
+    FROM ex
+    """,
+    doc="GPT-style concat-and-chunk sequence packing: documents laid "
+    "end-to-end per shard (source column) and sliced into 1024-token "
+    "training sequences; docs straddling a boundary split across both "
+    "(ext/packing.py). Pure window arithmetic + one explode; packing is "
+    "per-shard so the running sum never serializes globally.",
+    tags=("ext",),
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.packing import pack_sequences
+    from .ext.text import token_count
+
+    docs = read_sf_table(spark, sf, "documents").select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "n_tokens", capacity=1024, shard_col="source", order_col="doc_id"
+    )
+
+
+@register(
+    "contamination_check",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+    ),
+    bench AS (SELECT doc_id, s FROM sh WHERE doc_id < 20),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+    SELECT corp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT bench.doc_id) AS BIGINT) AS n_bench_docs
+    FROM corp JOIN bench ON corp.s = bench.s
+    GROUP BY corp.doc_id
+    """,
+    doc="Benchmark-contamination check: 5-gram shingle overlap between the "
+    "corpus and a held-out benchmark set (docs 0-19) — the standard "
+    "eval-leakage scan before training. One equi-join keyed by shingle; "
+    "cost scales with shared shingles, not |corpus|x|bench|.",
+    tags=("ext",),
+)
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import shingles
+
+    docs = read_sf_table(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text", 5)).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corp = sh.filter(F.col("doc_id") >= 20)
+    return (
+        corp.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "fuzzy_verify_levenshtein",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(substring(ta.text, 1, 100),
+                            substring(tb.text, 1, 100)) AS INT) AS edit_dist
+    FROM pairs
+    JOIN documents ta ON ta.doc_id = doc_a
+    JOIN documents tb ON tb.doc_id = doc_b
+    """,
+    doc="Edit-distance refinement of near-dup candidates: levenshtein over "
+    "100-char prefixes of each candidate pair — the cheap second-stage "
+    "verifier (built-in levenshtein, cost scales with candidates, never "
+    "|corpus|^2).",
+    tags=("ext",),
+)
+def q_fuzzy_verify_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import jaccard_pairs
+
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 100).alias("__pa"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 100).alias("__pb"),
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__pa", "__pb").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "posexplode_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT doc_id,
+           CAST(unnest(range(1, len(w) + 1)) - 1 AS INT) AS pos,
+           unnest(w) AS token
+    FROM t
+    """,
+    doc="Position-aware explode (posexplode / LATERAL VIEW surface): "
+    "token stream with 0-based positions per document.",
+    tags=("functions",),
+)
+def q_posexplode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 5)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+
+
+@register(
+    "recursive_weekly_spine",
+    """
+    WITH RECURSIVE spine(d) AS (
+      SELECT CAST('2024-01-01' AS DATE)
+      UNION ALL
+      SELECT CAST(d + INTERVAL 7 DAY AS DATE) FROM spine
+      WHERE d < CAST('2024-01-29' AS DATE)
+    )
+    SELECT s.d AS week_start, CAST(count(e.event_id) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN events e
+      ON CAST(e.ts AS DATE) >= s.d
+     AND CAST(e.ts AS DATE) < s.d + INTERVAL 7 DAY
+    GROUP BY s.d
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): weekly date spine "
+    "generated by recursion + range-joined event counts — the "
+    "gap-preserving rollup pattern without a pre-materialized calendar "
+    "table.",
+    tags=("analytics",),
+)
+def q_recursive_weekly_spine(spark: SparkSession, sf: str) -> DataFrame:
+    read_sf_table(spark, sf, "events").createOrReplaceTempView(
+        "__events_spine_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT CAST('2024-01-01' AS DATE)
+          UNION ALL
+          SELECT CAST(d + INTERVAL 7 DAY AS DATE) FROM spine
+          WHERE d < CAST('2024-01-29' AS DATE)
+        )
+        SELECT s.d AS week_start, CAST(count(e.event_id) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN __events_spine_v e
+          ON CAST(e.ts AS DATE) >= s.d
+         AND CAST(e.ts AS DATE) < s.d + INTERVAL 7 DAY
+        GROUP BY s.d
+        """
+    )
+
+
+@register(
+    "catalog_discovery",
+    """
+    SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows, 2 AS n_cols FROM region
+    UNION ALL SELECT 'nation', count(*), 3 FROM nation
+    UNION ALL SELECT 'customer', count(*), 5 FROM customer
+    UNION ALL SELECT 'supplier', count(*), 4 FROM supplier
+    UNION ALL SELECT 'part', count(*), 6 FROM part
+    UNION ALL SELECT 'orders', count(*), 6 FROM orders
+    UNION ALL SELECT 'lineitem', count(*), 11 FROM lineitem
+    UNION ALL SELECT 'events', count(*), 6 FROM events
+    UNION ALL SELECT 'documents', count(*), 5 FROM documents
+    UNION ALL SELECT 'embeddings', count(*), 3 FROM embeddings
+    """,
+    doc="O2 catalog/type discovery as a driver-checkable query: per-table "
+    "row count + column count from the live schemas (reference "
+    "discovery loop, app.js:20-27 over configured entity types). Oracle "
+    "pins the schema contract.",
+    tags=("reference",),
+)
+def q_catalog_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    from functools import reduce
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    parts = []
+    for t in tables:
+        d = read_sf_table(spark, sf, t)
+        parts.append(
+            d.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(len(d.columns)).cast("int").alias("n_cols"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+@register(
+    "pipeline_incremental_run",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS input_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS emitted_rows
+    FROM events
+    """,
+    doc="O16 orchestration as a driver-checkable query: one full "
+    "run_incremental over the events table from a fresh state dir "
+    "(initial checkpoint 1 => full history; empty state => every latest "
+    "row emits). Returns the run metrics; batch count is excluded "
+    "(partition-layout dependent).",
+    tags=("reference",),
+)
+def q_pipeline_incremental_run(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .model import EngineConfig, TableSpec
+    from .pipeline import run_incremental
+
+    events = read_sf_table(spark, sf, "events")
+    spec = TableSpec(name="events", id_field="event_id", ts_field="ts")
+    projection = [
+        {"target": "id", "source": "event_id"},
+        {"target": "type", "source": "event_type"},
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        cfg = EngineConfig(state_dir=td)
+        res = run_incremental(
+            spark, spec, events, projection, cfg, lambda bodies: None
+        )
+    return spark.createDataFrame(
+        [(res.input_rows, res.emitted_rows)],
+        "input_rows bigint, emitted_rows bigint",
+    )

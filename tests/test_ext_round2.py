@@ -1,0 +1,86 @@
+"""Unit tests for the round-2 training-data operators (pii, packing,
+repetition metrics)."""
+
+from pyspark.sql import functions as F
+
+from entity_etl_spark.ext.packing import pack_sequences
+from entity_etl_spark.ext.pii import pii_counts, redact_pii
+from entity_etl_spark.ext.text import repetition_metrics
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.org or call +1-555-123-4567"),
+            (2, "ssn 123-45-6789 from host 192.168.0.1"),
+            (3, "clean text with no pii at all"),
+        ],
+        "id long, txt string",
+    )
+    out = df.select("id", *pii_counts("txt"), redact_pii("txt").alias("r"))
+    rows = {r["id"]: r for r in out.collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1)
+    assert (rows[2]["n_ssn"], rows[2]["n_ipv4"]) == (1, 1)
+    assert rows[1]["r"] == "mail me at [EMAIL] or call [PHONE]"
+    assert rows[2]["r"] == "ssn [SSN] from host [IP]"
+    assert rows[3]["r"] == "clean text with no pii at all"
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [("s1", i, 40 + (i * 13) % 50) for i in range(30)]
+        + [("s2", i, 250) for i in range(5)],
+        "shard string, doc long, n long",
+    )
+    out = pack_sequences(docs, "n", capacity=100, shard_col="shard", order_col="doc")
+    rows = out.collect()
+    # every doc's spans sum to its token count
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r["shard"], r["doc_key"]), 0)
+        per_doc[(r["shard"], r["doc_key"])] += r["span_tokens"]
+    src = {(r["shard"], r["doc"]): r["n"] for r in docs.collect()}
+    assert per_doc == src
+    # every sequence except each shard's last holds exactly `capacity`
+    per_seq = {}
+    for r in rows:
+        per_seq.setdefault((r["shard"], r["seq_id"]), 0)
+        per_seq[(r["shard"], r["seq_id"])] += r["span_tokens"]
+    for shard in ("s1", "s2"):
+        seqs = sorted(k[1] for k in per_seq if k[0] == shard)
+        assert seqs == list(range(len(seqs)))  # dense 0..N
+        for s in seqs[:-1]:
+            assert per_seq[(shard, s)] == 100
+        assert 0 < per_seq[(shard, seqs[-1])] <= 100
+
+
+def test_pack_sequences_long_doc_spans_many(spark):
+    docs = spark.createDataFrame(
+        [("s", 0, 10), ("s", 1, 350), ("s", 2, 10)], "shard string, doc long, n long"
+    )
+    out = pack_sequences(docs, "n", capacity=100, shard_col="shard", order_col="doc")
+    spans = sorted(
+        (r["seq_id"], r["span_tokens"])
+        for r in out.filter(F.col("doc_key") == 1).collect()
+    )
+    # doc 1 starts at offset 10, runs to 360: spans seqs 0-3
+    assert spans == [(0, 90), (1, 100), (2, 100), (3, 60)]
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated 4x
+            (2, "w x y z"),            # all distinct
+            (3, "go go go stop"),      # top bigram "go go" = 2 of 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out[1]["distinct_token_frac"] == 0.25
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["distinct_token_frac"] == 1.0
+    assert out[2]["top_token_frac"] == 0.25
+    assert out[3]["top_token_frac"] == 0.75
+    assert out[3]["top_bigram_frac"] == round(2 / 3, 6)
