@@ -2,11 +2,15 @@
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side mechanics — schema, Arrow batching,
-partition sizing — are real and tested; the actual media decoding is stubbed
-(``decode_stub='fake'`` produces deterministic pseudo-features;
-``'error'`` raises NotImplementedError) because codec libraries are not
-available in this environment. Swapping in a real decoder changes ONE
-function body (``_decode_batch``), nothing else.
+partition sizing — are real and tested. Decoding: REAL for formats numpy
+can parse without codec libraries — WAV/PCM (:mod:`audio`) and
+uncompressed BMP (:mod:`image`), both driver-oracle-verified through the
+full binary round trip. THIS module's generic ``_decode_batch`` remains the
+stub seam for compressed codecs (JPEG/MP3/H.264: ``mode='fake'`` produces
+deterministic pseudo-features; ``'error'`` raises NotImplementedError)
+because those libraries are not in this environment. Swapping in a real
+codec changes ONE function body, nothing else — exactly as audio.py/image.py
+demonstrate.
 
 Scale notes: media blobs dominate partition size — repartition so each
 partition stays within executor memory (``target_rows_per_partition``), and

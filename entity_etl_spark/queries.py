@@ -3083,3 +3083,62 @@ def q_pipeline_incremental_run(spark: SparkSession, sf: str) -> DataFrame:
         [(res.input_rows, res.emitted_rows)],
         "input_rows bigint, emitted_rows bigint",
     )
+
+
+@register(
+    "audio_wav_features",
+    """
+    -- the decoded features restated over the source floats: the WAV
+    -- payload quantizes each embedding half-up to int16 PCM, and int
+    -- sample math is exact in double precision, so the oracle reproduces
+    -- the full binary round trip relationally.
+    SELECT vec_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(len(embedding) AS INT) AS n_samples,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> pow(greatest(least(floor(CAST(x AS DOUBLE) * 32767 + 0.5),
+                               32767), -32768), 2))) / len(embedding)), 6)
+             AS rms,
+           CAST(list_max(list_transform(embedding,
+             x -> abs(greatest(least(floor(CAST(x AS DOUBLE) * 32767 + 0.5),
+                               32767), -32768)))) AS INT) AS peak_abs
+    FROM embeddings
+    """,
+    doc="E5 with a REAL decoder: embeddings -> 16-bit PCM WAV blobs -> "
+    "RIFF header parse + numpy sample decode -> per-clip features "
+    "(ext/audio.py). Two Arrow mapInPandas passes; blobs never shuffle. "
+    "Oracle re-derives the decoded stats from the source floats through "
+    "the exact int16 quantization.",
+    tags=("ext",),
+)
+def q_audio_wav_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.audio import decode_wav_features, synthesize_wav
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return decode_wav_features(synthesize_wav(emb))
+
+
+@register(
+    "image_bmp_features",
+    """
+    SELECT vec_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           round(list_sum(list_transform(embedding,
+             x -> greatest(least(floor((CAST(x AS DOUBLE) + 1) / 2 * 255
+                                       + 0.5), 255), 0)))
+                 / len(embedding), 6) AS mean_pixel
+    FROM embeddings
+    """,
+    doc="E5 with a REAL decoder: embeddings -> uncompressed 24-bit BMP "
+    "blobs -> BITMAPINFOHEADER parse + numpy pixel decode (bottom-up row "
+    "flip) -> per-image features (ext/image.py). Oracle re-derives the "
+    "mean pixel from the source floats through the exact byte "
+    "quantization.",
+    tags=("ext",),
+)
+def q_image_bmp_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.image import decode_bmp_features, synthesize_bmp
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return decode_bmp_features(synthesize_bmp(emb))

@@ -84,3 +84,47 @@ def test_repetition_metrics(spark):
     assert out[2]["top_token_frac"] == 0.25
     assert out[3]["top_token_frac"] == 0.75
     assert out[3]["top_bigram_frac"] == round(2 / 3, 6)
+
+
+def test_wav_round_trip_exact(spark):
+    import numpy as np
+
+    from entity_etl_spark.ext.audio import _decode_wav, _encode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int64)
+    rate, n, data = _decode_wav(_encode_wav(samples, rate=16000))
+    assert (rate, n) == (16000, 6)
+    assert data.tolist() == samples.tolist()
+
+
+def test_wav_decoder_rejects_garbage(spark):
+    import pytest as _pytest
+
+    from entity_etl_spark.ext.audio import _decode_wav
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"not a wav file at all........................")
+
+
+def test_bmp_round_trip_exact(spark):
+    import numpy as np
+
+    from entity_etl_spark.ext.image import _decode_bmp, _encode_bmp
+
+    gray = np.arange(64, dtype=np.uint8) * 4
+    w, h, img = _decode_bmp(_encode_bmp(gray))
+    assert (w, h) == (8, 8)
+    # all three channels carry the gray value, top-down order restored
+    assert img[:, :, 0].reshape(-1).tolist() == gray.tolist()
+    assert (img[:, :, 0] == img[:, :, 1]).all() and (img[:, :, 1] == img[:, :, 2]).all()
+
+
+def test_wav_features_via_spark(spark):
+    from entity_etl_spark.ext.audio import decode_wav_features, synthesize_wav
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, -0.5, 1.0])], "vec_id long, embedding array<float>"
+    )
+    row = decode_wav_features(synthesize_wav(df)).first()
+    assert row["n_samples"] == 4 and row["sample_rate"] == 8000
+    assert row["peak_abs"] == 32767  # 1.0 quantizes to full scale
