@@ -3293,3 +3293,115 @@ def q_incremental_rollup_merge(spark: SparkSession, sf: str) -> DataFrame:
         "day", "event_type", F.col("n").cast("bigint").alias("n"),
         F.round("sv", 2).alias("total_value"),
     )
+
+
+@register(
+    "pandas_udaf_geomean",
+    """
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+    doc="True UDAF surface: a pandas_udf GROUPED_AGG aggregator (geometric "
+    "mean via numpy) — Arrow-batched per group, the escape hatch for "
+    "aggregations Spark lacks. Oracle restates it as exp(avg(ln)).",
+    tags=("functions",),
+)
+def q_pandas_udaf_geomean(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: queries.py uses `from __future__ import
+    # annotations`, which stringifies hints and defeats signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    ev = read_sf_table(spark, sf, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 6).alias("geo_mean")
+    )
+
+
+@register(
+    "pandas_scalar_udf_logistic",
+    """
+    SELECT event_id,
+           round(1 / (1 + exp(-(value - 35) / 10)), 6) AS score
+    FROM events WHERE event_id < 1000
+    """,
+    doc="Vectorized SCALAR pandas UDF surface: logistic scoring over Arrow "
+    "batches (numpy) — the 10-100x-over-row-Python path for logic that "
+    "genuinely needs Python. Oracle restates the closed form.",
+    tags=("functions",),
+)
+def q_pandas_scalar_udf_logistic(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def logistic(v):
+        x = v.to_numpy(dtype=np.float64)
+        return pd.Series(1.0 / (1.0 + np.exp(-(x - 35.0) / 10.0)))
+
+    ev = read_sf_table(spark, sf, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id", F.round(logistic("value"), 6).alias("score")
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 2) AS v_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-frame window (value-based, not row-based): per user, the "
+    "trailing-hour event count and value sum at every event — the "
+    "point-in-time feature-engineering frame (leakage-free trailing "
+    "aggregates for training data).",
+    tags=("analytics",),
+)
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_sf_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts") / 1_000_000)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("v_last_hour"),
+    )
+
+
+@register(
+    "mode_aggregate",
+    """
+    SELECT user_id, min(m) AS top_type FROM (
+      SELECT user_id, event_type AS m,
+             rank() OVER (PARTITION BY user_id ORDER BY count(*) DESC)
+               AS rnk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rnk = 1 GROUP BY user_id
+    """,
+    doc="mode() aggregate (Spark 4 deterministic mode): each user's most "
+    "frequent event type; ties broken by taking the minimum value so both "
+    "engines agree. Oracle restates mode as rank-over-counts.",
+    tags=("analytics",),
+)
+def q_mode_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    # deterministic=true -> lowest value among equally-frequent candidates
+    return ev.groupBy("user_id").agg(
+        F.expr("mode(event_type, true)").alias("top_type")
+    )
