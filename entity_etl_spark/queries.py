@@ -3405,3 +3405,114 @@ def q_mode_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.expr("mode(event_type, true)").alias("top_type")
     )
+
+
+@register(
+    "try_arithmetic_funcs",
+    """
+    SELECT event_id,
+           CASE WHEN value = 0 THEN NULL ELSE round(100 / value, 6) END
+             AS safe_div,
+           TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+           TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast
+    FROM events WHERE event_id < 2000
+    """,
+    doc="ANSI null-safety surface: try_divide / try_cast return NULL "
+    "instead of raising on bad input — the fault-tolerant expression set "
+    "a dirty 100 TB corpus needs (no task retries from one bad row).",
+    tags=("functions",),
+)
+def q_try_arithmetic_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.lit(100), F.col("value")), 6).alias("safe_div"),
+        F.try_to_number(F.col("event_type"), F.lit("999")).cast("double").alias(
+            "bad_cast"
+        ),
+        F.col("event_id").cast("string").try_cast("bigint").alias("good_cast"),
+    )
+
+
+@register(
+    "array_higher_order_funcs",
+    """
+    WITH t AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < 100
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_positive,
+           CAST(list_bool_or(list_transform(e, x -> abs(x) > 0.2)) AS BOOLEAN)
+             AS any_large,
+           CAST(list_bool_and(list_transform(e, x -> abs(x) < 1)) AS BOOLEAN)
+             AS all_unit,
+           round(list_sum(list_transform(e, x -> x * x)), 6) AS sum_sq
+    FROM t
+    """,
+    doc="Array higher-order functions (filter / exists / forall / "
+    "aggregate): per-vector predicates and folds entirely JVM-side — the "
+    "lambda surface that keeps array logic out of Python.",
+    tags=("functions",),
+)
+def q_array_higher_order_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.exists(e, lambda x: F.abs(x) > 0.2).alias("any_large"),
+        F.forall(e, lambda x: F.abs(x) < 1).alias("all_unit"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sum_sq"),
+    )
+
+
+@register(
+    "format_roundtrip_orc_csv",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS checksum,
+           true AS orc_matches, true AS csv_matches
+    FROM documents
+    """,
+    doc="Format/connector surface: documents round-trip through ORC and "
+    "CSV (write + read back under /tmp) and must reproduce the row count "
+    "and a content checksum exactly — the storage-format portability "
+    "claim as a driver row.",
+    tags=("functions",),
+)
+def q_format_roundtrip_orc_csv(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    docs = read_sf_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("ck")
+    ).first()
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").orc(td + "/o")
+        docs.write.mode("overwrite").option("header", True).csv(td + "/c")
+        o = spark.read.orc(td + "/o").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("ck")
+        ).first()
+        c = (
+            spark.read.option("header", True)
+            .schema("doc_id long, lang string, source string, n_chars long")
+            .csv(td + "/c")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("ck"))
+            .first()
+        )
+    return spark.createDataFrame(
+        [
+            (
+                agg["n"],
+                agg["ck"],
+                (o["n"], o["ck"]) == (agg["n"], agg["ck"]),
+                (c["n"], c["ck"]) == (agg["n"], agg["ck"]),
+            )
+        ],
+        "n_rows bigint, checksum bigint, orc_matches boolean, csv_matches boolean",
+    )
