@@ -32,16 +32,22 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_payload: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right_ts <= left_ts`` within the same key (NULLs when none).
+    """For each left row: columns of the matching right row within the same
+    key (NULLs when none) — ``direction="backward"``: the LATEST right row
+    with ``right_ts <= left_ts``; ``"forward"``: the EARLIEST right row
+    with ``right_ts >= left_ts`` (both inclusive, like pd.merge_asof
+    directions / DuckDB ASOF JOIN's >= and <= forms).
 
     Union-and-window instead of a join: tag sides, sort by (ts, side) within
-    key, and carry the right payload forward with last(ignorenulls). Right
-    rows at exactly left_ts sort before left rows, so ties match (<=
-    semantics, like pd.merge_asof / DuckDB ASOF JOIN). One shuffle (the
-    window partition), no join, no nested loop — at 100 TB this is the
-    difference between a partition sort and a quadratic explosion."""
+    key — descending for the forward direction — and carry the right payload
+    with last(ignorenulls). Right rows at exactly left_ts sort before left
+    rows, so ties match. One shuffle (the window partition), no join, no
+    nested loop — at 100 TB this is the difference between a partition sort
+    and a quadratic explosion."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction}")
     lcols = left.columns
     l = left.select(
         F.col(key).alias("__k"),
@@ -58,9 +64,14 @@ def asof_join(
         F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
     )
+    order = (
+        [F.col("__ts").asc(), F.col("__is_left").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__is_left").asc()]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).select(

@@ -3516,3 +3516,93 @@ def q_format_roundtrip_orc_csv(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "n_rows bigint, checksum bigint, orc_matches boolean, csv_matches boolean",
     )
+
+
+@register(
+    "asof_join_forward",
+    f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{DUCK_TS_FMT}') AS purchase_ts,
+           strftime(s.ts, '{DUCK_TS_FMT}') AS next_signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts <= s.ts
+    """,
+    doc="Forward as-of join (pd.merge_asof direction='forward'): the "
+    "EARLIEST signup at-or-after each purchase per user — same "
+    "union + last-value window shape, descending time order.",
+    tags=("custom",),
+)
+def q_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import asof_join
+
+    ev = read_sf_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(
+        purchases, signups, "user_id", "ts", "signup_ts", ["signup_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts_str(F.col("ts")).alias("purchase_ts"),
+        _ts_str(F.col("signup_ts")).alias("next_signup_ts"),
+    )
+
+
+@register(
+    "argmax_histogram_funcs",
+    """
+    WITH am AS (
+      SELECT event_type, max(value) AS max_value
+      FROM events GROUP BY event_type
+    ),
+    winner AS (
+      SELECT e.event_type, CAST(max(e.event_id) AS BIGINT) AS max_event_id
+      FROM events e JOIN am ON e.event_type = am.event_type
+                         AND e.value = am.max_value
+      GROUP BY e.event_type
+    ),
+    hist AS (
+      -- width_bucket(value, 0, 50, 10) restated (DuckDB lacks the fn):
+      -- 10 buckets of width 5, underflow -> 0, overflow -> 11
+      SELECT event_type,
+             CASE WHEN value < 0 THEN 0
+                  WHEN value >= 50 THEN 11
+                  ELSE CAST(floor(value / 5) + 1 AS BIGINT) END AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.bucket, h.n, w.max_event_id,
+           round(am.max_value, 4) AS max_value
+    FROM hist h
+    JOIN winner w ON w.event_type = h.event_type
+    JOIN am ON am.event_type = h.event_type
+    """,
+    doc="argmax/argmin + histogram surface: max_by with a struct ordering "
+    "key (deterministic tie-break on id) and width_bucket value "
+    "histograms — the 'which row achieved the aggregate' pattern without "
+    "a self-join (one aggregation, no re-scan).",
+    tags=("analytics",),
+)
+def q_argmax_histogram_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias(
+            "max_event_id"
+        ),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    hist = ev.groupBy(
+        "event_type",
+        F.expr("width_bucket(value, 0, 50, 10)").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hist.join(per_type, "event_type").select(
+        "event_type", "bucket", "n", "max_event_id", "max_value"
+    )

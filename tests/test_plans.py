@@ -141,3 +141,22 @@ def test_pii_redact_is_map_only(spark):
     assert "Exchange" not in body
     # '*(1)' prefix = the whole projection runs in one codegen stage
     assert plan_of(out).startswith("*(1)")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout + a partition-column predicate must prune at
+    planning time: the scan reads ONE partition directory, and the filter
+    appears as a PartitionFilter, not a data filter."""
+    from entity_etl_spark.sources import read_sf_table
+
+    ev = read_sf_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter("event_type = 'purchase'")
+    plan = formatted_plan(back, spark)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # the predicate must NOT degrade to a post-scan data filter
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "event_type" not in pushed.group(1)
+    assert back.count() == ev.filter("event_type = 'purchase'").count()

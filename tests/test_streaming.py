@@ -89,3 +89,34 @@ def test_intra_batch_change_sequence_emitted_in_order(spark, tmp_path):
         (7, 1),
         (7, 2),
     ]
+
+
+def test_streaming_session_window_aggregation(spark, tmp_path):
+    """Event-time session windows in a streaming aggregation: events within
+    a 5-minute gap of each other merge into one session per id; watermark
+    bounds session state. Uses availableNow + complete drain."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # id 1: minutes 0,2,4 -> one session; minute 20 -> a second session.
+    # id 2: minute 1 only.
+    write_batch(spark, src, [(1, 1, 0), (1, 1, 2), (1, 1, 4), (1, 1, 20), (2, 1, 1)], 1)
+
+    stream = stream_source(spark, f"{src}/f*", SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    collected = []
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT id, n FROM sess_test").collect()
+    got = sorted((r["id"], r["n"]) for r in rows)
+    assert got == [(1, 1), (1, 3), (2, 1)]
