@@ -3606,3 +3606,30 @@ def q_argmax_histogram_funcs(spark: SparkSession, sf: str) -> DataFrame:
     return hist.join(per_type, "event_type").select(
         "event_type", "bucket", "n", "max_event_id", "max_value"
     )
+
+
+@register(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+           )) AS BIGINT) AS n_bpe_pretokens
+    FROM documents
+    """,
+    doc="E4 token counting, BPE-ish: the GPT-2 pre-tokenizer regex "
+    "(contraction suffixes, letter runs, digit runs, punctuation runs, "
+    "whitespace — lookahead dropped for RE2 compatibility) counted per "
+    "document. The whitespace twin is `token_counts`; real BPE merges "
+    "would run as an Arrow UDF over these pre-token streams.",
+    tags=("ext",),
+)
+def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    pat = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_pretokens"),
+    )

@@ -120,3 +120,42 @@ def test_streaming_session_window_aggregation(spark, tmp_path):
     rows = spark.sql("SELECT id, n FROM sess_test").collect()
     got = sorted((r["id"], r["n"]) for r in rows)
     assert got == [(1, 1), (1, 3), (2, 1)]
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (purchases x signups within 10 minutes):
+    both sides watermarked so join state is bounded; availableNow drain."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # x encodes the side: 1 = purchase, 2 = signup; id is the user key.
+    write_batch(
+        spark, src,
+        [(1, 1, 5), (2, 1, 30), (1, 2, 2), (2, 2, 50), (3, 1, 10)],
+        1,
+    )
+    stream = stream_source(spark, f"{src}/f*", SCHEMA)
+    purchases = (
+        stream.filter("x = 1")
+        .select("id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        stream.filter("x = 2")
+        .select(F.col("id").alias("s_id"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (purchases.id == signups.s_id)
+        & (signups.s_ts >= purchases.p_ts - F.expr("INTERVAL 10 MINUTES"))
+        & (signups.s_ts <= purchases.p_ts + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("id", "p_ts", "s_ts")
+    collected = []
+    run_available_now(
+        joined, ckpt, lambda df, _bid: collected.extend(df.collect())
+    )
+    # user 1: purchase @5 within 10 min of signup @2 -> joins.
+    # user 2: purchase @30 vs signup @50 -> outside the window, no row.
+    # user 3: no signup -> no row.
+    assert [r["id"] for r in collected] == [1]
