@@ -3633,3 +3633,71 @@ def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bpe_pretokens"),
     )
+
+
+@register(
+    "union_schema_evolution",
+    """
+    SELECT event_id, event_type, value, NULL AS extra_tag FROM events
+    WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type, NULL AS value, 'legacy' AS extra_tag
+    FROM events WHERE event_type = 'signup'
+    """,
+    doc="Schema-drift union (the reference's schemaless entity model, "
+    "SURVEY §1.3): two snapshots with different column sets union by NAME "
+    "with missing columns null-filled (unionByName allowMissingColumns) — "
+    "the append path when a source adds/drops fields between runs.",
+    tags=("functions",),
+)
+def q_union_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    old_shape = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value"
+    )
+    new_shape = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "event_type", F.lit("legacy").alias("extra_tag")
+    )
+    return old_shape.unionByName(new_shape, allowMissingColumns=True).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("extra_tag").cast("string").alias("extra_tag"),
+    )
+
+
+@register(
+    "approx_topk_tokens",
+    """
+    SELECT CAST(5 AS INT) AS k,
+           true AS counts_exact,
+           true AS within_exact_top10
+    FROM (SELECT 1)
+    """,
+    doc="E6 frequent-items sketch (approx_top_k) over the exploded token "
+    "stream, stated decidably: each sketched (item, count) must carry the "
+    "EXACT count (the tracker is sized above the distinct-token count) "
+    "and sit inside the exact top-10 (set containment dodges tie-order "
+    "ambiguity at the boundary).",
+    tags=("ext",),
+)
+def q_approx_topk_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    approx = (
+        toks.agg(F.expr("approx_top_k(tok, 5, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("ac"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ec"))
+    top10 = exact.orderBy(F.desc("ec"), "tok").limit(10)
+    joined = approx.join(exact, "tok", "left").join(
+        top10.select("tok", F.lit(True).alias("in10")), "tok", "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.min(F.col("ac") == F.col("ec")).alias("counts_exact"),
+        F.min(F.coalesce("in10", F.lit(False))).alias("within_exact_top10"),
+    )

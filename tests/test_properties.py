@@ -44,3 +44,61 @@ def test_config_template_plain_text_identity(name):
 @settings(max_examples=100)
 def test_config_template_ctx_substitution(val):
     assert render_config_template("x={{v}}", {"v": val}) == f"x={val}"
+
+
+# ---- pure-kernel properties of the round-2 operators ----
+
+
+def _pack_spans(sizes, capacity):
+    """Reference model of concat-and-chunk packing for one shard (mirrors
+    ext/packing.py's window arithmetic in plain Python)."""
+    spans, off = [], 0
+    for doc, n in enumerate(sizes):
+        first = off // capacity
+        last = (off + max(n, 1) - 1) // capacity
+        for s in range(first, last + 1):
+            spans.append(
+                (doc, s, min((s + 1) * capacity, off + n) - max(s * capacity, off))
+            )
+        off += n
+    return spans
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+    capacity=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=200)
+def test_packing_model_invariants(sizes, capacity):
+    spans = _pack_spans(sizes, capacity)
+    # every token lands exactly once
+    per_doc = {}
+    for doc, _s, tk in spans:
+        per_doc[doc] = per_doc.get(doc, 0) + tk
+    assert per_doc == {i: n for i, n in enumerate(sizes)}
+    # every sequence but the last is exactly full
+    per_seq = {}
+    for _doc, s, tk in spans:
+        per_seq[s] = per_seq.get(s, 0) + tk
+    seqs = sorted(per_seq)
+    assert seqs == list(range(len(seqs)))
+    for s in seqs[:-1]:
+        assert per_seq[s] == capacity
+    assert 0 <= per_seq[seqs[-1]] <= capacity
+
+
+@given(
+    a=st.integers(min_value=0, max_value=2**64 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+)
+@settings(max_examples=300)
+def test_simhash_blocked_join_never_misses(a, flips):
+    """The pigeonhole guarantee behind ext/dedup.simhash_near_dups: any
+    pair within Hamming distance 3 shares at least one of the 4 16-bit
+    blocks exactly, so the blocked equi-join can never drop a true pair."""
+    b = a
+    for bit in flips:
+        b ^= 1 << bit
+    blocks_a = [(a >> (16 * i)) & 0xFFFF for i in range(4)]
+    blocks_b = [(b >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(x == y for x, y in zip(blocks_a, blocks_b))
