@@ -3701,3 +3701,100 @@ def q_approx_topk_tokens(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.col("ac") == F.col("ec")).alias("counts_exact"),
         F.min(F.coalesce("in10", F.lit(False))).alias("within_exact_top10"),
     )
+
+
+@register(
+    "mixture_resample",
+    """
+    -- the mixture arithmetic restated: per-source acceptance rates applied
+    -- to a uniform deterministic hash of the doc id. hash(doc_id) must be
+    -- engine-portable, so the uniform variate is (doc_id * 2654435761) %
+    -- 1000 / 1000 (Knuth multiplicative hash — identical integer math in
+    -- any engine), not an engine hash function.
+    WITH rates AS (
+      SELECT DISTINCT source,
+             CASE CAST(substring(source, 4) AS INT) % 4
+               WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+               WHEN 2 THEN 0.25 ELSE 0.1 END AS rate
+      FROM documents
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ((d.doc_id * 2654435761) % 1000) / 1000.0 < r.rate
+    """,
+    doc="Training-mixture resampling: per-source acceptance rates (the "
+    "'data mixture' knob — upsample books/wiki, downsample news) applied "
+    "via a deterministic per-doc uniform variate, so the sample is "
+    "reproducible, growth-stable, and needs no shuffle (broadcast the "
+    "rate table, filter map-side).",
+    tags=("ext",),
+)
+def q_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    # per-source mixture weights cycling 1.0 / 0.5 / 0.25 / 0.1 over the
+    # corpus's sources (a real deployment supplies this table)
+    weights = [1.0, 0.5, 0.25, 0.1]
+    rates = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "rate",
+            F.element_at(
+                F.array(*[F.lit(w) for w in weights]),
+                (F.substring("source", 4, 10).cast("int") % 4) + 1,
+            ),
+        )
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % 1000 / 1000.0
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "json_corrupt_records",
+    """
+    -- staged fixture: 4 valid JSONL lines + 2 corrupt ones (see the Spark
+    -- side); PERMISSIVE mode must keep valid rows and capture bad lines in
+    -- _corrupt_record instead of failing the scan.
+    SELECT CAST(4 AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(30 AS BIGINT) AS sum_good_x
+    FROM (SELECT 1)
+    """,
+    doc="Dirty-ingest surface: PERMISSIVE JSON reading with "
+    "columnNameOfCorruptRecord — one bad line quarantines into "
+    "_corrupt_record, the scan survives, valid rows flow on. At 100 TB a "
+    "FAILFAST scan over crawled JSON is not an option.",
+    tags=("functions",),
+)
+def q_json_corrupt_records(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    lines = [
+        '{"id": 1, "x": 5}',
+        '{"id": 2, "x": 10}',
+        'this is not json at all',
+        '{"id": 3, "x": 7}',
+        '{"id": 4, "x": 8}',
+        '{"id": 5, "x": ',
+    ]
+    td = tempfile.mkdtemp(prefix="spark_graft_json_")
+    path = os.path.join(td, "rows.jsonl")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+    df = (
+        spark.read.schema("id long, x long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    return spark.createDataFrame(
+        [(good.count(), bad.count(),
+          good.agg(F.sum("x")).first()[0])],
+        "n_good bigint, n_corrupt bigint, sum_good_x bigint",
+    )
