@@ -48,6 +48,22 @@ def keep_latest_per_key(df: DataFrame, id_field: str, ts_field: str) -> DataFram
     )
 
 
+def _project_to_json(delta: DataFrame, projection) -> DataFrame:
+    """Row → JSON-string projection (O6-O9), by either path:
+
+    - a spec list (the declarative grammar, mapping.py) → typed columns →
+      ``to_json``;
+    - a Handlebars template STRING (the reference's own .hbs dialect,
+      hbs.py) → the rendered text IS the JSON — byte-faithful migration
+      mode: point the engine at an unmodified reference template.
+    """
+    if isinstance(projection, str):
+        from .hbs import compile_hbs
+
+        return delta.select(compile_hbs(projection, delta).alias("json"))
+    return to_json_rows(apply_mapping(delta, projection))
+
+
 @dataclass
 class RunResult:
     table: str
@@ -113,8 +129,7 @@ def run_incremental(
     latest = keep_latest_per_key(incoming, spec.id_field, spec.ts_field)
     delta = changed_rows(latest, state, spec.id_field, ignore=(spec.ts_field,))
 
-    shaped = apply_mapping(delta, projection)
-    jsons = to_json_rows(shaped)
+    jsons = _project_to_json(delta, projection)
     batched = batch_mod.assign_batches_distributed(jsons, config.max_batch_size)
     bodies = batch_mod.assemble_bodies(batched).cache()
 
@@ -214,8 +229,7 @@ def run_streaming(
         latest = keep_latest_per_key(batch_df, spec.id_field, spec.ts_field)
         state = state_mod.load_state(spark, config.state_dir, spec.name)
         delta = changed_rows(latest, state, spec.id_field, ignore=(spec.ts_field,))
-        shaped = apply_mapping(delta, projection)
-        jsons = to_json_rows(shaped)
+        jsons = _project_to_json(delta, projection)
         batched = batch_mod.assign_batches_distributed(jsons, config.max_batch_size)
         sink(batch_mod.assemble_bodies(batched))
         next_state = state_mod.merge_state(

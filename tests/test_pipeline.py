@@ -53,3 +53,52 @@ def test_two_incremental_runs(spark, tmp_path):
     assert sorted(e["cmdb_ci"] for e in sent2) == ["2", "4"]
     got2 = {e["cmdb_ci"]: e["value"] for e in sent2}
     assert got2["2"] == "24"
+
+
+def test_run_incremental_with_reference_hbs_template(spark, tmp_path):
+    """Migration mode: the projection is an UNMODIFIED reference .hbs
+    template string — the pipeline renders entities byte-faithfully through
+    the Handlebars compiler instead of a spec list."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from entity_etl_spark.model import EngineConfig, TableSpec
+    from entity_etl_spark.pipeline import run_incremental
+
+    ref = "/root/reference/templates/awsElb.hbs"
+    if os.path.exists(ref):
+        template = open(ref).read()
+    else:
+        template = (
+            '{\n"cmdb_ci": "{{entity.aws_arn}}",\n"asset": "{{entity.AWSUniqueId}}",\n'
+            '"install_date": "{{entity.aws_create_time}}",\n'
+            '"name": "{{#with entity.aws_tag_Name}}{{.}}{{else}}'
+            '{{entity.AWSUniqueId}}{{/with}}",\n"type": "ELB"\n}'
+        )
+
+    src = spark.createDataFrame(
+        [
+            (1, "arn-1", "uid-1", "2020-05-12", "elb-one", 1000),
+            (2, "arn-2", "uid-2", "2020-05-13", "", 2000),
+        ],
+        "id long, aws_arn string, AWSUniqueId string, aws_create_time string,"
+        " aws_tag_Name string, updatedOnMs long",
+    )
+    spec = TableSpec(name="elb", id_field="id", ts_field="updatedOnMs")
+    collected = []
+    res = run_incremental(
+        spark,
+        spec,
+        src,
+        template,
+        EngineConfig(state_dir=str(tmp_path)),
+        lambda bodies: collected.extend(r["body"] for r in bodies.collect()),
+    )
+    assert res.emitted_rows == 2 and res.batches >= 1
+    # each body is a JSON array whose elements are the rendered objects
+    rendered = [x for body in collected for x in json.loads(body)]
+    by_ci = {r["cmdb_ci"]: r for r in rendered}
+    assert by_ci["arn-1"]["name"] == "elb-one"
+    assert by_ci["arn-2"]["name"] == "uid-2"  # "" falsy -> fallback
