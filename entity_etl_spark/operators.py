@@ -196,3 +196,46 @@ def time_rollup(
         F.col("__g.bucket_start").alias("bucket_start"),
         *group_cols,
     ).agg(*agg_exprs)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: the fact side gets a deterministic salt, the
+    other side is replicated ``salt_buckets`` times, and the join runs on
+    (keys..., salt) so one hot key spreads over ``salt_buckets`` reducers.
+
+    This is the manual fallback for when AQE's skew-join split cannot help —
+    e.g. the hot key lands in ONE map output partition (sorted input), or
+    the join is sort-merge on a pre-AQE engine. ``salt_on`` names a
+    high-cardinality fact column to derive the salt from (deterministic,
+    re-runnable — no rand()); defaults to the first key, which is safe but
+    spreads hot keys only when combined with a unique column, so pass the
+    fact table's id column when one exists.
+
+    Replication multiplies the dim side by ``salt_buckets`` — keep it for
+    dim tables far below the broadcast threshold only when skew (not size)
+    is the problem; at 100 TB the pattern is: broadcast if small, AQE skew
+    split if it fires, salted join as the explicit big-dim escape hatch.
+
+    Supported ``how``: inner / left (semantics preserved because every fact
+    row carries exactly one salt and every (key, salt) pair exists on the
+    replicated side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves semantics for inner/left only")
+    salt_src = F.col(salt_on) if salt_on else F.col(keys[0])
+    salted = facts.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)).cast("int")
+    )
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted.join(replicated, [*keys, "__salt"], how)
+    return out.drop("__salt")

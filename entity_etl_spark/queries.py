@@ -3842,3 +3842,95 @@ def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
         (F.count("n2") / F.count(F.lit(1)) >= 0.8).alias("recall_ok"),
     )
+
+
+@register(
+    "scd2_user_event_history",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), chg AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '{DUCK_TS_FMT}') AS valid_from,
+           strftime(lead(ts) OVER w2, '{DUCK_TS_FMT}') AS valid_to,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD Type-2 history state (state.scd2_history + merge_scd2): the "
+    "keep-history generalization of the reference's last-write-wins upsert "
+    "(cache.js:55-57). Runs the INCREMENTAL path — history built at the "
+    "checkpoint cutoff, then merge_scd2 over the post-cutoff batch — and the "
+    "oracle recomputes the full series, so MATCH proves incremental == "
+    "rebuild with closed rows passing through shuffle-free.",
+    tags=("ext",),
+)
+def q_scd2_user_event_history(spark: SparkSession, sf: str) -> DataFrame:
+    from .state import merge_scd2, scd2_history
+
+    ev = read_sf_table(spark, sf, "events")
+    prefix = ev.filter(F.col("ts") <= F.lit(CUTOFF).cast("timestamp"))
+    batch = ev.filter(F.col("ts") > F.lit(CUTOFF).cast("timestamp"))
+    history = scd2_history(prefix, "user_id", "event_type", "ts", "event_id")
+    merged = merge_scd2(history, batch, "user_id", "event_type", "ts", "event_id")
+    return merged.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        _ts_str(F.col("valid_from")).alias("valid_from"),
+        _ts_str(F.col("valid_to")).alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "salted_join_orders",
+    """
+    WITH dim AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(d.n_orders) AS BIGINT) AS total_orders,
+           round(sum(d.spend), 2) AS total_spend
+    FROM events e JOIN dim d ON e.user_id = d.o_custkey
+    GROUP BY e.event_type
+    """,
+    doc="Skew-safe salted equi-join (operators.salted_join): fact side "
+    "salted deterministically on event_id, dim replicated x16, join on "
+    "(key, salt) — one hot user spreads over 16 reducers. The manual "
+    "escape hatch when AQE skew split can't fire. Oracle is the plain "
+    "join, so MATCH proves salting preserves join semantics.",
+    tags=("ext",),
+)
+def q_salted_join_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import salted_join
+
+    ev = read_sf_table(spark, sf, "events")
+    orders = read_sf_table(spark, sf, "orders")
+    dim = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+    joined = salted_join(
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        dim,
+        ["o_custkey"],
+        salt_buckets=16,
+        how="inner",
+        salt_on="event_id",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("n_orders").cast("bigint").alias("total_orders"),
+        F.round(F.sum("spend"), 2).alias("total_spend"),
+    )

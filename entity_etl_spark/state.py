@@ -259,3 +259,86 @@ def merge_state(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__prio", "__ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history (the keep-history generalization of the upsert state)
+# ---------------------------------------------------------------------------
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Full SCD Type-2 rebuild: collapse a change event stream into validity
+    intervals.
+
+    The reference's cache keeps only the LATEST value per key (Map.set,
+    cache.js:55-57); a warehouse-grade state table keeps every value a key
+    ever had, with the interval it was valid for. This is the batch rebuild:
+    change-point detection (drop rows whose ``attr`` equals the previous
+    row's) then ``valid_to = lead(valid_from)`` per key.
+
+    Output columns: ``key, attr, tiebreak, valid_from, valid_to, is_current``
+    where ``valid_from``/``valid_to`` carry ``ts``'s type, ``valid_to`` is
+    NULL on the open row, and ``tiebreak`` (a unique event id) makes ordering
+    deterministic under equal timestamps.
+
+    Scale: two windows over the same (key × time) ordering — Catalyst plans
+    ONE Exchange on ``key`` and sorts once. Nothing else moves.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    chg = (
+        events.select(key, attr, ts, tiebreak)
+        .withColumn("__prev", F.lag(attr).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1) | ~F.col("__prev").eqNullSafe(F.col(attr))
+        )
+        .drop("__prev", "__rn")
+        .withColumnRenamed(ts, "valid_from")
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from", tiebreak)
+    return chg.withColumn("valid_to", F.lead("valid_from").over(w2)).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )
+
+
+def merge_scd2(
+    history: DataFrame | None,
+    incoming: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Incremental SCD Type-2 merge: apply a batch of change events that are
+    strictly newer than every row in ``history`` (the checkpoint guarantee,
+    app.js:76-82) and return the next history table.
+
+    Closed rows (``is_current = false``) pass through UNTOUCHED — no window,
+    no shuffle; only the one open row per key is re-derived, by seeding the
+    change-point scan with (key, current attr, valid_from) and unioning the
+    incoming events. Equals :func:`scd2_history` over the full event series
+    (pinned by the driver oracle and a property test) because the open row
+    is, by construction, the last change-point of the prefix.
+
+    Scale: at 100 TB of accumulated history the closed partition — the bulk
+    of the table — is never read into a shuffle; the exchange carries
+    |keys| + |batch| rows. This is the history-table analogue of
+    merge_state_join's "state side never shuffles" discipline.
+    """
+    cols = [key, attr, ts, tiebreak]
+    if history is None:
+        return scd2_history(incoming, key, attr, ts, tiebreak)
+    closed = history.filter(~F.col("is_current"))
+    seed = history.filter(F.col("is_current")).select(
+        key, attr, F.col("valid_from").alias(ts), tiebreak
+    )
+    tail = scd2_history(
+        seed.unionByName(incoming.select(*cols)), key, attr, ts, tiebreak
+    )
+    return closed.unionByName(tail)

@@ -89,3 +89,30 @@ def test_time_rollup_two_granularities(spark):
     assert got[("hour", "2024-01-01 00:00:00")] == 3.0
     assert got[("hour", "2024-01-01 01:00:00")] == 4.0
     assert got[("day", "2024-01-01 00:00:00")] == 7.0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from entity_etl_spark.operators import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "c", 12), (9, "d", 13)],
+        "k int, tag string, fid int",
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")],
+                                "k int, name string")
+    for how in ("inner", "left"):
+        got = salted_join(facts, dim, ["k"], salt_buckets=4, how=how,
+                          salt_on="fid")
+        want = facts.join(dim, ["k"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())), how
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from entity_etl_spark.operators import salted_join
+
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full_outer")

@@ -129,3 +129,84 @@ def test_changed_rows_with_added_column(spark, seed_state):
     )
     emitted = changed_rows(batch, seed_state, "id", ignore=("updatedOnMs",))
     assert [r["id"] for r in emitted.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history (scd2_history / merge_scd2)
+# ---------------------------------------------------------------------------
+
+SCD_COLS = ["k", "v", "t", "eid"]
+
+
+def _scd_df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v string, t long, eid long")
+
+
+def _canon(df):
+    rows = [
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current, r.eid)
+        for r in df.collect()
+    ]
+    return sorted(rows, key=lambda t: tuple("" if v is None else str(v) for v in t))
+
+
+def test_scd2_history_change_points(spark):
+    from entity_etl_spark.state import scd2_history
+
+    rows = [
+        ("a", "x", 1, 1), ("a", "x", 2, 2), ("a", "y", 3, 3), ("a", "x", 4, 4),
+        ("b", "z", 1, 5),
+    ]
+    hist = _canon(scd2_history(_scd_df(spark, rows), "k", "v", "t", "eid"))
+    assert hist == [
+        ("a", "x", 1, 3, False, 1),
+        ("a", "x", 4, None, True, 4),
+        ("a", "y", 3, 4, False, 3),
+        ("b", "z", 1, None, True, 5),
+    ]
+
+
+def test_scd2_history_null_attr_is_a_value(spark):
+    from entity_etl_spark.state import scd2_history
+
+    rows = [("a", None, 1, 1), ("a", None, 2, 2), ("a", "x", 3, 3)]
+    hist = _canon(scd2_history(_scd_df(spark, rows), "k", "v", "t", "eid"))
+    assert hist == [
+        ("a", None, 1, 3, False, 1),
+        ("a", "x", 3, None, True, 3),
+    ]
+
+
+def test_merge_scd2_equals_full_rebuild(spark):
+    from entity_etl_spark.state import merge_scd2, scd2_history
+
+    # keys: changed across the split / unchanged across the split /
+    # state-only / batch-only — every merge case at once
+    prefix = [
+        ("chg", "a", 1, 1), ("chg", "b", 2, 2),
+        ("same", "s", 1, 3),
+        ("stateonly", "q", 2, 4),
+    ]
+    batch = [
+        ("chg", "b", 5, 10),   # unchanged vs current -> no new version
+        ("chg", "c", 6, 11),   # changed -> close current, open new
+        ("same", "s", 7, 12),  # unchanged
+        ("new", "n", 5, 13),   # unseen key
+    ]
+    hist = scd2_history(_scd_df(spark, prefix), "k", "v", "t", "eid")
+    merged = merge_scd2(hist, _scd_df(spark, batch), "k", "v", "t", "eid")
+    rebuilt = scd2_history(
+        _scd_df(spark, prefix + batch), "k", "v", "t", "eid"
+    )
+    assert _canon(merged) == _canon(rebuilt)
+    cur = {r.k: r.v for r in merged.filter("is_current").collect()}
+    assert cur == {"chg": "c", "same": "s", "stateonly": "q", "new": "n"}
+
+
+def test_merge_scd2_none_history(spark):
+    from entity_etl_spark.state import merge_scd2, scd2_history
+
+    batch = [("a", "x", 1, 1), ("a", "y", 2, 2)]
+    merged = merge_scd2(None, _scd_df(spark, batch), "k", "v", "t", "eid")
+    rebuilt = scd2_history(_scd_df(spark, batch), "k", "v", "t", "eid")
+    assert _canon(merged) == _canon(rebuilt)
