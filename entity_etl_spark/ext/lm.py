@@ -1,0 +1,103 @@
+"""Distributed character n-gram language-model quality scoring (E4).
+
+The CCNet/Gopher-style quality gate scores each document with a small
+language model and filters on perplexity. The heavy engine (KenLM) is a
+library concern; the ENGINE pattern — train a model as an aggregate over
+the corpus, broadcast it, score every document with joins — is what has to
+survive 100 TB, and is what this module implements with a char-bigram
+add-one-smoothed LM (SURVEY.md §2.3 E4).
+
+Scale shape:
+
+- ``doc_char_bigrams``: explode (doc, position) → 2-char slice. The
+  explode stays inside one whole-stage-codegen pipeline; the groupBys that
+  follow partial-aggregate map-side, so the shuffle carries distinct
+  bigrams per partition (bounded by charset², ~10⁴), not corpus positions.
+- ``train_char_bigram_lm``: three aggregates over one bigram scan —
+  bigram counts, prefix counts, vocabulary size. Model size is O(charset²)
+  rows: tiny forever, broadcast-joinable at any corpus size.
+- ``score_documents``: per-doc bigram histogram (one shuffle keyed
+  doc_id×bigram, map-side combined), broadcast-join the model, weighted
+  log-prob average per doc (second shuffle keyed doc_id). No Python in the
+  loop — ln/arithmetic are codegen expressions.
+
+Unseen-data semantics: add-one smoothing; a bigram never seen under a seen
+prefix scores ln(1/(c(prefix)+V)); a wholly unseen prefix scores ln(1/V).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_char_bigrams(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, bigram, prefix) — one row per character position 1..len-1."""
+    # NB: F.sequence(1, 0) yields the DESCENDING [1, 0], not an empty array —
+    # docs shorter than 2 chars must be filtered, not left to the sequence.
+    return (
+        docs.select(id_col, text_col)
+        .filter(F.length(text_col) >= 2)
+        .withColumn(
+            "__p", F.explode(F.sequence(F.lit(1), F.length(text_col) - 1))
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"substring({text_col}, __p, 2)").alias("bigram"),
+            F.expr(f"substring({text_col}, __p, 1)").alias("prefix"),
+        )
+    )
+
+
+def train_char_bigram_lm(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> dict[str, DataFrame]:
+    """Train the LM: returns ``{"bigrams": (bigram, cab), "prefixes":
+    (prefix, ca), "vocab": (v)}`` — all tiny (≤ charset²) and broadcastable."""
+    bg = doc_char_bigrams(docs, text_col=text_col, id_col=id_col)
+    bigrams = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cab"))
+    prefixes = bg.groupBy("prefix").agg(F.count(F.lit(1)).alias("ca"))
+    vocab = bg.select(
+        F.countDistinct(F.substring("bigram", 2, 1)).alias("v")
+    )
+    return {"bigrams": bigrams, "prefixes": prefixes, "vocab": vocab}
+
+
+def score_documents(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document average bigram log-probability under the trained model.
+
+    Output: (id, n_bigrams, avg_logprob) — more negative = less like the
+    training corpus; the quality gate thresholds on it. Documents shorter
+    than 2 chars produce no bigrams and are absent (they carry no signal).
+    """
+    hist = (
+        doc_char_bigrams(docs, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "bigram", "prefix")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        hist.join(F.broadcast(model["bigrams"]), "bigram", "left")
+        .join(F.broadcast(model["prefixes"]), "prefix", "left")
+        .crossJoin(F.broadcast(model["vocab"]))
+        .withColumn("__cab", F.coalesce("cab", F.lit(0)))
+        .withColumn("__ca", F.coalesce("ca", F.lit(0)))
+        .withColumn(
+            "__logp",
+            F.log((F.col("__cab") + 1.0) / (F.col("__ca") + F.col("v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("n") * F.col("__logp")) / F.sum("n"), round_to
+        ).alias("avg_logprob"),
+    )

@@ -3934,3 +3934,38 @@ def q_salted_join_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_orders").cast("bigint").alias("total_orders"),
         F.round(F.sum("spend"), 2).alias("total_spend"),
     )
+
+
+@register(
+    "lm_quality_score",
+    """
+    WITH bg AS (
+      SELECT doc_id,
+             substring(text, p, 2) AS bigram,
+             substring(text, p, 1) AS prefix
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text))) AS p
+            FROM documents)
+    ),
+    model AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY bigram),
+    pfx AS (SELECT prefix, count(*) AS ca FROM bg GROUP BY prefix),
+    vocab AS (SELECT count(DISTINCT substring(bigram, 2, 1)) AS v FROM bg)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln((cab + 1.0) / (ca + v))) / count(*), 4) AS avg_logprob
+    FROM bg JOIN model USING (bigram) JOIN pfx USING (prefix) CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+    doc="E4 distributed n-gram LM quality scoring (ext/lm.py): train a "
+    "char-bigram add-one-smoothed LM as map-side-combined aggregates "
+    "(model is O(charset**2) — broadcastable forever), score every doc "
+    "via broadcast joins over its bigram histogram. The engine pattern "
+    "behind CCNet-style perplexity filtering, with ln/arith in codegen.",
+    tags=("ext",),
+)
+def q_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.lm import score_documents, train_char_bigram_lm
+
+    docs = read_sf_table(spark, sf, "documents")
+    model = train_char_bigram_lm(docs)
+    return score_documents(docs, model)

@@ -199,3 +199,38 @@ def test_pq_roundtrip_and_rerank_recall(spark):
     assert len(rer & exact) / len(exact) >= 0.8
     approx = pq_topk(codes, q, books, k=3)
     assert approx.count() == 9
+
+
+def test_lm_quality_scores_typical_text_above_gibberish(spark):
+    from entity_etl_spark.ext.lm import score_documents, train_char_bigram_lm
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_char_bigram_lm(corpus)
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over"),
+         (101, "zqxv kjwp mzzr qqqg vvkx zzzz"),
+         (102, "a")],  # < 2 chars -> no bigrams -> absent
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.avg_logprob for r in
+           score_documents(probe, model).collect()}
+    assert set(got) == {100, 101}
+    assert got[100] > got[101] + 1.0  # typical text scores far higher
+
+
+def test_lm_unseen_prefix_scores_uniform(spark):
+    import math
+
+    from entity_etl_spark.ext.lm import score_documents, train_char_bigram_lm
+
+    corpus = spark.createDataFrame([(0, "ababab")], "doc_id long, text string")
+    model = train_char_bigram_lm(corpus)
+    # 'zz' has unseen prefix 'z': smoothed to ln(1/V) with V=2 ({a,b})
+    probe = spark.createDataFrame([(1, "zz")], "doc_id long, text string")
+    row = score_documents(probe, model, round_to=6).first()
+    assert row.n_bigrams == 1
+    assert abs(row.avg_logprob - round(math.log(1 / 2), 6)) < 1e-9
