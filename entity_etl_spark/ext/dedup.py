@@ -413,3 +413,67 @@ def drop_near_dups(
     )
     losers = pairs.select(F.col("doc_b").alias("__loser")).distinct()
     return df.join(losers, df[id_col] == losers["__loser"], "left_anti")
+
+
+# ------------------------------------------------------------------ E1/E2
+def repeated_substring_windows(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    stride: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the exact-substring
+    dedup signal (cf. Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"), re-expressed as a shingle-window equi-join
+    instead of a suffix array.
+
+    Each document is cut into ``k``-char windows every ``stride`` chars;
+    a window occurring in >= 2 DISTINCT documents marks boilerplate /
+    copied spans. Output per doc: ``n_windows``, ``n_dup_windows`` (window
+    occurrences shared with another doc), ``dup_frac`` — threshold on
+    dup_frac to drop templated or plagiarized docs, or use the windows
+    themselves to locate the spans to cut.
+
+    Scale: windows explode inside one codegen stage; the per-window
+    distinct-doc count partial-aggregates map-side. At 100 TB group on
+    ``xxhash64(window)`` (8 bytes) instead of the window text — same
+    statistics modulo astronomically-unlikely collisions; the text form
+    here keeps the DuckDB oracle exact. A suffix array finds arbitrary-
+    length repeats; stride-k windows find repeats >= k+stride-1 chars with
+    a bounded, shuffle-friendly row count (len/stride rows per doc).
+    """
+    wins = (
+        docs.select(id_col, text_col)
+        .filter(F.length(text_col) >= k)
+        .withColumn(
+            "__p",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length(text_col) - (k - 1),
+                    F.lit(stride),
+                )
+            ),
+        )
+        .select(
+            F.col(id_col), F.expr(f"substring({text_col}, __p, {k})").alias("w")
+        )
+    )
+    win_stats = wins.groupBy("w").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    return (
+        wins.join(win_stats, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum((F.col("__nd") >= 2).cast("long"))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.round(
+                F.sum((F.col("__nd") >= 2).cast("long")) / F.count(F.lit(1)), 4
+            ).alias("dup_frac"),
+        )
+    )

@@ -3969,3 +3969,37 @@ def q_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
     model = train_char_bigram_lm(docs)
     return score_documents(docs, model)
+
+
+@register(
+    "repeated_substring_windows",
+    """
+    WITH wins AS (
+      SELECT doc_id, substring(text, p, 24) AS w
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) - 24 + 2, 8)) AS p
+            FROM documents
+            WHERE length(text) >= 24)
+    ),
+    stats AS (SELECT w, count(DISTINCT doc_id) AS nd FROM wins GROUP BY w)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+             AS dup_frac
+    FROM wins JOIN stats USING (w)
+    GROUP BY doc_id
+    """,
+    doc="E1/E2 cross-doc repeated-substring detection "
+    "(ext/dedup.repeated_substring_windows): Lee-et-al exact-substring "
+    "dedup signal as a stride-24-char shingle-window equi-join (suffix-"
+    "array-free). Windows explode in codegen; distinct-doc counts partial-"
+    "aggregate map-side; at 100 TB the group key is xxhash64(window).",
+    tags=("ext",),
+)
+def q_repeated_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import repeated_substring_windows
+
+    docs = read_sf_table(spark, sf, "documents")
+    return repeated_substring_windows(docs, k=24, stride=8)

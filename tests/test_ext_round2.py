@@ -234,3 +234,22 @@ def test_lm_unseen_prefix_scores_uniform(spark):
     row = score_documents(probe, model, round_to=6).first()
     assert row.n_bigrams == 1
     assert abs(row.avg_logprob - round(math.log(1 / 2), 6)) < 1e-9
+
+
+def test_repeated_substring_windows_flags_shared_spans(spark):
+    from entity_etl_spark.ext.dedup import repeated_substring_windows
+
+    shared = "X" * 40  # spans >= k+stride-1 guarantee a shared window
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa" + shared + "bbbbbbbb"),
+         (2, "cccccccc" + shared + "dddddddd"),
+         (3, "totally unrelated text with no repeats at all here!"),
+         (4, "tiny")],  # < k chars -> excluded
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           repeated_substring_windows(docs, k=24, stride=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
+    assert out[1].dup_frac > 0.0
