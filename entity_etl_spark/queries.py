@@ -4003,3 +4003,52 @@ def q_repeated_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     return repeated_substring_windows(docs, k=24, stride=8)
+
+
+@register(
+    "semantic_dedup_pairs",
+    """
+    -- float k-means forbids pinning the candidate set; the decidable
+    -- claims are (a) the exact all-pairs count both engines compute and
+    -- (b) the SemDeDup recall floor (measured 0.97 at k=8/p=3; gated 0.8)
+    -- plus perfect precision (every emitted pair is exact-cosine-verified).
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           true AS recall_ok,
+           true AS precision_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    doc="E2/E3 SemDeDup (ext/semdedup.py, Abbas et al.): k-means cells + "
+    "n_probe=3 multi-assignment, pairwise exact cosine ONLY within shared "
+    "cells — O(n^2) becomes k independent shuffle-local compares. Stated "
+    "decidably as recall >= 0.8 vs the exact pair set with precision 1.",
+    tags=("ext",),
+)
+def q_semantic_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.semdedup import semantic_near_dup_pairs
+    from .ext.similarity import cosine
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    found = semantic_near_dup_pairs(
+        emb, n_clusters=8, threshold=0.4, n_probe=3
+    ).select(F.col("id_a").alias("fa"), F.col("id_b").alias("fb"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    hit = exact.join(
+        found, (exact.id_a == found.fa) & (exact.id_b == found.fb), "left"
+    )
+    n_found_not_exact = found.count() - hit.filter(F.col("fa").isNotNull()).count()
+    agg = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+        (F.count("fa") / F.count(F.lit(1)) >= 0.8).alias("recall_ok"),
+    )
+    return agg.withColumn("precision_ok", F.lit(n_found_not_exact == 0)).select(
+        "n_exact_pairs", "recall_ok", "precision_ok"
+    )

@@ -253,3 +253,41 @@ def test_repeated_substring_windows_flags_shared_spans(spark):
     assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
     assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
     assert out[1].dup_frac > 0.0
+
+
+def test_semdedup_finds_clustered_dups_and_drops_min_id(spark):
+    from entity_etl_spark.ext.semdedup import (
+        semantic_near_dup_pairs, semdedup_drop_ids,
+    )
+
+    # two tight direction-clusters + one lone vector
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.02 * i, 0.0, 0.0]))       # cluster A
+        rows.append((100 + i, [0.0, 0.0, 1.0, 0.02 * i]))  # cluster B
+    rows.append((999, [-1.0, 1.0, -1.0, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_near_dup_pairs(
+        emb, n_clusters=4, threshold=0.99, n_probe=2
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all(a < b for a, b in got)
+    # within-cluster tight pairs found; no cross-cluster pair possible at 0.99
+    assert any(a < 10 and b < 10 for a, b in got)
+    assert any(a >= 100 and b >= 100 for a, b in got)
+    assert not any((a < 10) != (b < 10) for a, b in got)
+    dropped = {r.drop_id for r in semdedup_drop_ids(pairs).collect()}
+    assert 0 not in dropped and 100 not in dropped and 999 not in dropped
+
+
+def test_semdedup_multi_probe_recovers_boundary_pairs(spark):
+    from entity_etl_spark.ext.ivf import train_centroids
+    from entity_etl_spark.ext.semdedup import assign_cells_multi
+
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(4)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(emb, n_centroids=4, iterations=1)
+    multi = assign_cells_multi(emb, cents, n_probe=2)
+    per_vec = multi.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per_vec)
