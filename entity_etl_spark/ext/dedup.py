@@ -477,3 +477,42 @@ def repeated_substring_windows(
             ).alias("dup_frac"),
         )
     )
+
+
+def exact_dedup_incremental(
+    seen_fps: DataFrame | None,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup: dedup a NEW batch against the accumulated
+    corpus without touching corpus bodies — the shape every continuously-fed
+    training pipeline needs (and the corpus-scale analogue of the
+    reference's changed-row suppression, cache.js:69-85: state is a
+    fingerprint table, not the data).
+
+    ``seen_fps``: one-column ``fp`` DataFrame of every fingerprint already
+    kept (or None on the first batch). Returns ``(kept, next_seen_fps)``:
+    batch rows that are (a) their fingerprint's min-id winner within the
+    batch and (b) unseen in state; next state = old ∪ kept fingerprints.
+
+    Scale: the batch shuffles as (fp, id) pairs only; the anti-join against
+    state is fp-keyed — bucket the state table by fp (sinks.write_bucketed)
+    and the state side never re-shuffles; bodies move once, in the final
+    id-keyed semi-join. State grows by exactly the kept rows.
+    """
+    slim = batch.select(
+        F.col(id_col).alias("__id"), fingerprint(text_col).alias("fp")
+    )
+    winners = slim.groupBy("fp").agg(F.min("__id").alias("__id"))
+    if seen_fps is not None:
+        winners = winners.join(seen_fps, "fp", "left_anti")
+    kept = batch.join(
+        winners.select("__id"), batch[id_col] == winners["__id"], "left_semi"
+    )
+    new_fps = winners.select("fp")
+    next_seen = (
+        new_fps if seen_fps is None else seen_fps.unionByName(new_fps)
+    )
+    return kept, next_seen

@@ -71,3 +71,24 @@ def train_val_test_split(
         .when(u < test_fraction + val_fraction, "val")
         .otherwise("train"),
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: the assignment hashes the GROUP key, so every
+    row of a group (same source/domain, one near-dup cluster, one user's
+    documents) lands in the SAME split — val/test can't be contaminated by
+    a train-set sibling. Same growth-stability as train_val_test_split:
+    new groups never reassign old ones; map-only, no shuffle."""
+    return train_val_test_split(
+        df,
+        id_col=group_col,
+        val_fraction=val_fraction,
+        test_fraction=test_fraction,
+        split_col=split_col,
+    )

@@ -4052,3 +4052,75 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return agg.withColumn("precision_ok", F.lit(n_found_not_exact == 0)).select(
         "n_exact_pairs", "recall_ok", "precision_ok"
     )
+
+
+@register(
+    "dedup_exact_incremental",
+    """
+    WITH state AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250
+    ),
+    winners AS (
+      SELECT fp, CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM batch GROUP BY fp
+    )
+    SELECT w.doc_id FROM winners w
+    WHERE w.fp NOT IN (SELECT fp FROM state)
+    """,
+    doc="E1 incremental exact dedup (ext/dedup.exact_dedup_incremental): "
+    "dedup a new batch against the accumulated corpus via a fingerprint "
+    "STATE table (the corpus-scale analogue of cache.js:69-85 change "
+    "suppression). Batch shuffles as (fp,id) only; state anti-join is "
+    "fp-keyed and bucket-able; bodies move once.",
+    tags=("ext",),
+)
+def q_dedup_exact_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import exact_dedup_incremental, fingerprint
+
+    docs = read_sf_table(spark, sf, "documents")
+    state = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= 250)
+    kept, _next = exact_dedup_incremental(state, batch)
+    return kept.select("doc_id")
+
+
+@register(
+    "grouped_split_by_source",
+    """
+    WITH assigned AS (
+      SELECT source,
+             CASE
+               WHEN CAST(('0x' || substring(md5(source), 1, 8))::UBIGINT
+                         AS DOUBLE) / 4294967296.0 < 0.15 THEN 'test'
+               WHEN CAST(('0x' || substring(md5(source), 1, 8))::UBIGINT
+                         AS DOUBLE) / 4294967296.0 < 0.35 THEN 'val'
+               ELSE 'train'
+             END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n
+    FROM assigned GROUP BY source, split
+    """,
+    doc="Leakage-safe grouped split (ext/sampling.grouped_split): the "
+    "split hashes the GROUP key (source), so all documents of a source "
+    "land in one split and val/test can't see a train-set sibling. "
+    "Map-only; oracle recomputes the identical md5 assignment, and "
+    "one-row-per-source proves no group straddles splits.",
+    tags=("ext",),
+)
+def q_grouped_split_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.sampling import grouped_split
+
+    docs = read_sf_table(spark, sf, "documents")
+    return (
+        grouped_split(docs, "source", val_fraction=0.2, test_fraction=0.15)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

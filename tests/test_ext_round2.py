@@ -291,3 +291,40 @@ def test_semdedup_multi_probe_recovers_boundary_pairs(spark):
     multi = assign_cells_multi(emb, cents, n_probe=2)
     per_vec = multi.groupBy("vec_id").count().collect()
     assert all(r["count"] == 2 for r in per_vec)
+
+
+def test_exact_dedup_incremental_suppresses_seen_and_batch_dups(spark):
+    from entity_etl_spark.ext.dedup import exact_dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    kept1, state1 = exact_dedup_incremental(None, b1)
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "beta")],
+        "doc_id long, text string",
+    )
+    kept2, state2 = exact_dedup_incremental(state1, b2)
+    assert {r.doc_id for r in kept2.collect()} == {11}
+    assert state2.count() == 3  # alpha, beta, gamma
+    kept3, _ = exact_dedup_incremental(state2, b2)
+    assert kept3.count() == 0  # replayed batch fully suppressed
+
+
+def test_grouped_split_keeps_groups_together_and_is_growth_stable(spark):
+    from entity_etl_spark.ext.sampling import grouped_split
+
+    rows = [(i, f"g{i % 17}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = grouped_split(df, "grp")
+    per_group = out.groupBy("grp").agg(
+        F.countDistinct("split").alias("ns")).collect()
+    assert all(r.ns == 1 for r in per_group)
+    # growth-stable: adding rows of new groups never reassigns old ones
+    more = df.unionByName(
+        spark.createDataFrame([(900, "brandnew")], "id long, grp string"))
+    before = {(r.id): r.split for r in out.collect()}
+    after = {(r.id): r.split
+             for r in grouped_split(more, "grp").collect() if r.id < 900}
+    assert before == after
