@@ -163,3 +163,16 @@ def doc_fingerprint(text_col: str | Column, algo: str = "md5") -> Column:
     from .dedup import fingerprint
 
     return fingerprint(text_col, algo)
+
+
+def clean_text(text_col: str | Column) -> Column:
+    """Normalized text column: control characters stripped, whitespace runs
+    collapsed to one space, ends trimmed — the standard pre-tokenization
+    cleanup pass. Map-only codegen (two regexp_replace + trim); the
+    character classes are shared Java-regex/RE2 syntax so an engine-portable
+    oracle can reproduce the bytes exactly."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    no_ctrl = F.regexp_replace(
+        col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", " "
+    )
+    return F.trim(F.regexp_replace(no_ctrl, "[ \\t\\n\\r]+", " "))

@@ -239,3 +239,40 @@ def salted_join(
     )
     out = salted.join(replicated, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group quantile clipping (winsorization) — the outlier guard for
+    metric columns before training-statistics aggregation.
+
+    Exact percentiles per group (one partial-aggregating shuffle over the
+    group keys — Spark's percentile is a typed ImperativeAggregate with a
+    map-side partial), broadcast back onto the rows by an equi-join on the
+    group keys, then clamp in codegen. Two scans of nothing: the stats side
+    is |groups| rows, the clamp is map-only.
+
+    At 100 TB swap percentile -> percentile_approx (mergeable sketch, same
+    shape) when exactness can yield; the driver row keeps the exact form so
+    the oracle can pin it.
+    """
+    out_col = out_col or f"{value_col}_w"
+    stats = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(stats), list(group_cols))
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

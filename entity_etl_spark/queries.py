@@ -4124,3 +4124,131 @@ def q_grouped_split_by_source(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "winsorize_event_values",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(min(stats.lo), 6) AS p05,
+           round(min(stats.hi), 6) AS p95,
+           round(avg(least(greatest(e.value, stats.lo), stats.hi)), 6)
+             AS avg_winsorized,
+           CAST(sum(CASE WHEN e.value < stats.lo OR e.value > stats.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM events e JOIN stats USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Per-group quantile clipping (operators.winsorize): exact group "
+    "percentiles (map-side partial agg), broadcast back, clamp in codegen. "
+    "The outlier guard before training statistics; percentile_approx is "
+    "the same-shape 100 TB swap-in.",
+    tags=("ext",),
+)
+def q_winsorize_event_values(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import winsorize
+
+    ev = read_sf_table(spark, sf, "events")
+    w = winsorize(ev, "value", ["event_type"], lower=0.05, upper=0.95)
+    stats = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("__lo"),
+        F.expr("percentile(value, 0.95)").alias("__hi"),
+    )
+    return (
+        w.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("__lo"), 6).alias("p05"),
+            F.round(F.min("__hi"), 6).alias("p95"),
+            F.round(F.avg("value_w"), 6).alias("avg_winsorized"),
+            F.sum(
+                ((F.col("value") < F.col("__lo")) | (F.col("value") > F.col("__hi")))
+                .cast("long")
+            )
+            .cast("bigint")
+            .alias("n_clamped"),
+        )
+    )
+
+
+@register(
+    "standardize_embeddings",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             unnest(range(0, len(embedding))) AS d
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT d, avg(x) AS mu, stddev_pop(x) AS sigma FROM e GROUP BY d
+    )
+    SELECT e.vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           round(sqrt(sum(pow((e.x - stats.mu)
+                              / coalesce(nullif(stats.sigma, 0.0), 1.0), 2))), 4)
+             AS z_norm
+    FROM e JOIN stats USING (d)
+    GROUP BY e.vec_id
+    """,
+    doc="E3 dim-wise embedding standardization (ext/features.standardize): "
+    "one posexplode aggregation for O(dim) stats, then a map-only "
+    "higher-order transform against the broadcast struct array re-writes "
+    "every vector in place. Output pins the standardized vector's norm.",
+    tags=("ext",),
+)
+def q_standardize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.features import standardize
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    std = standardize(emb)
+    return std.select(
+        "vec_id",
+        F.size("embedding_std").cast("bigint").alias("n_dims"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding_std", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            4,
+        ).alias("z_norm"),
+    )
+
+
+@register(
+    "clean_text_normalize",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+                 '[ \\t\\n\\r]+', ' ', 'g'))) AS clean_fp,
+           CAST(length(trim(regexp_replace(
+                 regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+                 '[ \\t\\n\\r]+', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+    doc="E4 text cleanup (ext/text.clean_text): strip control chars, "
+    "collapse whitespace runs, trim — map-only codegen regexps with "
+    "engine-portable character classes; md5 of the cleaned text pins "
+    "byte-exactness against the oracle.",
+    tags=("ext",),
+)
+def q_clean_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import clean_text
+
+    docs = read_sf_table(spark, sf, "documents")
+    clean = clean_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_fp"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+    )

@@ -328,3 +328,45 @@ def test_grouped_split_keeps_groups_together_and_is_growth_stable(spark):
     after = {(r.id): r.split
              for r in grouped_split(more, "grp").collect() if r.id < 900}
     assert before == after
+
+
+def test_winsorize_clamps_to_group_quantiles(spark):
+    from entity_etl_spark.operators import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", 1000.0), ("b", 0.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", ["g"], lower=0.1, upper=0.9)
+    a = [r.v_w for r in out.filter("g = 'a'").collect()]
+    assert abs(min(a) - 10.9) < 1e-9  # exact interpolated percentiles
+    assert abs(max(a) - 90.1) < 1e-9
+    assert len([x for x in a if abs(x - 10.9) < 1e-9 or abs(x - 90.1) < 1e-9]) >= 20
+
+
+def test_standardize_zero_mean_unit_var_and_heldout_mode(spark):
+    from entity_etl_spark.ext.features import dim_stats, standardize
+
+    rows = [(i, [float(i), 2.0 * i + 1.0, 7.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    std = standardize(emb)
+    z = (std.select(F.posexplode("embedding_std").alias("d", "z"))
+            .groupBy("d").agg(F.round(F.avg("z"), 9).alias("m"),
+                              F.round(F.stddev_pop("z"), 9).alias("s"))
+            .collect())
+    for r in z:
+        assert r.m == 0.0
+        assert r.s in (1.0, 0.0)  # constant dim 2 -> centered, sigma guard
+    # held-out mode: stats fit on train transform a new row deterministically
+    stats = dim_stats(emb)
+    probe = spark.createDataFrame([(99, [4.5, 10.0, 7.0])],
+                                  "vec_id long, embedding array<double>")
+    got = standardize(probe, stats=stats).first()["embedding_std"]
+    assert got[0] == 0.0 and got[2] == 0.0  # train means: 4.5, 10.0, const
+
+
+def test_clean_text_strips_controls_and_squeezes_whitespace(spark):
+    from entity_etl_spark.ext.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "  a\x00b\tc\n\nd   e\x1f ")], "id long, t string"
+    )
+    assert df.select(clean_text("t").alias("c")).first().c == "a b c d e"
