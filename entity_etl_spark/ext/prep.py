@@ -1,0 +1,64 @@
+"""End-to-end training-data preparation: the extension operators composed
+into one declarative pipeline (the document-side analogue of
+``pipeline.run_incremental``'s entity flow).
+
+Stages — each one an already-oracle-verified operator, chained lazily so
+Catalyst fuses them (clean + featurize + filter are ONE map stage; the
+dedup is the only shuffle; the split is map-only again):
+
+1. normalize text (:func:`ext.text.clean_text`)
+2. quality gate (:func:`ext.text.quality_features` thresholds)
+3. exact dedup, keep min id (fingerprint winners semi-join)
+4. leakage-safe split hashed on the group column
+   (:func:`ext.sampling.grouped_split`)
+
+Output: the surviving corpus with ``n_tokens`` and ``split`` attached —
+ready for :func:`ext.packing.pack_sequences` / shard writing.
+
+At 100 TB nothing in this chain materializes an intermediate: one body
+scan, one (fp, id) shuffle, one id-keyed semi-join. The near-dup pass
+(MinHash) and the LM perplexity gate slot between stages 3 and 4 when
+their cost is warranted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import fingerprint
+from .sampling import grouped_split
+from .text import clean_text, quality_features
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_tokens: int = 20,
+    min_quality: float = 0.15,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """Clean → gate → dedup → split. Returns the kept rows with the cleaned
+    text, quality features, and a ``split`` column."""
+    cleaned = docs.withColumn(text_col, clean_text(text_col))
+    gated = quality_features(cleaned, text_col).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+    slim = gated.select(
+        F.col(id_col).alias("__id"), fingerprint(text_col).alias("__fp")
+    )
+    winners = slim.groupBy("__fp").agg(F.min("__id").alias("__id"))
+    deduped = gated.join(
+        winners.select("__id"), gated[id_col] == winners["__id"], "left_semi"
+    )
+    return grouped_split(
+        deduped,
+        group_col,
+        val_fraction=val_fraction,
+        test_fraction=test_fraction,
+    )

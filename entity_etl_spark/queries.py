@@ -4252,3 +4252,73 @@ def q_clean_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(clean).alias("clean_fp"),
         F.length(clean).cast("bigint").alias("clean_len"),
     )
+
+
+def _duck_clean_text(col: str = "text") -> str:
+    """DuckDB twin of ext.text.clean_text."""
+    ctrl = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+    return (
+        f"trim(regexp_replace(regexp_replace({col}, '{ctrl}', ' ', 'g'), "
+        "'[ \\t\\n\\r]+', ' ', 'g'))"
+    )
+
+
+@register(
+    "training_data_prep",
+    f"""
+    WITH cleaned AS (
+      SELECT doc_id, source, {_duck_clean_text()} AS text
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             ({" + ".join(_duck_count_occ(w) for w in
+                          ("the", "a", "of", "and", "to", "in", "is", "it"))})
+               AS n_stop
+      FROM cleaned
+    ),
+    gated AS (
+      SELECT * FROM feats
+      WHERE n_tokens >= 20
+        AND round(least(n_tokens / 200.0, 1.0) * 0.5
+                  + least(n_stop / n_tokens * 4.0, 1.0) * 0.5, 4) >= 0.15
+    ),
+    winners AS (
+      SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM gated GROUP BY fp
+    ),
+    deduped AS (
+      SELECT g.* FROM gated g JOIN winners w ON g.doc_id = w.doc_id
+    ),
+    assigned AS (
+      SELECT source, n_tokens,
+             CASE
+               WHEN CAST(('0x' || substring(md5(source), 1, 8))::UBIGINT
+                         AS DOUBLE) / 4294967296.0 < 0.1 THEN 'test'
+               WHEN CAST(('0x' || substring(md5(source), 1, 8))::UBIGINT
+                         AS DOUBLE) / 4294967296.0 < 0.2 THEN 'val'
+               ELSE 'train'
+             END AS split
+      FROM deduped
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, source
+    """,
+    doc="End-to-end training-data prep (ext/prep.prepare_training_data): "
+    "clean -> quality gate -> exact dedup -> leakage-safe grouped split, "
+    "composed lazily so Catalyst fuses clean+featurize+gate into one map "
+    "stage with a single (fp,id) dedup shuffle. The oracle chains the "
+    "stage oracles, pinning the whole pipeline end to end.",
+    tags=("ext",),
+)
+def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.prep import prepare_training_data
+
+    docs = read_sf_table(spark, sf, "documents")
+    out = prepare_training_data(docs)
+    return out.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

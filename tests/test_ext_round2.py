@@ -370,3 +370,24 @@ def test_clean_text_strips_controls_and_squeezes_whitespace(spark):
         [(1, "  a\x00b\tc\n\nd   e\x1f ")], "id long, t string"
     )
     assert df.select(clean_text("t").alias("c")).first().c == "a b c d e"
+
+
+def test_prepare_training_data_stages(spark):
+    from entity_etl_spark.ext.prep import prepare_training_data
+
+    good = ("the quick brown fox jumps over the lazy dog and it "
+            "is a fine day in the park of wonders to see it all ") * 2
+    rows = [
+        (1, good, "src_a"),
+        (2, good + "  ", "src_a"),      # dup after cleaning -> dropped
+        (3, "tiny text", "src_a"),      # fails min_tokens
+        (4, good + "unique tail here", "src_b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = prepare_training_data(docs, min_tokens=20, min_quality=0.15)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 4}
+    assert "  " not in got[1].text
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("ns")).collect()
+    assert all(r.ns == 1 for r in per_group)
