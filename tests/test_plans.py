@@ -3,6 +3,8 @@ depends on at scale must survive refactors."""
 
 import re
 
+from pyspark.sql import functions as F
+
 
 def plan_of(df):
     return df._jdf.queryExecution().executedPlan().toString()
@@ -160,3 +162,97 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed is None or "event_type" not in pushed.group(1)
     assert back.count() == ev.filter("event_type = 'purchase'").count()
+
+
+def test_salted_join_is_hash_join_no_nested_loop(spark):
+    """The salted join must plan an equi hash join on (key, salt) — never a
+    BroadcastNestedLoopJoin (that would defeat the whole point)."""
+    from entity_etl_spark.operators import salted_join
+
+    facts = spark.range(0, 10000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("fid"))
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    plan = plan_of(salted_join(facts, dim, ["k"], salt_buckets=8,
+                               salt_on="fid"))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_winsorize_broadcasts_group_stats(spark):
+    """The per-group percentile table must broadcast back onto the rows."""
+    from entity_etl_spark.operators import winsorize
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 997).cast("double").alias("v"))
+    plan = plan_of(winsorize(df, "v", ["g"]))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_history_single_exchange(spark):
+    """Change-point window + interval window share one (key, time) ordering:
+    ONE Exchange, one Sort."""
+    from entity_etl_spark.state import scd2_history
+
+    df = spark.createDataFrame(
+        [("a", "x", 1, 1)], "k string, v string, t long, eid long")
+    plan = plan_of(scd2_history(df, "k", "v", "t", "eid"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_merge_scd2_closed_rows_bypass_shuffle(spark):
+    """Closed history rows union AROUND the windowed tail — the plan's
+    exchanges must touch only the current+incoming side."""
+    from entity_etl_spark.state import merge_scd2, scd2_history
+
+    hist = scd2_history(
+        spark.createDataFrame(
+            [("a", "x", 1, 1), ("a", "y", 2, 2)],
+            "k string, v string, t long, eid long"),
+        "k", "v", "t", "eid").localCheckpoint()
+    batch = spark.createDataFrame(
+        [("a", "z", 5, 9)], "k string, v string, t long, eid long")
+    plan = plan_of(merge_scd2(hist, batch, "k", "v", "t", "eid"))
+    # one exchange for the re-windowed tail; the closed branch is a plain
+    # filter feeding the union
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Union" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """With AQE skew-join thresholds forced low, a hot key must trigger the
+    runtime skew split (the automatic path; operators.salted_join is the
+    manual fallback)."""
+    import pyspark.sql.functions as SF
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        skewed = spark.range(0, 200_000).select(
+            SF.when(SF.col("id") % 10 < 9, 0).otherwise(SF.col("id")).alias("k"),
+            SF.sha2(SF.col("id").cast("string"), 256).alias("pad"))
+        right = spark.range(0, 2000).select(
+            SF.col("id").alias("k"), SF.lit("x").alias("v"))
+        joined = skewed.join(right, "k")
+        joined.collect()  # materialize THIS plan so AQE finalizes it
+        plan = plan_of(joined)
+        assert "isSkew=true" in plan or "skew=" in plan.lower(), plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
