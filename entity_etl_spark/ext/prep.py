@@ -62,3 +62,56 @@ def prepare_training_data(
         val_fraction=val_fraction,
         test_fraction=test_fraction,
     )
+
+
+def run_streaming_prep(
+    spark,
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_tokens: int = 20,
+    min_quality: float = 0.15,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Continuous training-data ingest: the prep pipeline as a Structured
+    Streaming job over any streaming docs source (files landing in a
+    bucket, Kafka, the rest_entities DataSource).
+
+    Per micro-batch (foreachBatch): clean → quality gate → incremental
+    exact dedup against the PERSISTENT fingerprint state (so a document
+    seen in ANY earlier batch never re-enters the corpus — cross-batch,
+    not just in-batch) → leakage-safe split → append surviving rows
+    partitioned by split. Source offsets (the checkpoint dir) make re-reads
+    impossible; the fingerprint state makes re-sends harmless — the same
+    two-layer idempotence as pipeline.run_streaming.
+
+    State is a one-column parquet (``fp``) swapped atomically per batch via
+    a generation dir, like state.save_state — at scale, a bucketed-by-fp
+    table (sinks.write_bucketed) keeps the anti-join shuffle-free.
+    """
+    from ..state import load_state, save_state
+    from ..streaming import run_available_now
+    from .dedup import exact_dedup_incremental
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = batch_df.withColumn(text_col, clean_text(text_col))
+        gated = quality_features(cleaned, text_col).filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+        )
+        seen = load_state(spark, state_dir, "doc_fps")
+        kept, next_seen = exact_dedup_incremental(
+            seen, gated, id_col=id_col, text_col=text_col
+        )
+        out = grouped_split(kept, group_col)
+        out.write.mode("append").partitionBy("split").parquet(out_dir)
+        save_state(next_seen, state_dir, "doc_fps")
+
+    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
