@@ -4322,3 +4322,45 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly_revenue,
+           CAST(count(*) AS BIGINT) AS n_small_orders
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q17-shaped correlated aggregate: revenue from orders below "
+    "half the part's average quantity. The correlated scalar subquery "
+    "decorrelates into one per-part aggregate joined back (Catalyst "
+    "RewriteCorrelatedScalarSubquery) — per-part stats partial-aggregate "
+    "map-side; no per-row re-scan ever happens at any scale.",
+    tags=("core",),
+)
+def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    part = read_sf_table(spark, sf, "part")
+    li.createOrReplaceTempView("__li_q17")
+    part.createOrReplaceTempView("__part_q17")
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly_revenue,
+               CAST(count(*) AS BIGINT) AS n_small_orders
+        FROM __li_q17 l
+        JOIN __part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity)
+          FROM __li_q17 l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY p.p_brand
+        """
+    )
