@@ -276,3 +276,65 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "running_total",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global running total ordered by ``order_col`` WITHOUT the
+    single-reducer funnel of ``Window.orderBy`` (which drains every row
+    through one task) — the distributed prefix-sum:
+
+    1. bucket rows by range over ``order_col`` (map-side arithmetic against
+       the broadcast min/max — one tiny agg);
+    2. cumsum WITHIN each bucket (hash exchange on bucket: balanced, not a
+       funnel; each reducer sorts only its slice);
+    3. per-bucket totals (n_buckets rows) get their own prefix-sum on a
+       driver-sized window, broadcast back, and added map-side.
+
+    Equal to the naive global window row for row (the driver oracle pins
+    it); the difference is purely physical: the widest exchange carries
+    rows spread over ``n_buckets`` reducers instead of 1. Ties in
+    ``order_col`` across buckets would make the split ambiguous — require
+    a unique order column (ids; make one with monotonically_increasing_id).
+    """
+    bounds = df.agg(
+        F.min(order_col).alias("__lo"), F.max(order_col).alias("__hi")
+    )
+    bucketed = (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            "__bkt",
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col(order_col) - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo") + 1) / n_buckets)
+                ).cast("int"),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    w_in = Window.partitionBy("__bkt").orderBy(order_col)
+    local = bucketed.withColumn(
+        "__local", F.sum(value_col).over(w_in)
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("__bkt")
+        .agg(F.sum(value_col).alias("__tot"))
+        .withColumn("__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0.0)))
+        .select("__bkt", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__bkt", "__local", "__off")
+    )

@@ -4364,3 +4364,27 @@ def q_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY p.p_brand
         """
     )
+
+
+@register(
+    "distributed_running_total",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (ORDER BY event_id), 4) AS running_total
+    FROM events
+    """,
+    doc="Distributed prefix-sum (operators.distributed_cumsum): global "
+    "running total computed as range-bucketed local cumsums + broadcast "
+    "bucket offsets — the widest exchange spreads over 64 reducers where "
+    "the naive Window.orderBy funnels 100 TB through ONE task. Oracle is "
+    "the naive global window, pinning row-for-row equality.",
+    tags=("ext",),
+)
+def q_distributed_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import distributed_cumsum
+
+    ev = read_sf_table(spark, sf, "events")
+    out = distributed_cumsum(ev, "event_id", "value", n_buckets=64)
+    return out.select(
+        "event_id", F.round("running_total", 4).alias("running_total")
+    )

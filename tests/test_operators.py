@@ -116,3 +116,38 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="full_outer")
+
+
+def test_distributed_cumsum_equals_global_window(spark):
+    from entity_etl_spark.operators import distributed_cumsum
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).cast("double").alias("v"),
+    )
+    got = distributed_cumsum(df, "k", "v", n_buckets=16)
+    want = df.withColumn(
+        "running_total", F.sum("v").over(W.orderBy("k"))
+    )
+    g = {r.k: r.running_total for r in got.collect()}
+    w = {r.k: r.running_total for r in want.collect()}
+    assert all(abs(g[k] - w[k]) < 1e-6 for k in w)
+
+
+def test_distributed_cumsum_big_side_not_single_partition(spark):
+    from entity_etl_spark.operators import distributed_cumsum
+    from tests.test_plans import plan_of
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    plan = plan_of(distributed_cumsum(df, "k", "v", n_buckets=16))
+    # the row-bearing window shuffles on the bucket key; single-partition
+    # exchanges exist only on metadata-sized sides (min/max bounds, the
+    # n_buckets-row offsets cumsum), never under the row-carrying Window
+    assert "hashpartitioning(__bkt" in plan, plan
+    row_window = next(
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "running" not in ln and "__local" in ln
+    )
+    assert "__bkt" in row_window, row_window
