@@ -92,3 +92,30 @@ def grouped_split(
         test_fraction=test_fraction,
         split_col=split_col,
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, ``n`` per group
+    (Efraimidis–Spirakis A-ES): each row gets key ln(u)/w with u the
+    md5-derived uniform of its id — the n LARGEST keys per group are an
+    exact weighted sample. No RNG state: reruns, retries, and repartitions
+    select identical rows (same portability argument as hash_sample), and
+    the DuckDB oracle replays the identical arithmetic.
+
+    One window shuffle on the group key; rows with weight <= 0 are
+    excluded (zero probability mass)."""
+    u = _hash_unit(F.col(id_col))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(F.desc(key), id_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

@@ -338,3 +338,92 @@ def distributed_cumsum(
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__bkt", "__local", "__off")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    v_col: str,
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill null gaps in a per-key time grid by linear interpolation between
+    the nearest non-null neighbors (edge gaps clamp to the nearest value) —
+    the standard repair step after a date-spine left join.
+
+    Physical shape: two frames (running-last and running-first with
+    ignorenulls) over ONE (key, t) sort — Catalyst plans a single Exchange;
+    the ascending-order sort is shared, and everything else is codegen
+    arithmetic. ``t_col`` must be numeric (epoch seconds / day number) so
+    the interpolation fraction is well-defined.
+    """
+    out_col = out_col or f"{v_col}_filled"
+    keys = [F.col(k) for k in key_cols]
+    v, t = F.col(v_col), F.col(t_col)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(t_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wf)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+        )
+    )
+    return df.withColumn(out_col, filled)
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    *,
+    z: float = 3.0,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Flag rows whose |value − group median| / MAD exceeds ``z`` — the
+    outlier gate that survives heavy tails (mean/stddev z-scores blow up on
+    the very outliers they're meant to catch; median/MAD don't).
+
+    Two exact-percentile aggregations (median, then median absolute
+    deviation — MAD needs the median first, so two passes are inherent),
+    each a map-side-partial shuffle on the group keys; both stat tables are
+    |groups| rows and broadcast back. Zero-MAD groups (constant values)
+    flag nothing. percentile_approx is the one-line 100 TB swap-in.
+    """
+    gkeys = list(group_cols)
+    med = df.groupBy(*gkeys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), gkeys)
+    mad = (
+        with_med.groupBy(*gkeys)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+        )
+    )
+    return (
+        with_med.join(F.broadcast(mad), gkeys)
+        .withColumn(
+            out_col,
+            (F.col("__mad") > 0)
+            & (
+                F.abs(F.col(value_col) - F.col("__med")) / F.col("__mad")
+                > F.lit(z)
+            ),
+        )
+        .drop("__med", "__mad")
+    )

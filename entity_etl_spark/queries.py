@@ -4388,3 +4388,191 @@ def q_distributed_running_total(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_id", F.round("running_total", 4).alias("running_total")
     )
+
+
+@register(
+    "interpolate_daily_gaps",
+    """
+    WITH spine AS (
+      SELECT et.event_type, s.s AS day
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN generate_series(TIMESTAMP '2024-01-01',
+                                 TIMESTAMP '2024-01-30',
+                                 INTERVAL 1 DAY) AS s(s)
+    ),
+    daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(value) AS total
+      FROM events WHERE value > 95 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT spine.event_type,
+             datediff('day', TIMESTAMP '2024-01-01', spine.day) AS day_num,
+             strftime(spine.day, '%Y-%m-%d') AS day,
+             daily.total
+      FROM spine LEFT JOIN daily
+        ON spine.event_type = daily.event_type AND spine.day = daily.day
+    ),
+    filled AS (
+      SELECT event_type, day_num, day, total,
+             last_value(total IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN total IS NOT NULL THEN day_num END
+                        IGNORE NULLS) OVER wb AS pt,
+             first_value(total IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN total IS NOT NULL THEN day_num END
+                         IGNORE NULLS) OVER wf AS nt
+      FROM grid
+      WINDOW wb AS (PARTITION BY event_type ORDER BY day_num
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY day_num
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           round(CASE
+             WHEN total IS NOT NULL THEN total
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (day_num - pt) / (nt - pt)
+           END, 4) AS total_filled,
+           (total IS NULL) AS was_gap
+    FROM filled
+    """,
+    doc="Linear gap interpolation (operators.interpolate_linear) over a "
+    "per-key date spine: running-last/running-first ignorenulls frames "
+    "share ONE (key, t) sort — single Exchange, codegen arithmetic; edge "
+    "gaps clamp to the nearest value.",
+    tags=("ext",),
+)
+def q_interpolate_daily_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import interpolate_linear
+
+    ev = read_sf_table(spark, sf, "events")
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-01").cast("timestamp"),
+                        F.lit("2024-01-30").cast("timestamp"),
+                        F.expr("INTERVAL 1 DAY"),
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    daily = (
+        ev.filter(F.col("value") > 95)
+        .groupBy(
+            F.col("event_type").alias("et2"),
+            F.date_trunc("day", "ts").alias("d2"),
+        )
+        .agg(F.sum("value").alias("total"))
+    )
+    grid = spine.join(
+        daily,
+        (spine.event_type == daily.et2) & (spine.day == daily.d2),
+        "left",
+    ).select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "total",
+    )
+    out = interpolate_linear(
+        grid, ["event_type"], "day_num", "total", out_col="total_filled"
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.round("total_filled", 4).alias("total_filled"),
+        F.col("total").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "robust_outlier_values",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, median(abs(e.value - med.m)) AS d
+      FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN mad.d > 0
+                          AND abs(e.value - med.m) / mad.d > 2.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(min(med.m), 4) AS med,
+           round(min(mad.d), 4) AS mad
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Robust median/MAD outlier gate (operators.robust_outliers): "
+    "survives heavy tails where mean/stddev z-scores self-destruct. Two "
+    "exact-percentile passes (MAD needs the median first), both stat "
+    "tables broadcast back; percentile_approx is the 100 TB swap-in.",
+    tags=("ext",),
+)
+def q_robust_outlier_values(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import robust_outliers
+
+    ev = read_sf_table(spark, sf, "events")
+    flagged = robust_outliers(ev, "value", ["event_type"], z=2.5)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__m")
+    )
+    with_m = ev.join(F.broadcast(med), "event_type")
+    mad = with_m.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - __m), 0.5)").alias("__d")
+    )
+    return (
+        flagged.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("is_outlier").cast("long")).cast("bigint").alias(
+                "n_outliers"
+            ),
+            F.round(F.min("__m"), 4).alias("med"),
+            F.round(F.min("__d"), 4).alias("mad"),
+        )
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::UBIGINT AS DOUBLE) / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY k DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 5
+    """,
+    doc="Deterministic weighted sampling without replacement, 5 docs per "
+    "source weighted by length (ext/sampling.weighted_sample_per_group, "
+    "Efraimidis-Spirakis A-ES with an md5-derived uniform): no RNG state, "
+    "identical selection on any cluster layout; the oracle replays the "
+    "exact arithmetic.",
+    tags=("ext",),
+)
+def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.sampling import weighted_sample_per_group
+
+    docs = read_sf_table(spark, sf, "documents")
+    return weighted_sample_per_group(
+        docs, "source", "doc_id", "n_chars", 5
+    ).select("source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))

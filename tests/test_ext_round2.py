@@ -391,3 +391,21 @@ def test_prepare_training_data_stages(spark):
     per_group = out.groupBy("source").agg(
         F.countDistinct("split").alias("ns")).collect()
     assert all(r.ns == 1 for r in per_group)
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from entity_etl_spark.ext.sampling import weighted_sample_per_group
+
+    rows = [("g", i, 1.0 if i < 90 else 1000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    s1 = {r.id for r in weighted_sample_per_group(df, "grp", "id", "w", 10).collect()}
+    s2 = {r.id for r in
+          weighted_sample_per_group(df.repartition(7), "grp", "id", "w", 10).collect()}
+    assert s1 == s2 and len(s1) == 10  # layout-independent determinism
+    # the 10 heavy rows (1000x weight) dominate the sample
+    assert len([i for i in s1 if i >= 90]) >= 8
+    # zero/negative weights are excluded outright
+    z = spark.createDataFrame([("g", 1, 0.0), ("g", 2, -3.0), ("g", 3, 1.0)],
+                              "grp string, id long, w double")
+    assert {r.id for r in
+            weighted_sample_per_group(z, "grp", "id", "w", 5).collect()} == {3}

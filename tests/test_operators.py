@@ -151,3 +151,32 @@ def test_distributed_cumsum_big_side_not_single_partition(spark):
         if "Window" in ln and "running" not in ln and "__local" in ln
     )
     assert "__bkt" in row_window, row_window
+
+
+def test_interpolate_linear_fills_and_clamps(spark):
+    from entity_etl_spark.operators import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 10.0), ("a", 2, None), ("a", 3, None),
+         ("a", 4, 40.0), ("a", 5, None), ("b", 0, 7.0)],
+        "k string, t long, v double",
+    )
+    got = {(r.k, r.t): r.v_filled
+           for r in interpolate_linear(df, ["k"], "t", "v").collect()}
+    assert got[("a", 0)] == 10.0   # leading edge clamps forward
+    assert got[("a", 2)] == 20.0   # linear between 10@1 and 40@4
+    assert got[("a", 3)] == 30.0
+    assert got[("a", 5)] == 40.0   # trailing edge clamps back
+    assert got[("b", 0)] == 7.0
+
+
+def test_robust_outliers_flags_tail_not_bulk(spark):
+    from entity_etl_spark.operators import robust_outliers
+
+    rows = [("g", float(x)) for x in [10, 11, 12, 13, 14, 1000]] + [
+        ("const", 5.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", ["g"], z=3.0)
+    flagged = {(r.g, r.v) for r in out.filter("is_outlier").collect()}
+    assert flagged == {("g", 1000.0)}
+    assert out.filter("g = 'const' and is_outlier").count() == 0  # MAD=0 guard
