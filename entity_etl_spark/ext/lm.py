@@ -101,3 +101,52 @@ def score_documents(
             F.sum(F.col("n") * F.col("__logp")) / F.sum("n"), round_to
         ).alias("avg_logprob"),
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """KL(P_source || P_corpus) over whitespace-token unigram
+    distributions — how far each source's language drifts from the corpus
+    mix. The mixture-design diagnostic: high-KL sources are the ones
+    up/down-weighting will actually change.
+
+    No smoothing needed: every source token is, by construction, in the
+    corpus support (P ≪ Q always holds for a sub-corpus).
+
+    Scale: one tokenize-explode scan feeds two map-side-combined
+    aggregations — (source, token) counts and the token margins; the
+    margins join is token-keyed (bounded by vocabulary), the per-source
+    totals ride a broadcast. Everything else is codegen ln/arithmetic.
+    """
+    toks = docs.select(
+        group_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    st = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    s_tot = toks.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    g_tot = toks.agg(F.count(F.lit(1)).alias("n_g"))
+    return (
+        st.join(t, "tok")
+        .join(F.broadcast(s_tot), group_col)
+        .crossJoin(F.broadcast(g_tot))
+        .withColumn("__p", F.col("c_st") / F.col("n_s"))
+        .withColumn("__q", F.col("c_t") / F.col("n_g"))
+        .groupBy(group_col)
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__p") * F.log(F.col("__p") / F.col("__q"))),
+                round_to,
+            ).alias("kl_vs_corpus"),
+        )
+    )

@@ -4576,3 +4576,36 @@ def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample_per_group(
         docs, "source", "doc_id", "n_chars", 5
     ).select("source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@register(
+    "source_kl_divergence",
+    """
+    WITH toks AS (
+      SELECT source, lower(t.tok) AS tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+    tt AS (SELECT tok, count(*) AS c_t FROM toks GROUP BY 1),
+    s_tot AS (SELECT source, count(*) AS n_s FROM toks GROUP BY 1),
+    g_tot AS (SELECT count(*) AS n_g FROM toks)
+    SELECT st.source,
+           CAST(max(s_tot.n_s) AS BIGINT) AS n_tokens,
+           round(sum((c_st / n_s) * ln((c_st / n_s) / (c_t / n_g))), 4)
+             AS kl_vs_corpus
+    FROM st JOIN tt USING (tok) JOIN s_tot USING (source) CROSS JOIN g_tot
+    GROUP BY st.source
+    """,
+    doc="Per-source KL divergence vs the corpus token distribution "
+    "(ext/lm.source_kl_divergence) — the mixture-design diagnostic. One "
+    "tokenize scan, two map-side-combined aggregations, margins joined "
+    "token-keyed, totals broadcast; ln/arith in codegen.",
+    tags=("ext",),
+)
+def q_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.lm import source_kl_divergence
+
+    docs = read_sf_table(spark, sf, "documents")
+    return source_kl_divergence(docs)
