@@ -414,12 +414,15 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
 def test_source_kl_zero_for_identical_distributions(spark):
     from entity_etl_spark.ext.lm import source_kl_divergence
 
+    import math
+
     docs = spark.createDataFrame(
         [(1, "a b c", "s1"), (2, "a b c", "s2"),
-         (3, "x x x x x x", "s3")],
+         (3, "x x x", "s3")],
         "doc_id long, text string, source string",
     )
     got = {r.source: r.kl_vs_corpus for r in source_kl_divergence(docs).collect()}
-    # s1 and s2 share one distribution; s3 diverges hard
-    assert got["s1"] == got["s2"]
-    assert got["s3"] > got["s1"] >= 0.0
+    # s1 and s2 share one distribution; s3 diverges harder: KL(s3)=ln 3,
+    # KL(s1)=ln(3/2) against the 9-token corpus mix
+    assert got["s1"] == got["s2"] == round(math.log(1.5), 4)
+    assert got["s3"] == round(math.log(3.0), 4)
