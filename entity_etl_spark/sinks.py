@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -98,3 +99,35 @@ def http_sink(
                 raise RuntimeError(f"sink returned HTTP {status}")
 
     bodies.select("body").foreachPartition(send_partition)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    split_col: str = "split",
+    shard_key: str | None = None,
+    n_shards: int = 8,
+    max_records_per_file: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write a prepared corpus as training shards: Hive-partitioned by
+    ``split`` (train/val/test directories a loader can glob independently),
+    ``n_shards`` roughly-equal files per split, each capped at
+    ``max_records_per_file`` rows.
+
+    Sharding hashes ``shard_key`` (default: every column) so content, not
+    arrival order, decides placement — re-runs produce the same shard
+    membership, and a shard is a valid i.i.d.-ish subsample of its split
+    (loaders that stream shard-by-shard see an unbiased stream). The
+    repartition is the only shuffle; maxRecordsPerFile then splits
+    oversized shards at write time without another pass.
+    """
+    keys = [F.col(shard_key)] if shard_key else [F.col(c) for c in df.columns]
+    sharded = df.repartition(n_shards, *keys)
+    (
+        sharded.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(split_col)
+        .parquet(path)
+    )

@@ -130,3 +130,33 @@ def test_reference_catalog_covers_all_specs():
     assert cat.get("azureVm").id_field == "azure_vm_id"
     assert cat.get("gce").id_field == "gcp_id"
     assert all(cat.get(n).ts_field == "updatedOnMs" for n in cat.names())
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import glob
+
+    from entity_etl_spark.sinks import write_training_shards
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "train")
+        .when(F.col("id") % 10 == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        df, out, shard_key="doc_id", n_shards=4, max_records_per_file=200
+    )
+    for split, n in (("train", 2400), ("val", 300), ("test", 300)):
+        files = glob.glob(f"{out}/split={split}/*.parquet")
+        assert files, split
+        back = spark.read.parquet(f"{out}/split={split}")
+        assert back.count() == n
+        # the cap splits oversized shards at write time
+        for f in files:
+            assert spark.read.parquet(f).count() <= 200
+    # deterministic membership: re-write -> identical doc_id -> file-set sizes
+    whole = spark.read.parquet(out)
+    assert whole.count() == 3000
+    assert whole.select("doc_id").distinct().count() == 3000
