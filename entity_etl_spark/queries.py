@@ -4609,3 +4609,166 @@ def q_source_kl_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     return source_kl_divergence(docs)
+
+
+@register(
+    "funnel_conversion",
+    f"""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_clicked,
+           CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchased,
+           round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+                 / (SELECT count(*) FROM t1), 4) AS view_to_purchase
+    """,
+    doc="Ordered event funnel (view -> click-after -> purchase-after): "
+    "three stage aggregations all keyed user_id — one logical shuffle key, "
+    "co-partitioned joins reuse the exchange; no window over the full "
+    "event stream. The conversion-analysis staple.",
+    tags=("analytics",),
+)
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1, n2, n3 = t1.count(), t2.count(), t3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3, round(n3 / n1, 4))],
+        "n_viewed bigint, n_clicked bigint, n_purchased bigint, "
+        "view_to_purchase double",
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', f.cohort, a.w) / 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: cohort = first-seen week, one row per "
+    "(cohort, week offset) with active-user counts. Both aggregations key "
+    "on user_id (shared shuffle); the distinct collapses activity to "
+    "(user, week) pairs before the join — no event-grain join ever.",
+    tags=("analytics",),
+)
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT lower(t.tok) AS tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rn,
+             sum(c) OVER (ORDER BY c DESC, tok) AS cum
+      FROM tc
+    ),
+    tot AS (SELECT sum(c) AS t, count(*) AS v FROM tc)
+    SELECT CAST(t AS BIGINT) AS total_tokens,
+           CAST(v AS BIGINT) AS vocab_size,
+           CAST((SELECT min(rn) FROM ranked WHERE cum >= 0.9 * t)
+                AS BIGINT) AS vocab_for_90pct
+    FROM tot
+    """,
+    doc="Vocabulary coverage curve (tokenizer-design diagnostic): rank "
+    "tokens by frequency, cumulative share, smallest vocab reaching 90% "
+    "token coverage. The corpus-sized work is ONE map-side-combined "
+    "count; the ranked cumsum runs over the vocabulary (bounded, orders "
+    "of magnitude smaller than the corpus — distributed_cumsum is the "
+    "swap-in if a vocabulary ever outgrows one reducer).",
+    tags=("ext",),
+)
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+                     lambda t: t != "")
+        ).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.col("tok"))
+    ranked = tc.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = tc.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    ).first()
+    v90 = (
+        ranked.filter(F.col("cum") >= 0.9 * tot["t"])
+        .agg(F.min("rn").cast("bigint"))
+        .first()[0]
+    )
+    return spark.createDataFrame(
+        [(tot["t"], tot["v"], v90)],
+        "total_tokens bigint, vocab_size bigint, vocab_for_90pct bigint",
+    )
