@@ -4772,3 +4772,124 @@ def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         [(tot["t"], tot["v"], v90)],
         "total_tokens bigint, vocab_size bigint, vocab_for_90pct bigint",
     )
+
+
+@register(
+    "cdc_apply_tombstones",
+    f"""
+    WITH state AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    latest AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts > TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+           round(CASE WHEN l.op IS NOT NULL THEN l.value
+                      ELSE s.value END, 6) AS value
+    FROM state s FULL OUTER JOIN latest l ON s.user_id = l.user_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    doc="CDC apply with delete tombstones (state.apply_cdc): the reference "
+    "cache can only upsert/expire (cache.js:50-67); a CDC feed carries "
+    "explicit deletes TTL can't express. Latest change per key wins "
+    "(WindowGroupLimit prunes map-side), a final D removes the key, the "
+    "state side joins on its own key (bucket-able). Here: post-cutoff "
+    "events as the feed, 'error' mapped to D.",
+    tags=("ext",),
+)
+def q_cdc_apply_tombstones(spark: SparkSession, sf: str) -> DataFrame:
+    from .state import apply_cdc
+
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    state = (
+        ev.filter(F.col("ts") <= F.lit(CUTOFF).cast("timestamp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "value")
+    )
+    changes = ev.filter(F.col("ts") > F.lit(CUTOFF).cast("timestamp")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    nxt = apply_cdc(
+        state, changes, "user_id", "ts", tiebreak="event_id",
+        payload_cols=["value"],
+    )
+    return nxt.select("user_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "event_type_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n_users AS (SELECT count(DISTINCT user_id) AS n FROM events),
+    singles AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both,
+           round(count(*) / min(n_users.n), 4) AS support,
+           round(CAST(count(*) AS DOUBLE) * min(n_users.n)
+                 / (min(sa.c) * min(sb.c)), 4) AS lift
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN singles sa ON sa.event_type = a.event_type
+    JOIN singles sb ON sb.event_type = b.event_type
+    CROSS JOIN n_users
+    GROUP BY a.event_type, b.event_type
+    """,
+    doc="Co-occurrence / frequent-pair mining over user baskets: collapse "
+    "to DISTINCT (user, type) first — the self-join then multiplies only "
+    "basket sizes (bounded by the type vocabulary), never raw event "
+    "counts; support and lift from broadcast singletons.",
+    tags=("analytics",),
+)
+def q_event_type_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select(F.countDistinct("user_id").alias("n"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_both"),
+            F.round(F.count(F.lit(1)) / F.min("n"), 4).alias("support"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                * F.min("n")
+                / (F.min("ca") * F.min("cb")),
+                4,
+            ).alias("lift"),
+        )
+        .select("type_a", "type_b", "n_both", "support", "lift")
+    )

@@ -342,3 +342,63 @@ def merge_scd2(
         seed.unionByName(incoming.select(*cols)), key, attr, ts, tiebreak
     )
     return closed.unionByName(tail)
+
+
+def apply_cdc(
+    state: DataFrame | None,
+    changes: DataFrame,
+    id_col: str,
+    ts_col: str,
+    *,
+    op_col: str = "op",
+    tiebreak: str | None = None,
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture batch — rows tagged I(nsert)/U(psert)/
+    D(elete) — to a keyed state table and return the next state.
+
+    The reference's cache can only upsert and expire (cache.js:50-67); a
+    CDC feed also carries explicit deletes (tombstones), which TTL cannot
+    express. Semantics: keep the LATEST change per key (ts, then tiebreak —
+    the same last-write-wins as merge_state); a final D removes the key,
+    any other op upserts the change's payload; keys without changes keep
+    their state row.
+
+    Scale shape: the changes side collapses to one row per key BEFORE the
+    merge join (WindowGroupLimit prunes map-side); the state side joins on
+    its own key — bucketed state layout makes it shuffle-free, tombstones
+    cost nothing extra.
+    """
+    pcols = (
+        list(payload_cols)
+        if payload_cols is not None
+        else [c for c in changes.columns if c not in (id_col, ts_col, op_col)]
+    )
+    order = [F.desc(ts_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__c_{c}") for c in pcols],
+        )
+    )
+    if state is None:
+        return latest.filter(F.col("__op") != "D").select(
+            F.col(id_col), *[F.col(f"__c_{c}").alias(c) for c in pcols]
+        )
+    merged = state.join(latest, [id_col], "full_outer")
+    return (
+        merged.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
+        .select(
+            F.col(id_col),
+            *[
+                F.when(F.col("__op").isNotNull(), F.col(f"__c_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in pcols
+            ],
+        )
+    )

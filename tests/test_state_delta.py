@@ -210,3 +210,39 @@ def test_merge_scd2_none_history(spark):
     merged = merge_scd2(None, _scd_df(spark, batch), "k", "v", "t", "eid")
     rebuilt = scd2_history(_scd_df(spark, batch), "k", "v", "t", "eid")
     assert _canon(merged) == _canon(rebuilt)
+
+
+def test_apply_cdc_truth_table(spark):
+    from entity_etl_spark.state import apply_cdc
+
+    state = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, 5, 1, "U", 21.0),   # update
+            (3, 5, 2, "D", None),   # delete
+            (4, 5, 3, "I", 40.0),   # insert new key
+            (5, 5, 4, "U", 1.0),    # two changes, latest wins ...
+            (5, 6, 5, "D", None),   # ... and it's a delete
+            (6, 5, 6, "D", None),   # delete then re-insert
+            (6, 7, 7, "I", 60.0),
+        ],
+        "id long, ts long, eid long, op string, v double",
+    )
+    nxt = apply_cdc(state, changes, "id", "ts", tiebreak="eid",
+                    payload_cols=["v"])
+    got = {r.id: r.v for r in nxt.collect()}
+    assert got == {1: 10.0, 2: 21.0, 4: 40.0, 6: 60.0}
+
+
+def test_apply_cdc_none_state(spark):
+    from entity_etl_spark.state import apply_cdc
+
+    changes = spark.createDataFrame(
+        [(1, 1, 1, "I", 5.0), (2, 1, 2, "D", None)],
+        "id long, ts long, eid long, op string, v double",
+    )
+    nxt = apply_cdc(None, changes, "id", "ts", tiebreak="eid")
+    rows = {(r.id, r.op if "op" in nxt.columns else None) for r in nxt.collect()}
+    assert {r[0] for r in rows} == {1}
