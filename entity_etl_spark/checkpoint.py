@@ -42,13 +42,11 @@ def max_ts(df: DataFrame, ts_field: str) -> int | None:
 
 
 def _ts_native_expr(df: DataFrame, ts_field: str):
-    col = F.col(ts_field)
-    dtype = dict(df.dtypes)[ts_field]
-    return (
-        F.unix_micros(col.cast("timestamp"))
-        if dtype.startswith("timestamp")
-        else col.cast("long")
-    )
+    # NTZ-safe + tz-free (see tsutil): field arithmetic for TIMESTAMP_NTZ,
+    # unix_micros for TIMESTAMP, raw value for numeric epoch-ms columns.
+    from .tsutil import epoch_micros_any
+
+    return epoch_micros_any(df, ts_field)
 
 
 def max_ts_and_count(df: DataFrame, ts_field: str) -> tuple[int | None, int]:
@@ -96,10 +94,14 @@ def incremental_scan(df: DataFrame, ts_field: str, checkpoint: int) -> DataFrame
     epoch micros for timestamp columns, the raw value for numeric columns."""
     col = F.col(ts_field)
     dtype = dict(df.dtypes)[ts_field]
+    if dtype == "timestamp_ntz":
+        # NTZ column vs NTZ literal: tz-free, and the foldable literal keeps
+        # the predicate pushable into the parquet scan (row-group stats).
+        from .tsutil import micros_to_ntz_literal
+
+        return df.filter(col > micros_to_ntz_literal(checkpoint))
     if dtype.startswith("timestamp"):
-        return df.filter(
-            col.cast("timestamp") > F.timestamp_micros(F.lit(checkpoint))
-        )
+        return df.filter(col > F.timestamp_micros(F.lit(checkpoint)))
     return df.filter(col.cast("long") > F.lit(checkpoint))
 
 

@@ -48,10 +48,14 @@ def asof_join(
     and a quadratic explosion."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown asof direction: {direction}")
+    from .tsutil import epoch_micros_any
+
     lcols = left.columns
     l = left.select(
         F.col(key).alias("__k"),
-        F.col(left_ts).cast("timestamp").alias("__ts"),
+        # long epoch micros: tz-free for NTZ inputs and type-uniform across
+        # sides whatever flavor each ts column is (see tsutil)
+        epoch_micros_any(left, left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
@@ -59,7 +63,7 @@ def asof_join(
     )
     r = right.select(
         F.col(key).alias("__k"),
-        F.col(right_ts).cast("timestamp").alias("__ts"),
+        epoch_micros_any(right, right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
@@ -103,15 +107,24 @@ def range_join_bucketed(
     Intervals explode to ceil(len/width) bucket rows; points map to one
     bucket; the equi-join on (key, bucket) replaces the theta join. Output
     column set = points ∪ intervals (minus duplicated key)."""
+    from .tsutil import epoch_micros_any
+
+    # Bucketize in exact integer MICROS, not truncated seconds: with
+    # sub-second timestamps, flooring to seconds before bucketing can drop
+    # the interval's last bucket (end 7200.5s truncates to 7200, end-1 lands
+    # in bucket 1, yet a point at 7200.3s lives in bucket 2 — a missed
+    # match). micros are the parquet native unit, so [start, end) covers
+    # buckets floor(start/W)..floor((end-1)/W) exactly. Also NTZ-safe.
+    width = F.lit(int(bucket_seconds) * 1_000_000)
     p = points.withColumn(
-        "__bucket", F.floor(F.col(point_ts).cast("long") / bucket_seconds)
+        "__bucket", F.floor(epoch_micros_any(points, point_ts) / width)
     )
     i = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_ts).cast("long") / bucket_seconds),
-                F.floor((F.col(end_ts).cast("long") - 1) / bucket_seconds),
+                F.floor(epoch_micros_any(intervals, start_ts) / width),
+                F.floor((epoch_micros_any(intervals, end_ts) - 1) / width),
             )
         ),
     )

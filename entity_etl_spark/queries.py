@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import tsutil
 from .delta import changed_rows
 from .sources import read_sf_table
 
@@ -662,8 +663,12 @@ def q_set_ops_except(spark: SparkSession, sf: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_sf_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # interval arithmetic (NTZ-safe, exact micros) — same semantics as the
+    # oracle's `ts - lag(ts) > INTERVAL 30 MINUTE`, no epoch truncation
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL '30' MINUTE")), 1
+    ).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)
         .groupBy("user_id")
@@ -2622,7 +2627,7 @@ def q_rest_source_scan(spark: SparkSession, sf: str) -> DataFrame:
                 "event_id",
                 "user_id",
                 "event_type",
-                (F.unix_micros("ts") / 1000).cast("long").alias("updatedOnMs"),
+                tsutil.epoch_millis("ts").alias("updatedOnMs"),
             )
             .collect()
         )
@@ -3371,10 +3376,13 @@ def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = read_sf_table(spark, sf, "events")
+    # order by exact integer epoch micros (NTZ-safe, tz-free) and widen the
+    # frame to micros: j in frame <=> ts_j >= ts_i - 3600s, exactly the
+    # oracle's RANGE 3600 PRECEDING over epoch seconds — no float boundary
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts") / 1_000_000)
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(tsutil.epoch_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
         "event_id",

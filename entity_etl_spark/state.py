@@ -229,8 +229,10 @@ def merge_state(
     # Intra-batch duplicates of a key: the reference's Map.set keeps the last
     # row in array order (cache.js:55-57); distributed equivalent = keep the
     # row with the greatest event time when one is available.
+    from .tsutil import epoch_micros_any
+
     order_col = (
-        F.col(ts_field).cast("long")
+        epoch_micros_any(incoming, ts_field)
         if ts_field is not None and ts_field in incoming.columns
         else F.lit(0)
     )
