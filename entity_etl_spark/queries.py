@@ -4901,3 +4901,215 @@ def q_event_type_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("type_a", "type_b", "n_both", "support", "lift")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decision-support shapes (round 2 continued): outer-join count
+# distributions, agg-view scalar subqueries, distinct-count rollups with
+# anti-join exclusions, global-threshold anti-join aggregates — the
+# Catalyst patterns (decorrelation, null-preserving outer agg, broadcast
+# scalar) a migrating analytics user exercises daily.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_custdist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution via a "
+    "null-preserving left outer join (customers with zero orders must "
+    "surface as c_count=0) + two-level aggregation. The second agg's "
+    "domain is tiny (distinct counts), so the heavy shuffle is only the "
+    "custkey join — AQE coalesces the rest.",
+    tags=("analytics",),
+)
+def q_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    cust = read_sf_table(spark, sf, "customer")
+    orders = read_sf_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: top supplier by revenue — a scalar subquery over "
+    "a derived aggregate view. Catalyst evaluates the 1-row max as a "
+    "broadcast subquery; the view is aggregated once (reused, not "
+    "recomputed per row). Within-engine double comparison, so summation "
+    "order differences between engines cannot flip the winner.",
+    tags=("analytics",),
+)
+def q_q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    sup = read_sf_table(spark, sf, "supplier")
+    li.createOrReplaceTempView("q15_lineitem")
+    sup.createOrReplaceTempView("q15_supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+          FROM q15_lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               round(r.total_revenue, 2) AS total_revenue
+        FROM q15_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q16_part_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'ECONOMY%'
+      AND p.p_size IN (5, 11, 17, 23, 29)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem's (partkey,suppkey) pairs stand in for "
+    "partsupp): supplier variety per part segment, excluding flagged "
+    "suppliers via NOT IN -> left-anti against a broadcast-sized dim. "
+    "distinct-before-join shrinks the fact side; part + supplier both "
+    "broadcast at every scale where they fit (they are dims).",
+    tags=("analytics",),
+)
+def q_q16_part_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
+    ps = (
+        read_sf_table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = read_sf_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("ECONOMY%"))
+        & (F.col("p_size").isin(5, 11, 17, 23, 29))
+    )
+    bad = read_sf_table(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+@register(
+    "q22_rich_idle_customers",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no urgent "
+    "orders — a global scalar-average threshold (broadcast 1-row "
+    "subquery; rounded to cents so both engines agree at the boundary) "
+    "+ NOT EXISTS decorrelated into a left-anti join on custkey. (The "
+    "anti-join side is pre-filtered to urgent orders so the result is "
+    "non-empty at every SF — all testdata customers have some order.)",
+    tags=("analytics",),
+)
+def q_q22_rich_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    cust = read_sf_table(spark, sf, "customer")
+    orders = read_sf_table(spark, sf, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("__avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    idle = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@register(
+    "hll_sketch_merge_daily",
+    """
+    SELECT event_type, true AS merged_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="Mergeable HLL sketch state (Datasketches HllSketch, Spark 4 "
+    "built-ins): per-(event_type, day) hll_sketch_agg partials -> "
+    "hll_union_agg rollup -> estimate vs the exact distinct count, "
+    "asserted within 5%. THE incremental-distinct pattern at 100 TB: "
+    "daily partials are tiny, persistable, and re-mergeable, so a "
+    "90-day uniques rollup touches 90 sketch rows instead of 90 days "
+    "of raw events (contrast: approx_distinct_users re-scans raw). "
+    "Decidable oracle per VERDICT r1 item 2: the epsilon bound is the "
+    "result, so DuckDB pins it relationally.",
+    tags=("ext", "sketch"),
+)
+def q_hll_sketch_merge_daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("__day")
+    ).agg(F.hll_sketch_agg("user_id").alias("__sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("__exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("__est") - F.col("__exact"))
+                / F.col("__exact")
+                <= 0.05
+            ).alias("merged_within_5pct"),
+        )
+    )
