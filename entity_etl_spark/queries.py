@@ -5113,3 +5113,217 @@ def q_hll_sketch_merge_daily(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("merged_within_5pct"),
         )
     )
+
+
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) l
+    WHERE c.c_mktsegment = 'MACHINERY'
+    """,
+    doc="Correlated LATERAL join (Spark 3.2+ JOIN LATERAL): top-3 orders "
+    "per customer as a correlated ordered-limit subquery. Catalyst "
+    "decorrelates to a window rank over the custkey join — same physical "
+    "shape as the explicit row_number form, declared relationally. "
+    "Deterministic tie-break on o_orderkey keeps both engines aligned.",
+    tags=("analytics",),
+)
+def q_lateral_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    read_sf_table(spark, sf, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    read_sf_table(spark, sf, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) l
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )
+
+
+@register(
+    "timestamp_arithmetic_funcs",
+    f"""
+    SELECT event_id,
+           strftime(ts + INTERVAL 90 MINUTE, '{DUCK_TS_FMT}') AS plus_90m,
+           strftime(ts - INTERVAL 7 DAY, '{DUCK_TS_FMT}') AS minus_7d,
+           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+             // 3600000000 AS hours_since_t0,
+           (epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) - epoch_us(ts))
+             // 60000000 AS minutes_to_midnight,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start
+    FROM events WHERE event_id < 3000
+    """,
+    doc="Timestamp arithmetic on TIMESTAMP_NTZ (post-tsutil coverage): "
+    "interval add/subtract, timestampdiff in two units, week trunc — all "
+    "field-space operations that stay tz-free on NTZ inputs (no epoch "
+    "cast anywhere, so no session-tz hazard).",
+    tags=("functions",),
+)
+def q_timestamp_arithmetic_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        _ts_str(F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+        _ts_str(F.col("ts") - F.expr("INTERVAL 7 DAY")).alias("minus_7d"),
+        # elapsed-unit diffs in exact integer micros (floor division), NOT
+        # timestampdiff: DuckDB's date_diff counts *boundary crossings*
+        # while Spark's timestampdiff counts *complete units* — epoch-micros
+        # floor division is the one semantic both engines state identically
+        (
+            (
+                tsutil.epoch_micros("ts")
+                - F.lit(1704067200_000000)  # 2024-01-01T00:00 naive micros
+            )
+            / F.lit(3_600_000_000)
+        )
+        .cast("bigint")
+        .alias("hours_since_t0"),
+        F.floor(
+            (
+                tsutil.epoch_micros(
+                    F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")
+                )
+                - tsutil.epoch_micros("ts")
+            )
+            / F.lit(60_000_000)
+        )
+        .cast("bigint")
+        .alias("minutes_to_midnight"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    )
+
+
+_PAGERANK_EDGE_SQL = """
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    UNION
+    SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                    'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register(
+    "pagerank_customer_supplier",
+    f"""
+    WITH edges AS ({_PAGERANK_EDGE_SQL}),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT count(DISTINCT src) AS n FROM edges),
+    r0 AS (SELECT src AS node, 1.0 / n.n AS rank FROM deg, n),
+    r1 AS (
+      SELECT e.dst AS node,
+             0.15 / min(n.n) + 0.85 * sum(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r0 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src, n
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT e.dst AS node,
+             0.15 / min(n.n) + 0.85 * sum(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r1 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src, n
+      GROUP BY e.dst),
+    r3 AS (
+      SELECT e.dst AS node,
+             0.15 / min(n.n) + 0.85 * sum(r.rank / d.outdeg) AS rank
+      FROM edges e JOIN r2 r ON e.src = r.node
+                   JOIN deg d ON e.src = d.src, n
+      GROUP BY e.dst)
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           round(sum(rank), 4) AS rank_mass,
+           round(max(rank) * 1000, 4) AS max_rank_x1000
+    FROM r3
+    """,
+    doc="Iterative PageRank (3 fixed power iterations, damping 0.85) over "
+    "the customer<->supplier transaction graph — the iterative-algorithm "
+    "pattern on DataFrames: each iteration is one hash join (edges x "
+    "ranks, co-partitioned on the join key across iterations) + one "
+    "aggregation; lineage grows linearly so long runs localCheckpoint "
+    "every ~10 iters. Summary projection (mass + max) keeps the oracle "
+    "float-stable; the oracle unrolls the same 3 iterations as CTEs. "
+    "Symmetrized edges mean no dangling nodes.",
+    tags=("ext", "graph"),
+)
+def q_pagerank_customer_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_sf_table(spark, sf, "orders")
+    li = read_sf_table(spark, sf, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst")
+    )
+    # one shuffle on src shared by degree + every iteration's join
+    edges = edges.repartition("src").localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.count()  # node count (symmetric edges: every node has outdeg)
+    contrib_base = edges.join(deg, "src")  # (src, dst, outdeg)
+    ranks = deg.select(
+        F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank")
+    )
+    for _ in range(3):
+        ranks = (
+            contrib_base.join(
+                ranks, contrib_base.src == ranks.node
+            )
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15) / n
+                    + F.lit(0.85) * F.sum(F.col("rank") / F.col("outdeg"))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.sum("rank"), 4).alias("rank_mass"),
+        F.round(F.max("rank") * 1000, 4).alias("max_rank_x1000"),
+    )
+
+
+@register(
+    "video_frame_features",
+    """
+    SELECT vec_id,
+           CAST(6 AS INT) AS n_frames,
+           CAST(3 AS INT) AS n_sampled,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           round(list_sum(list_transform(embedding,
+             x -> greatest(least(floor((CAST(x AS DOUBLE) + 1) / 2 * 255
+                                       + 0.5), 255), 0)))
+                 / len(embedding), 6) AS mean_sampled_pixel
+    FROM embeddings
+    """,
+    doc="E5 video: embeddings -> VID0 frame containers (6 rotated 8x8 "
+    "grayscale planes) -> real header parse + keyframe sampling (every "
+    "2nd frame) + per-clip stats (ext/video.py). Map-only Arrow pass; "
+    "blobs never shuffle. Frames differ byte-wise but rotation preserves "
+    "the pixel population, so the oracle re-derives the sampled mean "
+    "from the source floats through the exact byte quantization.",
+    tags=("ext",),
+)
+def q_video_frame_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.video import sample_frame_features, synthesize_video
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return sample_frame_features(synthesize_video(emb))

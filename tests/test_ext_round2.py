@@ -426,3 +426,49 @@ def test_source_kl_zero_for_identical_distributions(spark):
     # KL(s1)=ln(3/2) against the 9-token corpus mix
     assert got["s1"] == got["s2"] == round(math.log(1.5), 4)
     assert got["s3"] == round(math.log(3.0), 4)
+
+
+def test_video_round_trip_exact(spark):
+    """VID0 encode/decode is byte-exact; frame f is the quantized vector
+    rolled by f, so frames differ but share one pixel population."""
+    import numpy as np
+
+    from entity_etl_spark.ext.video import _decode_video, _encode_video
+
+    gray = np.arange(64, dtype=np.uint8)
+    n, w, h, frames = _decode_video(_encode_video(gray))
+    assert (n, w, h) == (6, 8, 8)
+    assert np.array_equal(frames[0].ravel(), gray)
+    assert np.array_equal(frames[2].ravel(), np.roll(gray, 2))
+    assert not np.array_equal(frames[0], frames[1])
+    assert frames.mean() == gray.mean()
+
+
+def test_video_decoder_rejects_garbage(spark):
+    import pytest as _pytest
+
+    from entity_etl_spark.ext.video import _decode_video
+
+    with _pytest.raises(ValueError):
+        _decode_video(b"MP4?definitely-not-a-vid0-container.........")
+
+
+def test_video_frame_sampling_via_spark(spark):
+    """stride-2 sampling keeps frames 0,2,4 of 6; mean equals the full
+    clip mean (rotation-invariant population)."""
+    from entity_etl_spark.ext.video import (
+        sample_frame_features,
+        synthesize_video,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in sample_frame_features(synthesize_video(df)).collect()
+    }
+    assert got[1]["n_frames"] == 6 and got[1]["n_sampled"] == 3
+    # 0.0 -> floor(0.5*255+0.5)=128; 1.0 -> 255
+    assert got[1]["mean_sampled_pixel"] == 128.0
+    assert got[2]["mean_sampled_pixel"] == 255.0
