@@ -5327,3 +5327,240 @@ def q_video_frame_features(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = read_sf_table(spark, sf, "embeddings")
     return sample_frame_features(synthesize_video(emb))
+
+
+@register(
+    "sql_udf_funcs",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1.0 - l_discount)
+                     * (1.0 + l_tax)), 2) AS revenue_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): "
+    "business logic named once, inlined by Catalyst into the aggregate — "
+    "zero call overhead, full codegen, pushdown-transparent; the "
+    "scale-safe alternative to a Python UDF for pure expressions. The "
+    "oracle states the same expressions inline (which is also exactly "
+    "what the optimized plan contains).",
+    tags=("functions",),
+)
+def q_sql_udf_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    read_sf_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "udf_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed(p DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                 AS revenue,
+               round(sum(taxed(disc_price(l_extendedprice, l_discount),
+                               l_tax)), 2) AS revenue_taxed
+        FROM udf_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "percentile_exact_funcs",
+    """
+    SELECT event_type,
+           round(median(value), 6) AS med,
+           round(quantile_cont(value, 0.25), 6) AS p25_cont,
+           round(quantile_disc(value, 0.75), 6) AS p75_disc
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact percentile family (vs the approx sketch twin "
+    "percentile_value_by_type): median + percentile_cont interpolation + "
+    "percentile_disc (smallest value at cumulative rank >= p). Exact "
+    "percentiles need a per-group sort — the approx sketch is the 100 TB "
+    "path; this is the auditable oracle twin.",
+    tags=("functions",),
+)
+def q_percentile_exact_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("median(value)"), 6).alias("med"),
+        F.round(
+            F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY value)"), 6
+        ).alias("p25_cont"),
+        F.round(
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)"), 6
+        ).alias("p75_disc"),
+    )
+
+
+@register(
+    "xml_roundtrip",
+    """
+    SELECT doc_id, lang AS xml_lang, source AS xml_source
+    FROM documents WHERE doc_id < 2000
+    """,
+    doc="XML surface (Spark 4 to_xml/from_xml): serialize document "
+    "metadata to XML, parse it back with an explicit schema, project the "
+    "parsed struct — the schema-on-read pattern for XML feeds. The "
+    "round trip is the oracle: parse(serialize(x)) == x.",
+    tags=("functions",),
+)
+def q_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents").filter(
+        F.col("doc_id") < 2000
+    )
+    xml = docs.select(
+        "doc_id",
+        F.to_xml(
+            F.struct("lang", "source"), {"rootTag": "meta"}
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "doc_id",
+        F.from_xml(F.col("x"), "lang STRING, source STRING").alias("m"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("m.lang").alias("xml_lang"),
+        F.col("m.source").alias("xml_source"),
+    )
+
+
+@register(
+    "collation_case_insensitive",
+    """
+    SELECT lower(p_type) AS p_type_ci, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN p_brand = 'Brand#3' THEN 1 END) AS BIGINT)
+             AS n_brand3
+    FROM part GROUP BY 1
+    """,
+    doc="Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): group on "
+    "a case-insensitive collated column — the engine-level alternative "
+    "to lower()-normalizing every comparison site. Oracle states the "
+    "same grouping via lower(); results align because UTF8_LCASE on "
+    "ASCII equals lowercase folding.",
+    tags=("functions",),
+)
+def q_collation_case_insensitive(spark: SparkSession, sf: str) -> DataFrame:
+    part = read_sf_table(spark, sf, "part")
+    ci = part.withColumn(
+        "p_type_ci", F.expr("CAST(p_type AS STRING COLLATE UTF8_LCASE)")
+    )
+    return (
+        ci.groupBy("p_type_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("p_brand") == "Brand#3", 1)).alias(
+                "n_brand3"
+            ),
+        )
+        # collated group keys render with original casing of an arbitrary
+        # member; normalize the OUTPUT to lower for a stable comparison
+        .select(
+            F.lower("p_type_ci").alias("p_type_ci"), "n", "n_brand3"
+        )
+    )
+
+
+@register(
+    "table_fingerprint_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(md5(
+             concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       CAST(round(o_totalprice, 2) AS VARCHAR),
+                       strftime(o_orderdate, '%Y-%m-%d'),
+                       o_orderpriority)), 1, 15)) AS BIGINT))
+             AS xor_fingerprint
+    FROM orders
+    """,
+    doc="Cross-engine table fingerprint: an order-independent XOR of "
+    "per-row md5 digests over a canonical text rendering — how a user "
+    "audits that a migrated table is byte-equal to the legacy system "
+    "without sorting or moving it (map-side partial XOR, one 16-byte "
+    "row to the driver; at 100 TB this is the only whole-table equality "
+    "check that costs one scan and no shuffle). md5 + explicit casts "
+    "keep the digest engine-portable; xor needs no overflow arithmetic. "
+    "This is also the engine's own parity harness made into an operator.",
+    tags=("ext",),
+)
+def q_table_fingerprint_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_sf_table(spark, sf, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice"), 2).cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    digest = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return o.select(digest.alias("__d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__d)").alias("xor_fingerprint"),
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH stats AS (
+      SELECT min(u.x) AS lo, max(u.x) AS hi
+      FROM embeddings e, unnest(e.embedding) AS u(x)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(s.lo), 6) AS lo,
+           round(max(s.hi), 6) AS hi,
+           true AS recon_error_bounded
+    FROM embeddings, stats s
+    """,
+    doc="Scalar int8 quantization for embedding storage (the 4x memory "
+    "cut that decides whether a 100 TB vector corpus fits executor RAM "
+    "for ANN): global [min,max] from one aggregate (broadcast back), "
+    "codes = round((x-lo)/(hi-lo)*255)-128 as tinyint, reconstruction "
+    "error <= step/2 by construction — asserted per element and "
+    "reported as a decidable boolean the oracle can pin. All column "
+    "expressions (transform/aggregate lambdas), no UDF.",
+    tags=("ext",),
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings")
+    flat = emb.select(F.explode("embedding").alias("x"))
+    stats = flat.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    q = emb.crossJoin(F.broadcast(stats))
+    step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    codes = F.expr(
+        "transform(embedding, x -> CAST(round((x - lo) / ((hi - lo) / 255.0))"
+        " - 128 AS TINYINT))"
+    )
+    recon = F.expr(
+        "transform(codes, c -> lo + (CAST(c AS DOUBLE) + 128.0)"
+        " * ((hi - lo) / 255.0))"
+    )
+    checked = (
+        q.withColumn("codes", codes)
+        .withColumn("recon", recon)
+        .withColumn(
+            "ok",
+            F.expr(
+                "forall(zip_with(embedding, recon, (x, r) -> "
+                "abs(x - r) <= ((hi - lo) / 255.0) / 2.0 + 1e-12), b -> b)"
+            ),
+        )
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("lo"), 6).alias("lo"),
+        F.round(F.max("hi"), 6).alias("hi"),
+        F.min("ok").alias("recon_error_bounded"),
+    )
