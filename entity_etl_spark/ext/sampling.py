@@ -119,3 +119,37 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def kfold_assignment(
+    df: DataFrame, id_col: str, k: int = 5, fold_col: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold = md5-bucket
+    of the id mod k. Same portability contract as :func:`hash_sample`
+    (md5, engine-reproducible, layout-stable: a row's fold never changes
+    when the corpus grows), map-only — no shuffle, no RNG state."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return df.withColumn(fold_col, (bucket % k).cast("int"))
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    train_until,
+    embargo,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-ordered train/test split with an embargo gap (leakage control
+    for time-series features: rows inside ``[train_until, train_until +
+    embargo)`` are DROPPED so trailing-window features computed on test
+    rows can never see train-adjacent data). ``train_until`` is a literal
+    Column (e.g. a TIMESTAMP_NTZ literal), ``embargo`` an INTERVAL
+    expression string. Pure filters — partition-prunable at scale."""
+    lo = train_until
+    hi = train_until + F.expr(embargo)
+    c = F.col(ts_col)
+    return df.filter((c < lo) | (c >= hi)).withColumn(
+        split_col, F.when(c < lo, "train").otherwise("test")
+    )

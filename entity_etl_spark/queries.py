@@ -5564,3 +5564,106 @@ def q_embedding_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("hi"), 6).alias("hi"),
         F.min("ok").alias("recon_error_bounded"),
     )
+
+
+@register(
+    "length_bucket_padding",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT *, CAST(ceil(n_tokens / 16.0) AS BIGINT) AS bucket FROM toks
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS bucket_max,
+           CAST(sum(n_tokens) AS BIGINT) AS actual_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM b GROUP BY bucket
+    """,
+    doc="Length-bucketed batching (padding-efficiency op for training / "
+    "inference): docs grouped into width-16 token-length buckets; per "
+    "bucket, padded cost = n_docs x bucket_max vs the actual token mass. "
+    "Bucketing by length is what turns O(max_len) padding waste into "
+    "O(bucket_width) — the standard dynamic-batching prep. One scan, one "
+    "shuffle on a small key; token counting shares ext/text's whitespace "
+    "semantics so the oracle restates it verbatim.",
+    tags=("ext",),
+)
+def q_length_bucket_padding(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import token_count
+
+    docs = read_sf_table(spark, sf, "documents")
+    b = docs.select(
+        token_count(F.col("text")).alias("n_tokens")
+    ).withColumn("bucket", F.ceil(F.col("n_tokens") / 16.0).cast("bigint"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("bucket_max"),
+        F.sum("n_tokens").cast("bigint").alias("actual_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("padding_waste"),
+    )
+
+
+@register(
+    "kfold_assignment",
+    """
+    SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                            1, 8)) AS BIGINT) % 5 AS INT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="Deterministic k-fold CV assignment (ext/sampling.kfold_assignment): "
+    "fold = md5-bucket mod k — engine-portable, layout-stable (a doc's "
+    "fold never changes as the corpus grows), map-only. Oracle recomputes "
+    "the identical md5 arithmetic.",
+    tags=("ext",),
+)
+def q_kfold_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.sampling import kfold_assignment
+
+    docs = read_sf_table(spark, sf, "documents")
+    return kfold_assignment(docs, "doc_id", k=5).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "temporal_split_embargo",
+    """
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+       OR ts >= TIMESTAMP '2024-01-20 00:00:00' + INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+    doc="Temporal train/test split with a 1-day embargo gap "
+    "(ext/sampling.temporal_split_embargo): rows inside [cutoff, cutoff+"
+    "embargo) are dropped so trailing-window features on early test rows "
+    "cannot overlap train data — time-series leakage control. Pure "
+    "filters on the event-time column (partition-prunable); NTZ-safe "
+    "literal comparison.",
+    tags=("ext",),
+)
+def q_temporal_split_embargo(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.sampling import temporal_split_embargo
+
+    ev = read_sf_table(spark, sf, "events")
+    cutoff = F.to_timestamp_ntz(F.lit("2024-01-20 00:00:00"))
+    split = temporal_split_embargo(ev, "ts", cutoff, "INTERVAL 1 DAY")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        _ts_str(F.min("ts")).alias("first_ts"),
+        _ts_str(F.max("ts")).alias("last_ts"),
+    )

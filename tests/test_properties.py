@@ -102,3 +102,30 @@ def test_simhash_blocked_join_never_misses(a, flips):
     blocks_a = [(a >> (16 * i)) & 0xFFFF for i in range(4)]
     blocks_b = [(b >> (16 * i)) & 0xFFFF for i in range(4)]
     assert any(x == y for x, y in zip(blocks_a, blocks_b))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1970, 1, 1),
+        max_value=__import__("datetime").datetime(2100, 1, 1),
+    ),
+    st.integers(min_value=0, max_value=999_999),
+)
+def test_tsutil_epoch_model(dt, micros):
+    """The field-arithmetic epoch model (pure-Python mirror of the tsutil
+    column expressions) equals Python's own naive-UTC epoch math for every
+    datetime — the invariant the Spark-side test_tsutil pins on samples."""
+    import datetime as _dt
+
+    d = dt.replace(microsecond=micros)
+    # mirror of tsutil.epoch_micros: days + h/m fields, then decimal seconds
+    days = (d.date() - _dt.date(1970, 1, 1)).days
+    whole_min = days * 86400 + d.hour * 3600 + d.minute * 60
+    # date_part('SECOND') is DECIMAL(8,6): model it as exact integer micros
+    frac_us = d.second * 1_000_000 + d.microsecond
+    want_us = (d - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    assert whole_min * 1_000_000 + frac_us == want_us
+    # epoch_millis: decimal*1000 then truncating cast == integer floor-div
+    assert whole_min * 1000 + frac_us // 1000 == want_us // 1000
+    assert whole_min + d.second == want_us // 1_000_000
