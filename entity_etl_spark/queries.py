@@ -5667,3 +5667,92 @@ def q_temporal_split_embargo(spark: SparkSession, sf: str) -> DataFrame:
         _ts_str(F.min("ts")).alias("first_ts"),
         _ts_str(F.max("ts")).alias("last_ts"),
     )
+
+
+@register(
+    "nucleus_top_p_events",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             sum(value) OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_v,
+             sum(value) OVER (PARTITION BY event_type) AS tot_v
+      FROM events WHERE value > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(max(cum_v / tot_v), 6) AS covered_share
+    FROM ranked
+    WHERE cum_v - value < 0.9 * tot_v
+    GROUP BY event_type
+    """,
+    doc="Group-wise nucleus (top-p) selection: per event type keep the "
+    "largest values until 90% of the mass is covered — the cumulative-"
+    "share gate used for nucleus sampling / heavy-hitter truncation. One "
+    "running-sum window + a share predicate ('cum before this row < p * "
+    "total' keeps the boundary row), deterministic tie-break on event_id.",
+    tags=("analytics",),
+)
+def q_nucleus_top_p_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(F.col("value") > 0)
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.sum("value").over(w_cum).alias("cum_v"),
+        F.sum("value").over(w_all).alias("tot_v"),
+    )
+    return (
+        ranked.filter(
+            F.col("cum_v") - F.col("value") < 0.9 * F.col("tot_v")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.max(F.col("cum_v") / F.col("tot_v")), 6).alias(
+                "covered_share"
+            ),
+        )
+    )
+
+
+@register(
+    "user_event_paths",
+    """
+    SELECT user_id,
+           array_to_string((array_agg(event_type
+                            ORDER BY ts, event_id))[1:8], '>') AS path,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-user event-path extraction (sequence mining prep): the first "
+    "8 event types in strict (ts, event_id) order joined into a path "
+    "string. Deterministic ordered collect: sort-within-window then "
+    "slice — the behavioral-sequence feature for funnel/Markov analysis. "
+    "One shuffle on user_id.",
+    tags=("analytics",),
+)
+def q_user_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.collect_list("event_type").over(w).alias("__seq"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.slice(F.first("__seq"), 1, 8), ">").alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
