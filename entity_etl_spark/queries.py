@@ -2616,8 +2616,16 @@ def q_rest_source_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     # stage the events table as REST page files (deterministic: 8 pages
     # split by event_id; rewritten only when absent)
+    # key the staging dir by source-file mtime too: the driver regenerates
+    # testdata between rounds without clearing /tmp, and stale staged pages
+    # would silently diverge from the fresh oracle data
     tag = _os.path.basename(sf.rstrip("/"))
-    pages_dir = f"/tmp/spark_graft_rest_pages_{tag}"
+    src_file = _os.path.join(sf, "events.parquet")
+    try:
+        ver = int(_os.path.getmtime(src_file))
+    except OSError:
+        ver = 0
+    pages_dir = f"/tmp/spark_graft_rest_pages_{tag}_{ver}"
     done = _os.path.join(pages_dir, "_STAGED")
     if not _os.path.exists(done):
         _os.makedirs(pages_dir, exist_ok=True)
