@@ -5764,3 +5764,149 @@ def q_user_event_paths(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "q7_nation_trade_flows",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by "
+    "ship year — a 6-table join tree where every dimension (customer, "
+    "supplier, nation x2) broadcasts and only the lineitem-orders join "
+    "shuffles; the nation predicate prunes through the join before the "
+    "fact scan aggregates. The breadth test for join reordering.",
+    tags=("analytics",),
+)
+def q_q7_nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    o = read_sf_table(spark, sf, "orders")
+    c = read_sf_table(spark, sf, "customer")
+    s = read_sf_table(spark, sf, "supplier")
+    n = read_sf_table(spark, sf, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, first_day AS day,
+             CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day_str, new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+    doc="Cumulative distinct users per event type by day — COUNT(DISTINCT) "
+    "OVER is unsupported in both engines, so this is the standard "
+    "rewrite: first-occurrence day per (type, user) -> daily new-user "
+    "counts -> running sum. Two aggs + one window, every stage partial-"
+    "aggregable; the direct window form would be quadratic state.",
+    tags=("analytics",),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias(
+            "cum_distinct_users"
+        ),
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(l_extendedprice * l_quantity) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT sum(part_value) * 0.0005 FROM pv)
+    """,
+    doc="TPC-H Q11 shape: parts whose traded value exceeds a fraction of "
+    "the global total — a HAVING against a scalar subquery over the same "
+    "aggregate view. The per-part aggregate shuffles once; the global "
+    "total is a 1-row broadcast; with AQE the exchange under both "
+    "branches is reused, so the fact scan runs once.",
+    tags=("analytics",),
+)
+def q_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("q11_lineitem")
+    return spark.sql(
+        """
+        WITH pv AS (
+          SELECT l_partkey,
+                 sum(l_extendedprice * l_quantity) AS part_value
+          FROM q11_lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(part_value, 2) AS part_value
+        FROM pv
+        WHERE part_value > (SELECT sum(part_value) * 0.0005 FROM pv)
+        """
+    )
