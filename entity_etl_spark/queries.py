@@ -5910,3 +5910,85 @@ def q_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         WHERE part_value > (SELECT sum(part_value) * 0.0005 FROM pv)
         """
     )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 21 AND 30
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: a disjunction of conjunctive (brand, size, "
+    "quantity) windows across the join. Catalyst extracts the common "
+    "per-side implications (brand IN-set + size bounds push to the part "
+    "scan, quantity bounds to lineitem) BEFORE the join, then applies "
+    "the full OR after — the predicate-decomposition stress test.",
+    tags=("analytics",),
+)
+def q_q19_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    p = read_sf_table(spark, sf, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(21, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "metadata_file_provenance",
+    """
+    SELECT 'events.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+    doc="Hidden _metadata file-provenance columns: per-source-file row "
+    "accounting straight from the scan (no input_file_name() UDF call, "
+    "no extra pass) — the lineage/audit primitive for multi-file "
+    "ingestion; at 100 TB per-file counts localize corrupt or "
+    "short-loaded files. Single file at test SF, so the oracle pins the "
+    "name literally.",
+    tags=("ext",),
+)
+def q_metadata_file_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    return (
+        ev.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("file_name"),
+            "user_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
