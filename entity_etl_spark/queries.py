@@ -5992,3 +5992,43 @@ def q_metadata_file_provenance(spark: SparkSession, sf: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — a conditional-aggregate "
+    "ratio over one broadcast join, with the ship-date window pushed to "
+    "the lineitem scan (row-group pruning on the sort-adjacent column). "
+    "CASE-inside-sum computes both numerator and denominator in one "
+    "pass, one shuffle.",
+    tags=("analytics",),
+)
+def q_q14_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1996-04-01")))
+    )
+    p = read_sf_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
