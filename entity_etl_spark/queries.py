@@ -5188,7 +5188,9 @@ def q_timestamp_arithmetic_funcs(spark: SparkSession, sf: str) -> DataFrame:
         # timestampdiff: DuckDB's date_diff counts *boundary crossings*
         # while Spark's timestampdiff counts *complete units* — epoch-micros
         # floor division is the one semantic both engines state identically
-        (
+        # floor (not truncate-toward-zero): the DuckDB oracle uses //, and
+        # the two diverge for timestamps before t0 (negative diffs)
+        F.floor(
             (
                 tsutil.epoch_micros("ts")
                 - F.lit(1704067200_000000)  # 2024-01-01T00:00 naive micros
@@ -5469,9 +5471,13 @@ def q_collation_case_insensitive(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
         # collated group keys render with original casing of an arbitrary
-        # member; normalize the OUTPUT to lower for a stable comparison
+        # member; normalize the OUTPUT to lower AND cast back to plain
+        # string — the collated dtype ('string collate UTF8_LCASE') would
+        # fail a schema comparison against the oracle's plain VARCHAR
         .select(
-            F.lower("p_type_ci").alias("p_type_ci"), "n", "n_brand3"
+            F.lower("p_type_ci").cast("string").alias("p_type_ci"),
+            "n",
+            "n_brand3",
         )
     )
 
@@ -5747,21 +5753,30 @@ def q_nucleus_top_p_events(spark: SparkSession, sf: str) -> DataFrame:
     tags=("analytics",),
 )
 def q_user_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    # ONE aggregation: collect (ts, event_id, event_type) structs per user,
+    # sort_array gives the strict (ts, event_id) order (struct comparison
+    # is lexicographic by field position), then slice+transform projects
+    # the first 8 types. The unbounded-window + first() form would carry
+    # the full per-user sequence on EVERY row (O(n²) state) — this carries
+    # it once per user.
     ev = read_sf_table(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
     return (
-        ev.select(
-            "user_id",
-            F.collect_list("event_type").over(w).alias("__seq"),
-        )
-        .groupBy("user_id")
+        ev.groupBy("user_id")
         .agg(
-            F.array_join(F.slice(F.first("__seq"), 1, 8), ">").alias("path"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("__seq"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(
+                    F.slice("__seq", 1, 8), lambda s: s["event_type"]
+                ),
+                ">",
+            ).alias("path"),
+            "n_events",
         )
     )
 
@@ -5778,8 +5793,8 @@ def q_user_event_paths(spark: SparkSession, sf: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
     JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
-    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7 shape: bilateral trade volume between two nations by "
@@ -5809,12 +5824,12 @@ def q_q7_nation_trade_flows(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .filter(
             (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
+                (F.col("supp_nation") == "NATION_18")
+                & (F.col("cust_nation") == "NATION_19")
             )
             | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
+                (F.col("supp_nation") == "NATION_19")
+                & (F.col("cust_nation") == "NATION_18")
             )
         )
     )
