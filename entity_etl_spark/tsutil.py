@@ -6,12 +6,13 @@ columns reject ``CAST(ts AS BIGINT)`` and ``unix_micros`` (both defined on
 TIMESTAMP only), and converting NTZ->TIMESTAMP first injects the session
 time zone — a silent correctness hazard when the harness session is not
 UTC (and non-monotone across DST transitions). These helpers compute the
-epoch purely from the datetime *fields* (datediff + hour/minute/second),
-so the result is identical under every session time zone and matches
-DuckDB's naive ``epoch(ts)`` / ``epoch_ms(ts)`` exactly.
+epoch directly from the physical local-micros value (NTZ minus an NTZ
+epoch-origin literal), so the result is identical under every session
+time zone and matches DuckDB's naive ``epoch(ts)`` / ``epoch_ms(ts)``
+exactly.
 
-All expressions are built-ins (datediff / hour / minute / date_part), so
-they stay inside whole-stage codegen — no UDF, no Python boundary.
+All expressions are built-ins, 2-3 JVM expressions per extraction, inside
+whole-stage codegen — no UDF, no Python boundary.
 
 Assumes timestamps >= 1970-01-01 (truncation = floor only for
 non-negative values); the driver testdata starts at 2024.
@@ -27,47 +28,44 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _days(c: Column) -> Column:
-    """Whole days since the epoch (tz-free: NTZ -> DATE drops time fields)."""
-    return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+# NTZ - NTZ subtraction (SubtractTimestamps) operates directly on the
+# physical local-micros values — no session-zone read anywhere in its
+# evaluation (unlike ``timestampdiff``, whose analyzer rule casts NTZ
+# operands through the session zone and silently shifts local times
+# inside a DST spring-forward gap — rejected for exactly that reason,
+# see the tz-independence + DST-gap tests). The resulting day-time
+# interval casts to BIGINT in end-field units (whole seconds, truncated)
+# and to DECIMAL(20,6) exactly (seconds with the microsecond fraction),
+# so each epoch extraction is 2-3 JVM expressions instead of the previous
+# 8-expression datediff+hour+minute+date_part chain (~2x lower marginal
+# scan cost at sf0.1 — A/B in BASELINE.md). The origin literal is
+# foldable, so comparisons against derived epochs still push down.
 
 
-def _minute_floor_seconds(c: Column) -> Column:
-    """Epoch seconds truncated to the minute (all whole-field arithmetic)."""
-    return (
-        _days(c) * 86400
-        + F.hour(c).cast("long") * 3600
-        + F.minute(c).cast("long") * 60
-    )
+def _since_epoch(c: Column) -> Column:
+    return c - F.expr("TIMESTAMP_NTZ'1970-01-01 00:00:00'")
 
 
 def epoch_seconds(col: Column | str) -> Column:
     """Whole epoch seconds (floor), tz-free. == DuckDB ``CAST(epoch(ts) AS BIGINT)``."""
-    c = _c(col)
-    return _minute_floor_seconds(c) + F.second(c).cast("long")
-
-
-def _frac_seconds(c: Column) -> Column:
-    # date_part('SECOND') returns DECIMAL(8,6) *including* the microsecond
-    # fraction — the only built-in sub-second extractor that works on NTZ.
-    return F.date_part(F.lit("SECOND"), c)
+    return _since_epoch(_c(col)).cast("bigint")
 
 
 def epoch_millis(col: Column | str) -> Column:
     """Epoch milliseconds (floor), tz-free. == DuckDB ``epoch_ms(ts)``.
 
-    Decimal*1000 then a truncating cast keeps the arithmetic exact — a
-    double division (``micros/1000``) could round across the floor."""
-    c = _c(col)
-    return _minute_floor_seconds(c) * 1000 + (_frac_seconds(c) * 1000).cast("long")
+    Decimal seconds * 1000 is exact; the truncating cast equals floor for
+    the supported (>= 1970) domain."""
+    return (
+        (_since_epoch(_c(col)).cast("decimal(20,6)") * 1000).cast("bigint")
+    )
 
 
 def epoch_micros(col: Column | str) -> Column:
     """Epoch microseconds (exact — parquet stores micros), tz-free."""
-    c = _c(col)
-    return _minute_floor_seconds(c) * 1_000_000 + (
-        _frac_seconds(c) * 1_000_000
-    ).cast("long")
+    return (
+        (_since_epoch(_c(col)).cast("decimal(20,6)") * 1_000_000).cast("bigint")
+    )
 
 
 def epoch_micros_any(df: DataFrame, field: str) -> Column:
