@@ -45,20 +45,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = [name for name, q in REGISTRY.items() if "bench" in q.tags]
+    # additive group (round-2 heavy operators): timed identically but summed
+    # separately, so the frozen-19 headline total stays comparable across
+    # rounds while regressions in the newer heavy code remain visible
+    bench2_queries = [
+        name for name, q in REGISTRY.items() if "bench2" in q.tags
+    ]
 
     # warm-up: JVM + parquet footer reads
     REGISTRY[bench_queries[0]].fn(spark, sf_dir).count()
 
     # best-of-2 per query: the second run amortizes codegen compilation and
     # GC noise, so round-over-round comparisons track plan quality, not JIT
-    timings: dict[str, float] = {}
-    for name in bench_queries:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def run_group(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = run_group(bench_queries)
+    timings2 = run_group(bench2_queries)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -69,6 +80,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "heavy_total_sec": round(sum(timings2.values()), 3),
+                "heavy_queries": timings2,
                 "sf": sf,
             }
         )

@@ -135,9 +135,11 @@ def ivf_topk(
 
     cells = assign_cells(corpus, centroids, id_col, vec_col)
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
-    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # query side only (queries << corpus by contract); row-cap guarded —
+    # a caller passing the corpus as the query set gets an error, not OOM
+    from .similarity import _collect_matrix
+
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col, "IVF query")
     probe_rows = []
     sims = q_mat @ centroids.T
     for qi, qid in enumerate(q_ids):

@@ -200,9 +200,11 @@ def pq_topk(
     top-k per partition, tiny global reduce."""
     import numpy as np
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # query side only (queries << corpus by contract); row-cap guarded —
+    # a caller passing the corpus as the query set gets an error, not OOM
+    from .similarity import _collect_matrix
+
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col, "PQ query")
     bk = books.codebooks
     m, dsub = books.m, bk.shape[2]
     # LUT[q, j, c] = <query_j_sub, codeword_c>

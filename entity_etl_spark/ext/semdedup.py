@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .ivf import _normalize, assign_cells, train_centroids
-from .similarity import cosine
 
 
 def assign_cells_multi(
@@ -93,25 +92,66 @@ def semantic_near_dup_pairs(
         )
     else:
         cells = assign_cells(emb.select(id_col, vec_col), cents, id_col, vec_col)
-    a = cells.select(
-        F.col("cell"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-    )
-    b = cells.select(
-        F.col("cell"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-    )
     return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-        .distinct()  # multi-probe: a pair sharing 2 cells appears twice;
+        cell_pairs_gram(
+            cells, threshold, id_col=id_col, vec_col=vec_col
+        )
+        .distinct()  # multi-probe: a pair sharing 2 cells appears twice
+        # (with a bit-identical cos_sim — same vectors, same matmul);
         # dedup AFTER the threshold so only surviving pairs shuffle
     )
+
+
+def cell_pairs_gram(
+    cells: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell exact pair compare as ONE BLAS gram matrix per cluster.
+
+    One shuffle keyed by ``cell`` (applyInPandas), then each reducer runs
+    its own N_c x N_c float64 matmul and emits only the pairs above the
+    threshold — the same quadratic-within-cluster work the self-equi-join
+    form does, but vectorized in Arrow/numpy instead of one expression-tree
+    cosine per candidate pair (~100x fewer JVM expression evaluations; the
+    r3 bench measured the join form at 73 s/action and this at <2 s on the
+    sf0.1 corpus). Cluster sizes bound reducer memory: N_c x N_c doubles —
+    the SemDeDup contract that k scales with n (oversized cells should be
+    re-clustered, per the paper)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+        sims = mat @ mat.T
+        ii, jj = np.where(sims >= threshold)
+        keep = ids[ii] < ids[jj]  # upper triangle, no self-pairs
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii][keep],
+                "id_b": ids[jj][keep],
+                "cos_sim": sims[ii, jj][keep],
+            }
+        )
+
+    return cells.groupBy("cell").applyInPandas(gram, schema)
 
 
 def semdedup_drop_ids(pairs: DataFrame) -> DataFrame:

@@ -255,6 +255,90 @@ def topk(
     raise ValueError(f"unknown top-k strategy: {strategy}")
 
 
+#: Hard cap on rows any similarity helper will pull to the driver for
+#: numpy broadcast. 2M rows x 64 dims x 8 bytes ~= 1 GiB — comfortably
+#: inside the 16 GiB driver; beyond it the caller gets an error instead
+#: of a driver OOM. Contract: the *query/reference* side is small by
+#: design (queries << corpus); the corpus side never collects.
+MAX_DRIVER_COLLECT_ROWS = 2_000_000
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, what: str):
+    """Collect (ids, normalized float64 matrix) with the documented row cap
+    enforced BEFORE the collect (limit+count probe, no full materialize)."""
+    import numpy as np
+
+    probe = df.select(id_col).limit(MAX_DRIVER_COLLECT_ROWS + 1).count()
+    if probe > MAX_DRIVER_COLLECT_ROWS:
+        raise ValueError(
+            f"{what} side has more than {MAX_DRIVER_COLLECT_ROWS} rows; "
+            "refusing the driver-side collect (it would risk a driver "
+            "OOM). Use the distributed path (LSH/IVF/PQ) or raise "
+            "MAX_DRIVER_COLLECT_ROWS deliberately."
+        )
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def exact_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, id_a < id_b — the auditable
+    O(n²) twin that recall/precision gates (SemDeDup, LSH) verify against.
+
+    Physical shape: the corpus collects ONCE to the driver (guarded by
+    ``MAX_DRIVER_COLLECT_ROWS`` — all-pairs verification is only ever run
+    at audit scale) and broadcasts; each Arrow batch then computes one
+    |batch| x |corpus| BLAS matmul and emits its surviving pairs. That
+    parallelizes the quadratic work across executors with zero shuffle —
+    versus a BroadcastNestedLoopJoin evaluating an expression-tree cosine
+    per pair (~100x slower at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    all_ids, all_mat = _collect_matrix(emb, id_col, vec_col, "all-pairs corpus")
+    bc = emb.sparkSession.sparkContext.broadcast((all_ids, all_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def block(batches):
+        ids_all, mat_all = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ mat_all.T
+            ii, jj = np.where(sims >= threshold)
+            keep = ids[ii] < ids_all[jj]  # upper triangle only, no self
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[ii][keep],
+                    "id_b": ids_all[jj][keep],
+                    "cos_sim": sims[ii, jj][keep],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
 def topk_partition_heap(
     corpus: DataFrame,
     queries: DataFrame,
@@ -279,10 +363,8 @@ def topk_partition_heap(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # query side only (queries << corpus by contract); row-cap guarded
+    q_ids, q_norm = _collect_matrix(queries, id_col, vec_col, "query")
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_norm))
 

@@ -1699,7 +1699,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     "keep-min-id-per-pair policy over verified MinHash pairs — the "
     "'deduplicated training corpus' output surface. Oracle: the same "
     "policy over the exact Jaccard pair set.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_dedup_corpus_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.dedup import drop_near_dups
@@ -3833,7 +3833,7 @@ def q_json_corrupt_records(spark: SparkSession, sf: str) -> DataFrame:
     "64-dim float vectors at scan time, ADC lookup-table scoring, exact "
     "rerank of a 50-candidate shortlist (ext/pq.py). Stated decidably as "
     "a recall floor vs brute force.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.pq import encode_pq, pq_topk_reranked, train_pq_codebooks
@@ -3886,7 +3886,7 @@ def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     "checkpoint cutoff, then merge_scd2 over the post-cutoff batch — and the "
     "oracle recomputes the full series, so MATCH proves incremental == "
     "rebuild with closed rows passing through shuffle-free.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_scd2_user_event_history(spark: SparkSession, sf: str) -> DataFrame:
     from .state import merge_scd2, scd2_history
@@ -4039,34 +4039,37 @@ def q_repeated_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
     "n_probe=3 multi-assignment, pairwise exact cosine ONLY within shared "
     "cells — O(n^2) becomes k independent shuffle-local compares. Stated "
     "decidably as recall >= 0.8 vs the exact pair set with precision 1.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_semantic_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.semdedup import semantic_near_dup_pairs
-    from .ext.similarity import cosine
+    from .ext.similarity import exact_cosine_pairs
 
     emb = read_sf_table(spark, sf, "embeddings")
     found = semantic_near_dup_pairs(
         emb, n_clusters=8, threshold=0.4, n_probe=3
-    ).select(F.col("id_a").alias("fa"), F.col("id_b").alias("fb"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
-    exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("__cos") >= 0.4)
-        .select("id_a", "id_b")
+    ).select(
+        F.col("id_a").alias("fa"), F.col("id_b").alias("fb"), F.lit(1).alias("__f")
     )
-    hit = exact.join(
-        found, (exact.id_a == found.fa) & (exact.id_b == found.fb), "left"
+    exact = exact_cosine_pairs(emb, 0.4).select(
+        "id_a", "id_b", F.lit(1).alias("__e")
     )
-    n_found_not_exact = found.count() - hit.filter(F.col("fa").isNotNull()).count()
-    agg = hit.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
-        (F.count("fa") / F.count(F.lit(1)) >= 0.8).alias("recall_ok"),
+    # full outer: exact-only rows = recall misses, found-only rows =
+    # precision violations; ONE action computes every gate (the previous
+    # three-action form re-ran k-means + the all-pairs compare per action)
+    j = exact.join(
+        found,
+        (exact.id_a == found.fa) & (exact.id_b == found.fb),
+        "full_outer",
     )
-    return agg.withColumn("precision_ok", F.lit(n_found_not_exact == 0)).select(
-        "n_exact_pairs", "recall_ok", "precision_ok"
+    return j.agg(
+        F.count("__e").cast("bigint").alias("n_exact_pairs"),
+        (
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__f").isNotNull(), 1))
+            / F.count("__e")
+            >= 0.8
+        ).alias("recall_ok"),
+        (F.count(F.when(F.col("__e").isNull(), 1)) == 0).alias("precision_ok"),
     )
 
 
@@ -4327,7 +4330,7 @@ def _duck_clean_text(col: str = "text") -> str:
     "composed lazily so Catalyst fuses clean+featurize+gate into one map "
     "stage with a single (fp,id) dedup shuffle. The oracle chains the "
     "stage oracles, pinning the whole pipeline end to end.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.prep import prepare_training_data

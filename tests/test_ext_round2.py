@@ -472,3 +472,51 @@ def test_video_frame_sampling_via_spark(spark):
     # 0.0 -> floor(0.5*255+0.5)=128; 1.0 -> 255
     assert got[1]["mean_sampled_pixel"] == 128.0
     assert got[2]["mean_sampled_pixel"] == 255.0
+
+
+def test_collect_matrix_row_cap_raises(spark, monkeypatch):
+    """The driver-side collect in the similarity helpers is guarded: a
+    query/reference side larger than MAX_DRIVER_COLLECT_ROWS raises
+    instead of OOMing the driver (r2 verdict item 4)."""
+    from entity_etl_spark.ext import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(similarity, "MAX_DRIVER_COLLECT_ROWS", 5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refusing the driver-side collect"):
+        similarity._collect_matrix(df, "vec_id", "embedding", "test")
+    # under the cap: works and normalizes
+    monkeypatch.setattr(similarity, "MAX_DRIVER_COLLECT_ROWS", 100)
+    ids, mat = similarity._collect_matrix(df, "vec_id", "embedding", "test")
+    assert len(ids) == 10 and abs((mat[3] ** 2).sum() - 1.0) < 1e-9
+
+
+def test_exact_cosine_pairs_matches_join_form(spark):
+    """Block-matmul exact pairs == the declarative join+cosine form."""
+    import random
+
+    from entity_etl_spark.ext.similarity import cosine, exact_cosine_pairs
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in exact_cosine_pairs(df, 0.5).collect()
+    }
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.5)
+        .collect()
+    }
+    assert got == want and len(want) > 0
