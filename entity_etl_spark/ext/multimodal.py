@@ -60,11 +60,34 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_batch(blobs: pd.Series, mode: str) -> pd.DataFrame:
-    """The ONE substitution point for a real decoder (PIL/torchaudio/etc.)."""
+    """The ONE substitution point for a real decoder (PIL/torchaudio/etc.).
+
+    ``mode='wav'`` IS a real decoder — it routes through
+    :mod:`entity_etl_spark.ext.audio`'s RIFF parse + numpy PCM decode, so
+    the driver-checked E5 row exercises genuine binary decoding;
+    ``'fake'`` (deterministic byte arithmetic) remains for plumbing tests
+    and as the stand-in for codec formats absent from this environment."""
     if mode == "error":
         raise NotImplementedError(
             "media decoding requires codec libraries not present in this "
             "environment; use mode='fake' for deterministic plumbing tests"
+        )
+    if mode == "wav":
+        import numpy as np
+
+        from .audio import _decode_wav
+
+        n_bytes, feat_mean, feat_dim = [], [], []
+        for b in blobs:
+            bb = bytes(b)
+            _rate, n, data = _decode_wav(bb)
+            n_bytes.append(len(bb))
+            feat_mean.append(
+                float(data.astype(np.float64).sum() / n) if n else 0.0
+            )
+            feat_dim.append(n)
+        return pd.DataFrame(
+            {"n_bytes": n_bytes, "feat_mean": feat_mean, "feat_dim": feat_dim}
         )
     # deterministic fake: 'features' derived from byte content
     n_bytes = blobs.map(len)
@@ -93,12 +116,17 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = _decode_batch(pdf["media"], mode)
+            dim = (
+                feats["feat_dim"].astype("int32")
+                if "feat_dim" in feats.columns
+                else 64
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": feats["n_bytes"].astype("int64"),
                     "feat_mean": feats["feat_mean"].astype("float64"),
-                    "feat_dim": 64,
+                    "feat_dim": dim,
                 }
             )
 

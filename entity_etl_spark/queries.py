@@ -1170,31 +1170,38 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "multimodal_features",
     """
-    -- the stub decoder's features are pure byte arithmetic over the UTF-8
-    -- payload (sum of first 64 bytes / min(len, 64)), restated relationally:
-    -- the corpus text is pure ASCII (octet_length(encode(x)) == length(x)
-    -- for every row), so byte values equal codepoints and ord() per char
-    -- reproduces the byte sum exactly. Integer-over-integer division in
-    -- double precision is bit-identical across engines.
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CASE WHEN length(text) = 0 THEN 0.0 ELSE
-             list_sum(list_transform(range(1, least(length(text), 64) + 1),
-                      i -> ord(substring(text, CAST(i AS INT), 1))))
-             / least(length(text), 64) END AS feat_mean,
-           CAST(64 AS INT) AS feat_dim
-    FROM documents
+    -- REAL decode path: the media blobs are 16-bit PCM WAVs whose samples
+    -- quantize the embedding half-up to int16; the decoded features are
+    -- restated relationally through that exact quantization. Sum of int16
+    -- samples is exact in double precision, and both engines divide the
+    -- same operands, so feat_mean is bit-identical.
+    SELECT vec_id AS doc_id,
+           CAST(44 + 2 * len(embedding) AS BIGINT) AS n_bytes,
+           list_sum(list_transform(embedding,
+             x -> greatest(least(floor(CAST(x AS DOUBLE) * 32767 + 0.5),
+                           32767), -32768)))
+             / len(embedding) AS feat_mean,
+           CAST(len(embedding) AS INT) AS feat_dim
+    FROM embeddings
     """,
     doc="E5 feature extraction over binary media via mapInPandas (Arrow "
-    "batches, fixed output schema; decoder stubbed — swap point is one "
-    "function). Oracle: the stub's byte arithmetic restated in SQL.",
+    "batches, fixed output schema) — driver-checked row runs the REAL "
+    "WAV decoder (ext/audio.py RIFF parse + numpy PCM decode) through "
+    "the generic multimodal seam; mode='fake' remains for plumbing "
+    "tests of codec formats absent from this environment. Oracle "
+    "re-derives the decoded stats from the source floats through the "
+    "exact int16 quantization.",
     tags=("ext",),
 )
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    from .ext.multimodal import attach_binary, extract_features
+    from .ext.audio import synthesize_wav
+    from .ext.multimodal import extract_features
 
-    docs = read_sf_table(spark, sf, "documents")
-    return extract_features(attach_binary(docs, "text"), "doc_id", "media")
+    emb = read_sf_table(spark, sf, "embeddings")
+    media = synthesize_wav(emb).select(
+        F.col("vec_id").alias("doc_id"), F.col("wav").alias("media")
+    )
+    return extract_features(media, "doc_id", "media", mode="wav")
 
 
 # ---------------------------------------------------------------------------
