@@ -479,6 +479,103 @@ def repeated_substring_windows(
     )
 
 
+def repeated_substring_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    stride: int = 4,
+    max_df: int = 50,
+) -> DataFrame:
+    """MAXIMAL cross-document repeated spans — the Lee-et-al
+    exact-substring semantics ("Deduplicating Training Data Makes
+    Language Models Better"), suffix-array-free.
+
+    :func:`repeated_substring_windows` counts shared windows per doc;
+    this merges ADJACENT matching windows into maximal repeated spans per
+    doc pair, so callers get the actual (start, length) extents to cut:
+
+    1. k-char windows every ``stride`` chars, with positions;
+    2. prune windows found in < 2 or > ``max_df`` distinct docs (the
+       high-frequency cap bounds the self-join fan-out the same way the
+       contamination scan does — ubiquitous boilerplate windows would
+       otherwise pair quadratically);
+    3. self equi-join on window TEXT (hash join, never NLJ),
+       ``doc_a < doc_b``;
+    4. matches chain when they sit ``stride`` apart on the same alignment
+       diagonal (``pos_a - pos_b``): islands-and-gaps via one lag + one
+       running-sum window over (doc_a, doc_b, diag);
+    5. each chain aggregates to its maximal span:
+       ``span_len = k + max(pos_a) - min(pos_a)``.
+
+    A chain of m adjacent matching windows certifies a repeated substring
+    of exactly that extent; repeats shorter than ``k + stride - 1`` may
+    be missed (window sampling) — the stated trade-off vs a suffix array,
+    in exchange for join-shaped distribution: every stage is an equi-join
+    or a keyed window, shuffling slim (id, pos, hash-sized) rows.
+
+    At 100 TB: join on ``xxhash64(w)`` instead of the window text (8-byte
+    shuffle keys; the text form here keeps the DuckDB oracle exact), and
+    tighten ``max_df`` — the candidate volume is Σ_w c_w² over window
+    doc-frequencies c_w ≤ max_df.
+    """
+    from pyspark.sql import Window
+
+    wins = (
+        docs.select(id_col, text_col)
+        .filter(F.length(text_col) >= k)
+        .withColumn(
+            "__p",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length(text_col) - (k - 1), F.lit(stride)
+                )
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__p").cast("long").alias("__p"),
+            F.expr(f"substring({text_col}, __p, {k})").alias("w"),
+        )
+    )
+    ok = (
+        wins.groupBy("w")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter((F.col("__nd") >= 2) & (F.col("__nd") <= max_df))
+        .select("w")
+    )
+    rep = wins.join(ok, "w")
+    a = rep.select(
+        F.col("w"), F.col(id_col).alias("doc_a"), F.col("__p").alias("pa")
+    )
+    b = rep.select(
+        F.col("w"), F.col(id_col).alias("doc_b"), F.col("__p").alias("pb")
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    wchain = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    flagged = cand.withColumn(
+        "__new",
+        F.when(F.col("pa") - F.lag("pa").over(wchain) == stride, 0).otherwise(1),
+    ).withColumn(
+        "__chain",
+        F.sum("__new").over(
+            wchain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("doc_a", "doc_b", "diag", "__chain").agg(
+        F.min("pa").cast("bigint").alias("start_a"),
+        F.min("pb").cast("bigint").alias("start_b"),
+        (F.lit(k) + F.max("pa") - F.min("pa")).cast("bigint").alias("span_len"),
+    ).select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+
+
 def exact_dedup_incremental(
     seen_fps: DataFrame | None,
     batch: DataFrame,

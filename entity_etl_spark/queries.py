@@ -4052,6 +4052,60 @@ def q_repeated_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "repeated_substring_spans",
+    """
+    WITH wins AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p, substring(text, CAST(p AS INT), 20) AS w
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) - 20 + 2, 4)) AS p
+            FROM documents
+            WHERE length(text) >= 20)
+    ),
+    ok AS (
+      SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS nd FROM wins GROUP BY w)
+      WHERE nd BETWEEN 2 AND 50
+    ),
+    rep AS (SELECT wins.* FROM wins JOIN ok USING (w)),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+      FROM rep a JOIN rep b ON a.w = b.w AND a.doc_id < b.doc_id
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN pa - lag(pa) OVER
+                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa) = 4
+                THEN 0 ELSE 1 END AS new_chain
+      FROM cand
+    ),
+    chains AS (
+      SELECT *, sum(new_chain) OVER
+                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                   ROWS UNBOUNDED PRECEDING) AS chain_id
+      FROM flagged
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pa) AS BIGINT) AS start_a,
+           CAST(min(pb) AS BIGINT) AS start_b,
+           CAST(20 + max(pa) - min(pa) AS BIGINT) AS span_len
+    FROM chains GROUP BY doc_a, doc_b, diag, chain_id
+    """,
+    doc="E1/E2 MAXIMAL repeated spans (ext/dedup.repeated_substring_spans): "
+    "the Lee-et-al exact-substring semantics — adjacent matching k=20 "
+    "windows (stride 4) chain per (doc pair, alignment diagonal) into "
+    "maximal (start_a, start_b, span_len) extents via one lag + one "
+    "running-sum window. Self-join is a hash equi-join on window text "
+    "with a doc-frequency cap (2..50) bounding fan-out; no NLJ anywhere. "
+    "Oracle restates the identical chain aggregation.",
+    tags=("ext",),
+)
+def q_repeated_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import repeated_substring_spans
+
+    docs = read_sf_table(spark, sf, "documents")
+    return repeated_substring_spans(docs, k=20, stride=4, max_df=50)
+
+
+@register(
     "semantic_dedup_pairs",
     """
     -- float k-means forbids pinning the candidate set; the decidable

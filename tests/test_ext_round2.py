@@ -520,3 +520,43 @@ def test_exact_cosine_pairs_matches_join_form(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_repeated_substring_spans_pins_maximal_extents(spark):
+    """Constructed fixture: a 20-char block shared by docs 1 and 2 at
+    known offsets must come back as EXACTLY one maximal span with the
+    planted (start_a, start_b, span_len); the control doc shares nothing
+    >= k chars and must appear in no span."""
+    from entity_etl_spark.ext.dedup import repeated_substring_spans
+
+    shared = "abcdefghijklmnopqrst"  # 20 distinct chars, no inner repeats
+    rows = [
+        (1, "AAAA" + shared + "BBBB"),   # shared at 1-based pos 5
+        (2, "CCCC" + shared + "DDDD"),   # shared at 1-based pos 5
+        (3, "EEEEFFFFGGGGHHHHIIIIJJJJ"), # control: no >=8-char overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_substring_spans(docs, k=8, stride=2, max_df=50).collect()
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_len) for r in got] == [
+        (1, 2, 5, 5, 20)
+    ]
+
+
+def test_repeated_substring_spans_merges_only_adjacent(spark):
+    """Two separate shared blocks in the same doc pair must yield two
+    spans, not one merged span (the gap between them breaks the chain)."""
+    from entity_etl_spark.ext.dedup import repeated_substring_spans
+
+    b1, b2 = "abcdefghij", "qrstuvwxyz"  # 10 chars each
+    rows = [
+        (1, b1 + "1111" + b2),  # b1 at 1, b2 at 15
+        (2, b1 + "2222" + b2),  # same offsets, different gap content
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.start_a, r.start_b, r.span_len)
+        for r in repeated_substring_spans(
+            docs, k=8, stride=2, max_df=50
+        ).collect()
+    )
+    assert got == [(1, 1, 10), (15, 15, 10)]
