@@ -39,16 +39,29 @@ def prepare_training_data(
     group_col: str = "source",
     min_tokens: int = 20,
     min_quality: float = 0.15,
+    classifier_threshold: float | None = None,
     val_fraction: float = 0.1,
     test_fraction: float = 0.1,
 ) -> DataFrame:
     """Clean → gate → dedup → split. Returns the kept rows with the cleaned
-    text, quality features, and a ``split`` column."""
+    text, quality features, and a ``split`` column.
+
+    ``classifier_threshold`` adds the third public quality gate (the
+    DCLM/fastText-pattern linear classifier, ext/classifier.py) on top of
+    the heuristic features and the perplexity-style score: docs below
+    P(high quality) = threshold drop. Still one map-only predicate in the
+    same scan — no extra pass."""
     cleaned = docs.withColumn(text_col, clean_text(text_col))
     gated = quality_features(cleaned, text_col).filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("quality_score") >= min_quality)
     )
+    if classifier_threshold is not None:
+        from .classifier import quality_score
+
+        gated = gated.filter(
+            quality_score(F.col(text_col)) >= classifier_threshold
+        )
     slim = gated.select(
         F.col(id_col).alias("__id"), fingerprint(text_col).alias("__fp")
     )

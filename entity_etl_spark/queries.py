@@ -4052,6 +4052,46 @@ def q_repeated_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "quality_classifier_gate",
+    r"""
+    -- the pinned linear model in closed form: weight(bucket b) =
+    -- (((b*37 + 11) % 64) - 32) / 64.0, bucket = md5-mod-64 of the token
+    -- (the repo's portable hash recipe). Same fold order, same doubles.
+    WITH scored AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t <> ''),
+               t -> ((((CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                        % 64) * 37 + 11) % 64) - 32) / 64.0
+             ) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(CASE WHEN len(ws) > 0
+               THEN list_sum(ws) / len(ws) ELSE 0.0 END))), 6)
+             AS quality_prob,
+           (1.0 / (1.0 + exp(-(CASE WHEN len(ws) > 0
+               THEN list_sum(ws) / len(ws) ELSE 0.0 END)))) >= 0.5 AS keep
+    FROM scored
+    """,
+    doc="E4 document-quality classifier gate (ext/classifier.py — the "
+    "DCLM/fastText pattern): linear bag-of-tokens model, md5-bucket hash, "
+    "sigmoid of the mean bucket weight, threshold keep. Model is a pinned "
+    "closed form so the oracle is decidable; the dataflow is the real "
+    "thing — weights foldable/broadcast, scoring pure codegen "
+    "(split/filter/aggregate higher-order exprs), zero shuffle, no UDF. "
+    "Composes into prepare_training_data(classifier_threshold=...).",
+    tags=("ext",),
+)
+def q_quality_classifier_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.classifier import classify_documents
+
+    docs = read_sf_table(spark, sf, "documents")
+    return classify_documents(docs, threshold=0.5)
+
+
+@register(
     "repeated_substring_spans",
     """
     WITH wins AS (

@@ -560,3 +560,25 @@ def test_repeated_substring_spans_merges_only_adjacent(spark):
         ).collect()
     )
     assert got == [(1, 1, 10), (15, 15, 10)]
+
+
+def test_classifier_gate_composes_into_prep(spark):
+    """classifier_threshold adds a third quality gate: an impossible
+    threshold drops every doc; the default (None) changes nothing."""
+    from entity_etl_spark.ext.prep import prepare_training_data
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * 5, "web")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = prepare_training_data(docs, min_tokens=5, min_quality=0.0)
+    assert base.count() > 0
+    gated_all_out = prepare_training_data(
+        docs, min_tokens=5, min_quality=0.0, classifier_threshold=1.1
+    )
+    assert gated_all_out.count() == 0
+    gated_noop = prepare_training_data(
+        docs, min_tokens=5, min_quality=0.0, classifier_threshold=0.0
+    )
+    assert gated_noop.count() == base.count()
