@@ -6174,3 +6174,409 @@ def q_q14_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_str,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): segment-filtered customer "
+    "dim broadcasts, both date windows push to their scans, one fact "
+    "shuffle on l_orderkey, TakeOrderedAndProject caps the result. "
+    "Deterministic tie-break on l_orderkey.",
+    tags=("analytics",),
+)
+def q_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = read_sf_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_sf_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1998-01-01"))
+    )
+    li = read_sf_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp_ntz(F.lit("1998-01-01"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_str"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate_str", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): six-table join where the "
+    "supplier join carries the EXTRA equality s_nationkey = c_nationkey "
+    "(local-to-local trade) — every dim broadcasts, the fact shuffles "
+    "once on l_orderkey, region filter prunes through nation before "
+    "touching the fact.",
+    tags=("analytics",),
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    c = read_sf_table(spark, sf, "customer")
+    o = read_sf_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    li = read_sf_table(spark, sf, "lineitem")
+    s = read_sf_table(spark, sf, "supplier")
+    n = read_sf_table(spark, sf, "nation")
+    r = read_sf_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): the canonical pushdown "
+    "benchmark — all four predicates reach the parquet scan "
+    "(PushedFilters), no join, no shuffle beyond the final 1-row "
+    "aggregate merge; whole-stage codegen end to end.",
+    tags=("analytics",),
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1996-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1997-01-01")))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH all_lines AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM all_lines GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): an eight-table join tree "
+    "— nation joined TWICE under different roles — collapsing to a "
+    "conditional-aggregate ratio per year. All dims broadcast; one fact "
+    "shuffle; the region+type filters prune through the joins.",
+    tags=("analytics",),
+)
+def q_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    p = read_sf_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = read_sf_table(spark, sf, "supplier")
+    o = read_sf_table(spark, sf, "orders")
+    c = read_sf_table(spark, sf, "customer")
+    n = read_sf_table(spark, sf, "nation")
+    r = read_sf_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit by supplier nation/year; "
+    "supplycost term omitted — no partsupp table in the harness data): "
+    "LIKE-filtered part dim broadcasts, profit aggregates per "
+    "(nation, year). The substring filter cannot push to parquet "
+    "statistics but prunes before the join.",
+    tags=("analytics",),
+)
+def q_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    p = read_sf_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = read_sf_table(spark, sf, "supplier")
+    o = read_sf_table(spark, sf, "orders")
+    n = read_sf_table(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): returnflag filter "
+    "pushes to the fact scan, date window to orders; top-20 lost "
+    "customers via TakeOrderedAndProject with a deterministic "
+    "tie-break.",
+    tags=("analytics",),
+)
+def q_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    c = read_sf_table(spark, sf, "customer")
+    o = read_sf_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    li = read_sf_table(spark, sf, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = read_sf_table(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): IN over a grouped "
+    "HAVING subquery — Catalyst plans the membership test as a left-semi "
+    "join against the re-aggregated lineitem, reusing the l_orderkey "
+    "shuffle for both the semi-join build and the outer aggregate.",
+    tags=("analytics",),
+)
+def q_q18_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    read_sf_table(spark, sf, "customer").createOrReplaceTempView("q18_c")
+    read_sf_table(spark, sf, "orders").createOrReplaceTempView("q18_o")
+    read_sf_table(spark, sf, "lineitem").createOrReplaceTempView("q18_l")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM q18_c c
+        JOIN q18_o o ON o.o_custkey = c.c_custkey
+        JOIN q18_l l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM q18_l
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2)
+        """
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 15
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting; lateness "
+    "restated as ship > order date + 60d — the harness lineitem has no "
+    "commit/receipt dates): the EXISTS + correlated NOT EXISTS pair — "
+    "the hardest decorrelation in the suite — becomes a left-semi and a "
+    "left-anti join on l_orderkey; the NOT EXISTS correlates on the "
+    "OUTER query's o_orderdate.",
+    tags=("analytics",),
+)
+def q_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    read_sf_table(spark, sf, "supplier").createOrReplaceTempView("q21_s")
+    read_sf_table(spark, sf, "orders").createOrReplaceTempView("q21_o")
+    read_sf_table(spark, sf, "lineitem").createOrReplaceTempView("q21_l")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM q21_s s
+        JOIN q21_l l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN q21_o o  ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM q21_l l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM q21_l l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 15
+        """
+    )
