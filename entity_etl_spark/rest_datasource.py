@@ -176,20 +176,34 @@ class RestEntitiesStreamReader(SimpleDataSourceStreamReader):
     max). Structured Streaming's offset log persists/restores it, replacing
     the cache file's ``checkpoint`` field; replays between two committed
     offsets are exact (readBetweenOffsets), giving the micro-batch the same
-    at-least-once-or-better contract the reference documents."""
+    at-least-once-or-better contract the reference documents.
+
+    **Backpressure** (``maxPagesPerTrigger`` option): each micro-batch
+    drains at most that many pages, carrying a page cursor in the offset
+    (``pageIdx``) while the time high-water mark stays FIXED until the
+    pass reaches the last page — only then does ``updatedFromMs`` jump to
+    the max observed (``maxSeen`` accumulates across the pass). That is
+    the reference's own pagination contract made durable: it saves the
+    cache after EVERY page inside the do…while(partialResults) loop
+    (app.js:48-59), so a restart resumes mid-drain without re-reading
+    earlier pages and without advancing the checkpoint early (which would
+    drop rows still sitting in later pages). The page list must be stable
+    for the duration of one drain pass (it is re-listed per pass)."""
 
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
         self.options = options
         self.ts_field = options.get(TS_FIELD_OPT, DEFAULT_TS_FIELD)
+        raw = options.get("maxpagespertrigger")
+        self.max_pages = int(raw) if raw is not None else None
 
     def initialOffset(self) -> dict:
         return {"updatedFromMs": 1}
 
-    def _scan(self, min_exclusive: int, max_inclusive: int | None = None):
+    def _rows_in(self, pages: list[str], min_exclusive: int, max_inclusive: int | None):
         names = self.schema.fieldNames()
         rows, max_seen = [], min_exclusive
-        for page in _load_pages(self.options["path"]):
+        for page in pages:
             for e in _read_page(page):
                 ts = e.get(self.ts_field)
                 if not isinstance(ts, int) or ts <= min_exclusive:
@@ -201,11 +215,38 @@ class RestEntitiesStreamReader(SimpleDataSourceStreamReader):
         return rows, max_seen
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        rows, max_seen = self._scan(int(start["updatedFromMs"]))
-        return iter(rows), {"updatedFromMs": max_seen}
+        pages = _load_pages(self.options["path"])
+        start_ts = int(start["updatedFromMs"])
+        if self.max_pages is None:
+            rows, max_seen = self._rows_in(pages, start_ts, None)
+            return iter(rows), {"updatedFromMs": max_seen}
+        idx = int(start.get("pageIdx", 0))
+        max_seen = int(start.get("maxSeen", start_ts))
+        # windows with no NEW rows don't consume a trigger (else an idle
+        # source would cycle page cursors through empty batches forever):
+        # keep sliding until a window yields rows or the pass completes —
+        # each batch emits at most max_pages pages WORTH of new data
+        rows: list[tuple] = []
+        while idx < len(pages) and not rows:
+            take = pages[idx : idx + self.max_pages]
+            rows, seen = self._rows_in(take, start_ts, None)
+            max_seen = max(max_seen, seen)
+            idx += len(take)
+        if idx >= len(pages):  # drain pass complete: advance the HWM
+            return iter(rows), {"updatedFromMs": max_seen}
+        return iter(rows), {
+            "updatedFromMs": start_ts,  # fixed until the pass completes
+            "pageIdx": idx,
+            "maxSeen": max_seen,
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        rows, _ = self._scan(int(start["updatedFromMs"]), int(end["updatedFromMs"]))
+        pages = _load_pages(self.options["path"])
+        s_idx = int(start.get("pageIdx", 0))
+        e_idx = int(end.get("pageIdx", 0))
+        page_slice = pages[s_idx:e_idx] if e_idx > s_idx else pages[s_idx:]
+        cap = int(end.get("maxSeen", end["updatedFromMs"]))
+        rows, _ = self._rows_in(page_slice, int(start["updatedFromMs"]), cap)
         return iter(rows)
 
 
