@@ -1,0 +1,97 @@
+"""Distributed BPE merge learning (E4 — the tokenizer-TRAINING core).
+
+:func:`entity_etl_spark.ext.text` counts tokens with a GPT-2-style
+pre-tokenizer; this module implements the other half of the tokenizer
+story: learning the merge table itself (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units") as a distributed
+iteration. Each BPE step is two relational operations over the
+word-frequency table:
+
+1. **pair counting** — explode adjacent symbol pairs of every word's
+   current segmentation, weighted by word frequency, and take the global
+   argmax (count desc, then lexicographic pair for determinism). This is
+   the classic map-side-combined explode+groupBy — the same shape as the
+   repetition and contamination scans.
+2. **merge rewrite** — map-only string replace over the space-delimited
+   segmentation: ``' l r ' -> ' lr '``. Left-to-right non-overlapping
+   ``replace`` semantics (identical in Spark and DuckDB) are exactly
+   BPE's greedy scan, so ``a a a`` merges to ``(aa) a``, not ``a (aa)``.
+
+Only the per-step argmax row (one pair + its count) reaches the driver —
+the word table never moves. At 100 TB the word-frequency table is the
+standard first aggregation of any tokenizer build; each additional merge
+is one explode-aggregate plus one codegen'd map, so n_merges steps cost
+n_merges shuffles over |vocab| rows (not |corpus|).
+
+The oracle states the SAME unrolled iteration in SQL (scalar subqueries
+for the argmax), making merge choice + count decidable per step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", min_len: int = 2
+) -> DataFrame:
+    """(w, freq) over lowercase alphabetic words — the BPE training input."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.length("w") >= min_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 2,
+    min_len: int = 2,
+) -> DataFrame:
+    """Run ``n_merges`` BPE steps; returns one row per learned merge:
+    (step, left_sym, right_sym, pair_count), deterministic under ties
+    (count desc, then lexicographic pair)."""
+    spark = docs.sparkSession
+    words = word_frequencies(docs, text_col, min_len)
+    # initial segmentation: every char its own symbol, space-delimited and
+    # space-wrapped (' a b c ') so a merge is a plain substring replace
+    seqdf = words.select(
+        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("seq"),
+        "freq",
+    ).localCheckpoint(eager=False)  # word derivation runs once, not per step
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        )
+        top = (
+            seqdf.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, l, r, cnt))
+        seqdf = seqdf.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")),
+        )
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -6580,3 +6580,134 @@ def q_q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
         LIMIT 15
         """
     )
+
+
+@register(
+    "profile_table",
+    """
+    -- one profile row per column, stated as a UNION of per-column
+    -- aggregates; the Spark side computes ALL columns in ONE aggregate
+    -- pass (map-side combined) and unpivots — same result, one scan
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_non_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    doc="Data-profiling operator (the ingestion-audit primitive): per-"
+    "column row/non-null/distinct counts and min/max, computed for ALL "
+    "columns in ONE aggregate scan (each stat is a separate map-side-"
+    "combined aggregate expression) then unpivoted to a row per column. "
+    "The oracle states the same stats as per-column UNION branches — "
+    "n_distinct here is exact; at 100 TB swap approx_count_distinct "
+    "into the same single-pass shape.",
+    tags=("analytics",),
+)
+def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_sf_table(spark, sf, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    num = {"o_totalprice"}
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
+        mn, mx = F.min(F.col(c)), F.max(F.col(c))
+        if c in num:
+            mn, mx = F.round(mn, 2), F.round(mx, 2)
+        aggs.append(mn.cast("string").alias(f"{c}__mn"))
+        aggs.append(mx.cast("string").alias(f"{c}__mx"))
+    one = o.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_str"),
+                F.col(f"{c}__mx").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(profile).alias("p")).select("p.*")
+
+
+@register(
+    "bpe_learn_merges",
+    r"""
+    -- the same two BPE steps unrolled: pair counts -> argmax (scalar
+    -- subqueries) -> merge rewrite -> recount. replace() is left-to-right
+    -- non-overlapping in both engines = BPE's greedy scan.
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+    ),
+    s0 AS (
+      SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, freq
+      FROM words
+    ),
+    p1 AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, freq
+      FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s0),
+           UNNEST(range(1, len(syms))) AS t(i)
+    ),
+    c1 AS (SELECT l, r, sum(freq) AS cnt FROM p1 GROUP BY l, r),
+    m1 AS (SELECT l, r, cnt FROM c1 ORDER BY cnt DESC, l, r LIMIT 1),
+    s1 AS (
+      SELECT replace(seq,
+                     ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+                     ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS seq,
+             freq
+      FROM s0
+    ),
+    p2 AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, freq
+      FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s1),
+           UNNEST(range(1, len(syms))) AS t(i)
+    ),
+    c2 AS (SELECT l, r, sum(freq) AS cnt FROM p2 GROUP BY l, r),
+    m2 AS (SELECT l, r, cnt FROM c2 ORDER BY cnt DESC, l, r LIMIT 1)
+    SELECT CAST(1 AS INT) AS step, l AS left_sym, r AS right_sym,
+           CAST(cnt AS BIGINT) AS pair_count FROM m1
+    UNION ALL
+    SELECT CAST(2 AS INT), l, r, CAST(cnt AS BIGINT) FROM m2
+    """,
+    doc="E4 distributed BPE merge learning (ext/bpe.py, Sennrich et al.): "
+    "each step = weighted adjacent-pair explode+groupBy (map-side "
+    "combined) for the argmax pair, then a map-only greedy merge rewrite "
+    "over the space-delimited segmentation. Only the 1-row argmax "
+    "reaches the driver per step; the word table never moves. Oracle "
+    "unrolls the identical two steps with scalar subqueries.",
+    tags=("ext",),
+)
+def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.bpe import learn_bpe_merges
+
+    docs = read_sf_table(spark, sf, "documents")
+    return learn_bpe_merges(docs, n_merges=2)

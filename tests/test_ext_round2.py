@@ -582,3 +582,19 @@ def test_classifier_gate_composes_into_prep(spark):
         docs, min_tokens=5, min_quality=0.0, classifier_threshold=0.0
     )
     assert gated_noop.count() == base.count()
+
+
+def test_bpe_learn_merges_greedy_left_to_right(spark):
+    """'aaa' x2 + 'bb': step 1 merges (a,a) with weighted count 4 and the
+    greedy left-to-right rewrite gives 'aa a' (NOT 'a aa'), so step 2
+    must merge (aa, a) with count 2."""
+    from entity_etl_spark.ext.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bb"), (2, "aaa")], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.pair_count)
+        for r in learn_bpe_merges(docs, n_merges=2).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
