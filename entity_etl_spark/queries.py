@@ -6711,3 +6711,220 @@ def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     return learn_bpe_merges(docs, n_merges=2)
+
+
+@register(
+    "theta_sketch_set_ops",
+    """
+    -- decidable claims: the exact cohort cardinalities both engines
+    -- compute, plus 5%-relative-error gates on each sketch estimate
+    -- (theta sketches at default lgK=12 are exact far beyond this
+    -- cardinality, but the gate states the contract, not the luck)
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+                AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+                AS BIGINT) AS n_intersect,
+           CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+                AS BIGINT) AS n_diff,
+           true AS union_ok, true AS intersect_ok, true AS diff_ok
+    """,
+    doc="E6 theta sketches (Spark 4 Datasketches): DISTINCT-SET ALGEBRA on "
+    "sketches — union/intersection/difference cardinality estimates from "
+    "two per-cohort theta sketches, no re-scan of raw data. The 100 TB "
+    "primitive for audience overlap: build one mergeable sketch per "
+    "cohort partition, combine with theta_union/intersection/difference. "
+    "Gates assert 5% relative error vs the exact cardinalities the "
+    "oracle also computes.",
+    tags=("ext",),
+)
+def q_theta_sketch_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").agg(
+        F.theta_sketch_agg("user_id").alias("sk_a"),
+        F.countDistinct("user_id").alias("n_a"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("sk_b"),
+        F.countDistinct("user_id").alias("n_b"),
+    )
+    both = a.crossJoin(b)  # 1 row x 1 row: two scalar sketches meet
+
+    def est(col: "F.Column") -> "F.Column":
+        return F.theta_sketch_estimate(col)
+
+    def gate(estimate: "F.Column", exact: "F.Column") -> "F.Column":
+        return (
+            F.abs(estimate - exact)
+            <= 0.05 * F.greatest(exact.cast("double"), F.lit(1.0))
+        )
+
+    out = both.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        # exact set cardinalities re-derived from sketch algebra estimates
+        # would be circular; compute exact via the inclusion-exclusion of
+        # the two exact counts is impossible without the overlap — so the
+        # overlap exacts come from a second aggregate below
+        est(F.theta_union(F.col("sk_a"), F.col("sk_b"))).alias("__e_union"),
+        est(F.theta_intersection(F.col("sk_a"), F.col("sk_b"))).alias(
+            "__e_int"
+        ),
+        est(F.theta_difference(F.col("sk_a"), F.col("sk_b"))).alias(
+            "__e_diff"
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = spark.createDataFrame(
+        [
+            (
+                clicks.union(purch).distinct().count(),
+                clicks.intersect(purch).count(),
+                clicks.subtract(purch).count(),  # set EXCEPT, not bag
+            )
+        ],
+        "n_union bigint, n_intersect bigint, n_diff bigint",
+    )
+    return out.crossJoin(exact).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_intersect",
+        "n_diff",
+        gate(F.col("__e_union"), F.col("n_union")).alias("union_ok"),
+        gate(F.col("__e_int"), F.col("n_intersect")).alias("intersect_ok"),
+        gate(F.col("__e_diff"), F.col("n_diff")).alias("diff_ok"),
+    )
+
+
+@register(
+    "kll_quantile_sketch_merge",
+    """
+    -- mergeable-quantile contract: per-day KLL sketches merged into a
+    -- global sketch; the gate bounds the merged-sketch quantile against
+    -- the exact percentile within 2% RANK error (KLL's guarantee is on
+    -- rank, not value: the estimate's true rank must be within eps of
+    -- the target rank — stated here via the exact values at rank±2%)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           true AS p50_ok, true AS p95_ok
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    """,
+    doc="E6 KLL quantile sketches (Spark 4 Datasketches): one mergeable "
+    "sketch per day (the rollup-maintenance shape — partials live beside "
+    "the daily aggregates), kll_merge_agg combines them, and the merged "
+    "sketch answers global quantiles without re-scanning history. Gate: "
+    "merged-sketch p50/p95 fall between the exact values at rank ±2% "
+    "(KLL guarantees rank error, not value error).",
+    tags=("ext",),
+)
+def q_kll_quantile_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.kll_merge_agg_double("sk").alias("sk"),
+    ).select(
+        "n_days",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias(
+            "__p50"
+        ),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias(
+            "__p95"
+        ),
+    )
+    bounds = ev.agg(
+        F.expr("percentile(value, 0.48)").alias("p50_lo"),
+        F.expr("percentile(value, 0.52)").alias("p50_hi"),
+        F.expr("percentile(value, 0.93)").alias("p95_lo"),
+        F.expr("percentile(value, 0.97)").alias("p95_hi"),
+    )
+    return merged.crossJoin(bounds).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (
+            (F.col("__p50") >= F.col("p50_lo"))
+            & (F.col("__p50") <= F.col("p50_hi"))
+        ).alias("p50_ok"),
+        (
+            (F.col("__p95") >= F.col("p95_lo"))
+            & (F.col("__p95") <= F.col("p95_hi"))
+        ).alias("p95_ok"),
+    )
+
+
+@register(
+    "media_file_ingest",
+    """
+    -- same oracle family as audio_wav_features, over the staged subset:
+    -- the decoded features re-derived from the source floats through the
+    -- exact int16 quantization the WAV files carry
+    SELECT vec_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(len(embedding) AS INT) AS n_samples,
+           round(sqrt(list_sum(list_transform(embedding,
+             x -> pow(greatest(least(floor(CAST(x AS DOUBLE) * 32767 + 0.5),
+                               32767), -32768), 2))) / len(embedding)), 6)
+             AS rms,
+           CAST(list_max(list_transform(embedding,
+             x -> abs(greatest(least(floor(CAST(x AS DOUBLE) * 32767 + 0.5),
+                               32767), -32768)))) AS INT) AS peak_abs
+    FROM embeddings WHERE vec_id < 100
+    """,
+    doc="E5 media ingest from FILES (the production path): WAV blobs land "
+    "as individual files, spark.read.format('binaryFile') scans them "
+    "executor-parallel (path, content, length), the id parses from the "
+    "filename, and the real RIFF decoder (ext/audio.py) extracts "
+    "features — blobs never shuffle, features only from the first map. "
+    "Staging writes the files executor-side (no driver materialization), "
+    "mtime-versioned like the REST page fixture.",
+    tags=("ext",),
+)
+def q_media_file_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    import os as _os
+
+    from .ext.audio import decode_wav_features, synthesize_wav
+
+    tag = _os.path.basename(sf.rstrip("/"))
+    src_file = _os.path.join(sf, "embeddings.parquet")
+    try:
+        ver = int(_os.path.getmtime(src_file))
+    except OSError:
+        ver = 0
+    media_dir = f"/tmp/spark_graft_media_{tag}_{ver}"
+    done = _os.path.join(media_dir, "_STAGED")
+    if not _os.path.exists(done):
+        _os.makedirs(media_dir, exist_ok=True)
+        emb = read_sf_table(spark, sf, "embeddings").filter(
+            F.col("vec_id") < 100
+        )
+        wavs = synthesize_wav(emb)
+
+        def _write(it):
+            for row in it:
+                tmp = _os.path.join(media_dir, f".{row['vec_id']}.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(row["wav"]))
+                _os.replace(
+                    tmp, _os.path.join(media_dir, f"clip_{row['vec_id']}.wav")
+                )
+
+        wavs.foreachPartition(_write)
+        open(done, "w").close()
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(media_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("vec_id"),
+            F.col("content").alias("wav"),
+        )
+    )
+    return decode_wav_features(blobs)
