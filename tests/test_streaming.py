@@ -243,3 +243,25 @@ def test_transform_with_state_ttl_dedup_matches_applyinpandas(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join — the enrichment pattern: a streaming fact joins
+    a static dimension (broadcast; re-read per micro-batch so dim updates
+    between triggers are picked up). Rows without a dim match survive as
+    NULL (left join) — the schemaless-tolerant reference posture."""
+    src = str(tmp_path / "ss_src")
+    ckpt = str(tmp_path / "ss_ckpt")
+    write_batch(spark, src, [(1, 10, 0), (2, 20, 1), (3, 30, 2)], 1)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "id long, tier string"
+    )
+
+    collected = []
+    stream = stream_source(spark, f"{src}/f*", SCHEMA)
+    enriched = stream.join(F.broadcast(dim), "id", "left")
+    run_available_now(
+        enriched, ckpt, lambda df, _bid: collected.extend(df.collect())
+    )
+    got = sorted((r["id"], r["x"], r["tier"]) for r in collected)
+    assert got == [(1, 10, "gold"), (2, 20, "silver"), (3, 30, None)]
