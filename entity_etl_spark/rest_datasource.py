@@ -41,12 +41,14 @@ from collections.abc import Iterable, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     IsNotNull,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -250,9 +252,103 @@ class RestEntitiesStreamReader(SimpleDataSourceStreamReader):
         return iter(rows)
 
 
+class RestBatchCommit(WriterCommitMessage):
+    """Temp files staged by one task, finalized (renamed) at job commit."""
+
+    def __init__(self, tmp_files: list[str]):
+        self.tmp_files = tmp_files
+
+
+class RestEntitiesWriter(DataSourceWriter):
+    """Batched sink — O11 in literal DSv2 form (app.js:88-112).
+
+    Each task slices its partition's rows into batches of
+    ``maxBatchSize`` (config.json:19 contract: 10,000 default) and emits
+    one reference-shaped page envelope per batch. Transport is either
+
+    - ``poster`` (``module:function`` dotted path, called as
+      ``fn(options, body_json_str)``) — the live HTTP form; any raised
+      error fails the task (the reference's fail-fast on non-2xx,
+      app.js:109-111), Spark retries, and a failed job ABORTS: staged
+      temp files are deleted, so at-least-once toward a live endpoint
+      comes only from task retries, never from half-committed output; or
+    - ``path`` — offline file transport: batches stage as hidden temp
+      files and RENAME into place only at job commit (write-temp-then-
+      swap, the same atomicity discipline as state.save_state). A
+      crashed job leaves no visible pages.
+
+    The envelope matches the reader's (``{"items": [...],
+    "partialResults": false}``), so ``spark.read.format("rest_entities")``
+    round-trips what this writer produced."""
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.path = options.get("path")
+        self.poster = options.get("poster")
+        self.max_batch = int(options.get("maxbatchsize", 10000))
+        if not self.path and not self.poster:
+            raise ValueError("rest_entities writer needs 'path' or 'poster'")
+
+    def write(self, iterator) -> RestBatchCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp_files: list[str] = []
+        batch: list[str] = []
+        n_batches = 0
+
+        def flush() -> None:
+            nonlocal n_batches
+            if not batch:
+                return
+            body = (
+                '{"items": [' + ",".join(batch) + '], "partialResults": false}'
+            )
+            if self.poster:
+                _resolve_fetcher(self.poster)(dict(self.options), body)
+            if self.path:
+                tmp = os.path.join(
+                    self.path, f".batch-{pid:05d}-{n_batches:05d}.tmp"
+                )
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write(body)
+                tmp_files.append(tmp)
+            n_batches += 1
+            batch.clear()
+
+        if self.path:
+            os.makedirs(self.path, exist_ok=True)
+        for row in iterator:
+            batch.append(json.dumps(row.asDict()))
+            if len(batch) >= self.max_batch:
+                flush()
+        flush()
+        return RestBatchCommit(tmp_files)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp in m.tmp_files:
+                d, base = os.path.split(tmp)
+                final = os.path.join(d, base.lstrip(".")[: -len(".tmp")] + ".json")
+                os.replace(tmp, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp in m.tmp_files:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+
 class RestEntitiesDataSource(DataSource):
     """``spark.dataSource.register(RestEntitiesDataSource)`` then
-    ``spark.read.format("rest_entities").schema(...).option("path", dir)``."""
+    ``spark.read.format("rest_entities").schema(...).option("path", dir)``
+    to read, ``df.write.format("rest_entities").option(...)`` to sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -266,3 +362,6 @@ class RestEntitiesDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> RestEntitiesStreamReader:
         return RestEntitiesStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> RestEntitiesWriter:
+        return RestEntitiesWriter(dict(self.options))

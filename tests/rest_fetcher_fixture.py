@@ -26,3 +26,16 @@ def fetch_pages(options: dict, updated_from_ms: int) -> dict:
         if fresh:
             return {"items": fresh, "partialResults": i + 1 < len(pages)}
     return {"items": [], "partialResults": False}
+
+
+def post_record(options: dict, body: str) -> None:
+    """Recording poster for writer tests: appends each batch body to a
+    file named by the task-visible 'postlog' option."""
+    with open(options["postlog"], "a", encoding="utf-8") as fh:
+        fh.write(body + "\n")
+
+
+def post_fail(options: dict, body: str) -> None:
+    """Poster that simulates a non-2xx response: always raises (the
+    reference fail-fast contract, app.js:109-111)."""
+    raise RuntimeError("simulated non-2xx target response")

@@ -239,3 +239,63 @@ def test_max_pages_per_trigger_backpressure(registered, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert [b for b in batches if b] == [["e10"]]
+
+
+def test_writer_batches_and_round_trips(registered, tmp_path):
+    """O11 in DSv2 form: rows slice into <= maxBatchSize page envelopes,
+    temp files RENAME into place only at job commit, and the reader
+    round-trips what the writer produced."""
+    out = str(tmp_path / "sink_pages")
+    df = registered.createDataFrame(
+        [(f"e{i}", "v", 10 * (i + 1)) for i in range(5)], SCHEMA
+    ).coalesce(1)
+    (
+        df.write.format("rest_entities")
+        .option("path", out)
+        .option("maxBatchSize", "2")
+        .mode("append")
+        .save()
+    )
+    files = sorted(os.listdir(out))
+    assert all(f.endswith(".json") for f in files)  # no leftover temps
+    sizes = sorted(
+        len(json.load(open(os.path.join(out, f)))["items"]) for f in files
+    )
+    assert sizes == [1, 2, 2] and len(files) == 3
+    back = _read(registered, out)
+    assert {r.id for r in back.collect()} == {f"e{i}" for i in range(5)}
+
+
+def test_writer_fail_fast_aborts_cleanly(registered, tmp_path):
+    """A poster raising (non-2xx) fails the job and the abort path removes
+    every staged temp file — no half-committed pages."""
+    out = str(tmp_path / "sink_fail")
+    df = registered.createDataFrame([("e1", "v", 10)], SCHEMA)
+    with pytest.raises(Exception, match="non-2xx|simulated"):
+        (
+            df.write.format("rest_entities")
+            .option("path", out)
+            .option("poster", "rest_fetcher_fixture:post_fail")
+            .mode("append")
+            .save()
+        )
+    leftover = os.listdir(out) if os.path.isdir(out) else []
+    assert [f for f in leftover if f.endswith(".json")] == []
+
+
+def test_writer_live_poster_receives_bodies(registered, tmp_path):
+    """Live transport: each batch body goes through the poster callable."""
+    log = str(tmp_path / "post.log")
+    df = registered.createDataFrame(
+        [(f"e{i}", "v", i + 1) for i in range(3)], SCHEMA
+    ).coalesce(1)
+    (
+        df.write.format("rest_entities")
+        .option("poster", "rest_fetcher_fixture:post_record")
+        .option("postlog", log)
+        .option("maxBatchSize", "2")
+        .mode("append")
+        .save()
+    )
+    bodies = [json.loads(line) for line in open(log).read().splitlines()]
+    assert [len(b["items"]) for b in bodies] == [2, 1]
