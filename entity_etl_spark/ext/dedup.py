@@ -479,6 +479,68 @@ def repeated_substring_windows(
     )
 
 
+def minhash_dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_sigs: DataFrame | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    verify_threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup: drop batch docs near-duplicate to the
+    accumulated corpus (or to a smaller-id batch sibling) — the MinHash
+    twin of :func:`exact_dedup_incremental`, completing the incremental
+    dedup story for continuously-fed training pipelines.
+
+    ``corpus_sigs`` is the persisted signature STATE (one (doc, sig) row
+    per kept corpus doc; computed from ``corpus`` on the first run).
+    Returns ``(kept_batch, next_sigs)``: batch survivors, and the
+    signature state grown by exactly the survivors' signatures — corpus
+    BODIES are touched only for docs appearing in a candidate pair (the
+    verify semi-join), never rescanned wholesale.
+
+    Scale: per increment, signature cost is O(|batch| shingles) map-side;
+    the LSH band join shuffles (doc, band-bucket) longs; verification
+    joins bodies for candidate docs only. The signature state is the only
+    thing that persists — at 100 TB bucket it by ``doc``.
+
+    Ordering contract: winners are smaller ids (keep-min-id, matching the
+    batch-mode :func:`drop_near_dups` policy), so state ids are assumed
+    to precede batch ids — in a deployment where they don't, substitute a
+    priority column for the id in the pair ordering.
+    """
+    rows_per_band = num_hashes // bands
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            corpus, id_col, text_col, num_hashes, k
+        )
+    batch_sigs = minhash_signatures(batch, id_col, text_col, num_hashes, k)
+    all_sigs = corpus_sigs.unionByName(batch_sigs).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(all_sigs, bands, rows_per_band)
+    batch_ids = batch.select(F.col(id_col).alias("doc_b")).distinct()
+    # only pairs whose GREATER side is a batch doc can drop anything:
+    # corpus-corpus pairs were settled in earlier increments
+    cand_b = cand.join(batch_ids, "doc_b", "left_semi").localCheckpoint(
+        eager=True
+    )
+    bodies = corpus.select(id_col, text_col).unionByName(
+        batch.select(id_col, text_col)
+    )
+    verified = jaccard_verify(
+        cand_b, bodies, id_col, text_col, k, verify_threshold
+    )
+    losers = verified.select(F.col("doc_b").alias("__loser")).distinct()
+    kept = batch.join(losers, batch[id_col] == losers["__loser"], "left_anti")
+    kept_sigs = batch_sigs.join(
+        kept.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    return kept, corpus_sigs.unionByName(kept_sigs)
+
+
 def repeated_substring_spans(
     docs: DataFrame,
     *,

@@ -6928,3 +6928,51 @@ def q_media_file_ingest(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return decode_wav_features(blobs)
+
+
+@register(
+    "minhash_dedup_incremental",
+    r"""
+    -- exact-Jaccard restatement of the incremental policy: a batch doc
+    -- (id >= 250) drops iff it has an exact pair (J >= 0.5) with ANY
+    -- smaller-id doc; LSH recall is 100% on this corpus (pinned by
+    -- minhash_near_dups), so the operator's survivors equal the exact set
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE b.doc_id >= 250
+      GROUP BY 1, 2
+    ),
+    losers AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_b FROM losers)
+    """,
+    doc="E2 incremental MinHash near-dup dedup "
+    "(ext/dedup.minhash_dedup_incremental): dedup a new batch against "
+    "the accumulated corpus via persisted SIGNATURE state — batch "
+    "signatures map-side, LSH band join on longs, bodies fetched only "
+    "for candidate docs. The near-dup twin of dedup_exact_incremental.",
+    tags=("ext",),
+)
+def q_minhash_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import minhash_dedup_incremental
+
+    docs = read_sf_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    kept, _sigs = minhash_dedup_incremental(corpus, batch)
+    return kept.select("doc_id")

@@ -598,3 +598,37 @@ def test_bpe_learn_merges_greedy_left_to_right(spark):
         for r in learn_bpe_merges(docs, n_merges=2).orderBy("step").collect()
     ]
     assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+
+
+def test_minhash_dedup_incremental_state_grows_by_survivors(spark):
+    """Two increments: batch 2 replays batch 1's surviving content (near
+    dup) -> dropped via the SIGNATURE state alone; state grows by exactly
+    the survivors."""
+    from entity_etl_spark.ext.dedup import minhash_dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    corpus = spark.createDataFrame(
+        [(1, base * 3)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base * 3 + "tail one"),          # near-dup of corpus doc 1
+         (11, "completely different words about spark plans and shuffles "
+              "joined with more unique tokens here")],
+        "doc_id long, text string",
+    )
+    kept1, sigs1 = minhash_dedup_incremental(corpus, b1)
+    assert [r.doc_id for r in kept1.collect()] == [11]
+    assert sigs1.count() == 2  # corpus doc 1 + survivor 11
+
+    b2 = spark.createDataFrame(
+        [(20, "completely different words about spark plans and shuffles "
+              "joined with more unique tokens here padded"),  # ~dup of 11
+         (21, "an entirely fresh third document with its own vocabulary "
+              "unlike anything previously admitted to the corpus")],
+        "doc_id long, text string",
+    )
+    kept2, sigs2 = minhash_dedup_incremental(
+        corpus.unionByName(b1), b2, corpus_sigs=sigs1
+    )
+    assert [r.doc_id for r in kept2.collect()] == [21]
+    assert sigs2.count() == 3
