@@ -6976,3 +6976,71 @@ def q_minhash_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") >= 250)
     kept, _sigs = minhash_dedup_incremental(corpus, batch)
     return kept.select("doc_id")
+
+
+@register(
+    "asof_join_cogroup",
+    f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{DUCK_TS_FMT}') AS purchase_ts,
+           strftime(s.ts, '{DUCK_TS_FMT}') AS last_signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of join via COGROUP (FlatMapCoGroupsInPandas): both sides "
+    "shuffle once on user_id, each group pair meets in one Arrow batch, "
+    "pandas merge_asof does the per-key backward search. The two-sided "
+    "custom-merge surface — same oracle as the window-composed asof_join, "
+    "so the two physical strategies are pinned equal. Use the window "
+    "form when the JVM can express it; cogroup when the per-pair logic "
+    "needs real Python (model scoring, complex alignment).",
+    tags=("custom",),
+)
+def q_asof_join_cogroup(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    ev = read_sf_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "signup_ts"]
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        if len(right) == 0:
+            out = left.copy()
+            out["signup_ts"] = pd.NaT
+            return out[["event_id", "user_id", "ts", "signup_ts"]]
+        right = right.sort_values("signup_ts", kind="mergesort")
+        out = pd.merge_asof(
+            left,
+            right[["signup_ts"]],
+            left_on="ts",
+            right_on="signup_ts",
+            direction="backward",
+        )
+        return out[["event_id", "user_id", "ts", "signup_ts"]]
+
+    joined = (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp_ntz, "
+            "signup_ts timestamp_ntz",
+        )
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _ts_str(F.col("ts")).alias("purchase_ts"),
+        _ts_str(F.col("signup_ts")).alias("last_signup_ts"),
+    )
