@@ -7044,3 +7044,75 @@ def q_asof_join_cogroup(spark: SparkSession, sf: str) -> DataFrame:
         _ts_str(F.col("ts")).alias("purchase_ts"),
         _ts_str(F.col("signup_ts")).alias("last_signup_ts"),
     )
+
+
+@register(
+    "ewma_per_user",
+    """
+    SELECT user_id,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="Exponentially weighted moving average per key (alpha=0.5, "
+    "s1=x1): the inherently-sequential time-series smoother as ONE "
+    "aggregation — sort_array(collect_list(struct)) fixes the (ts, "
+    "event_id) order, then a higher-order fold runs the recurrence "
+    "inside codegen. Same left fold, same operand order in both engines "
+    "-> bit-identical doubles. One shuffle on user_id; per-user state "
+    "bounded by that user's history (no per-row unbounded-window state).",
+    tags=("analytics",),
+)
+def q_ewma_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: 0.5 * x + 0.5 * acc,
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(ewma, 6).alias("ewma"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "skew_diagnosis",
+    """
+    WITH pk AS (SELECT event_type AS key, count(*) AS n
+                FROM events GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_factor,
+           (SELECT key FROM pk ORDER BY n DESC, key LIMIT 1)
+             AS heaviest_key
+    FROM pk
+    """,
+    doc="Skew diagnosis (the operator you run BEFORE choosing salting / "
+    "AQE skew-join): per-key cardinalities in one map-side-combined "
+    "aggregate, reduced to key count, heaviest key, and the max/mean "
+    "skew factor. At 100 TB this is the cheap pre-flight that decides "
+    "whether operators.salted_join / salted_aggregate are needed.",
+    tags=("analytics",),
+)
+def q_skew_diagnosis(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    pk = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    heaviest = pk.orderBy(F.desc("n"), "key").limit(1).select(
+        F.col("key").alias("heaviest_key")
+    )
+    stats = pk.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+    )
+    return stats.crossJoin(heaviest).select(
+        "n_keys", "max_rows", "skew_factor", "heaviest_key"
+    )
