@@ -7116,3 +7116,78 @@ def q_skew_diagnosis(spark: SparkSession, sf: str) -> DataFrame:
     return stats.crossJoin(heaviest).select(
         "n_keys", "max_rows", "skew_factor", "heaviest_key"
     )
+
+
+@register(
+    "table_snapshot_diff",
+    """
+    -- v2 derived deterministically from orders: drop keys %7==0, bump
+    -- price on keys %11==0 — the oracle and the operator both see the
+    -- same two snapshots
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus,
+                           CAST(round(o_totalprice, 2) AS VARCHAR))) AS h
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus,
+                 CAST(round(CASE WHEN o_orderkey % 11 = 0
+                            THEN o_totalprice + 1 ELSE o_totalprice END,
+                 2) AS VARCHAR))) AS h
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT CASE WHEN v2.k IS NULL THEN 'removed'
+                WHEN v1.k IS NULL THEN 'added'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'same' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    GROUP BY 1
+    """,
+    doc="Snapshot diff (the migration/CDC validation operator, and the "
+    "symmetric generalization of O5 changed-row detection): two table "
+    "versions reduce to (key, content-hash), one full-outer join "
+    "classifies every key as added/removed/changed/same. Hashes compute "
+    "map-side so the shuffle carries (key, 32-byte hash), never rows — "
+    "the same slim-exchange discipline as delta.changed_rows; at 100 TB "
+    "bucket both snapshots by key and the join is exchange-free.",
+    tags=("analytics",),
+)
+def q_table_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_sf_table(spark, sf, "orders")
+
+    def hashed(df, price_col):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    F.round(price_col, 2).cast("string"),
+                )
+            ).alias("h"),
+        )
+
+    v1 = hashed(o, F.col("o_totalprice"))
+    v2 = hashed(
+        o.filter(F.col("o_orderkey") % 7 != 0),
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    )
+    status = (
+        F.when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.k").isNull(), "added")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("same")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
