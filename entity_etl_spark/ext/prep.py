@@ -128,3 +128,67 @@ def run_streaming_prep(
         save_state(next_seen, state_dir, "doc_fps")
 
     run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+
+
+def run_streaming_neardup_prep(
+    spark,
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_tokens: int = 20,
+    min_quality: float = 0.15,
+    verify_threshold: float = 0.5,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Continuous ingest with NEAR-dup suppression: like
+    :func:`run_streaming_prep` but the persistent state is a MinHash
+    SIGNATURE table, so a paraphrased/near-duplicate re-send of any
+    earlier document is dropped, not just byte-identical ones.
+
+    Per micro-batch: clean → quality gate → incremental MinHash dedup
+    against the persisted (doc, sig) state
+    (:func:`entity_etl_spark.ext.dedup.minhash_dedup_incremental` — batch
+    signatures map-side, LSH band join, bodies fetched only for candidate
+    pairs) → leakage-safe split → append. State grows by exactly the
+    survivors' signatures; corpus bodies for verification come from the
+    already-written output directory, read back candidate-only via the
+    verify semi-join. Same two-layer idempotence as run_streaming_prep
+    (source offsets + content state).
+    """
+    from ..state import load_state, save_state
+    from ..streaming import run_available_now
+    from .dedup import minhash_dedup_incremental
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = batch_df.withColumn(text_col, clean_text(text_col))
+        gated = quality_features(cleaned, text_col).filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+        )
+        sigs = load_state(spark, state_dir, "doc_sigs")
+        try:
+            corpus = spark.read.parquet(out_dir).select(id_col, text_col)
+        except Exception:  # first batch: nothing written yet
+            corpus = spark.createDataFrame(
+                [], f"{id_col} long, {text_col} string"
+            )
+        kept, next_sigs = minhash_dedup_incremental(
+            corpus,
+            gated,
+            id_col=id_col,
+            text_col=text_col,
+            corpus_sigs=sigs,
+            verify_threshold=verify_threshold,
+        )
+        out = grouped_split(kept, group_col)
+        out.write.mode("append").partitionBy("split").parquet(out_dir)
+        save_state(next_sigs, state_dir, "doc_sigs")
+
+    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)

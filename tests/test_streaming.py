@@ -265,3 +265,50 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     )
     got = sorted((r["id"], r["x"], r["tier"]) for r in collected)
     assert got == [(1, 10, "gold"), (2, 20, "silver"), (3, 30, None)]
+
+
+def test_run_streaming_neardup_prep_drops_paraphrased_resend(spark, tmp_path):
+    """Near-dup streaming ingest: batch 2 re-sends batch 1's surviving
+    content with a small tail edit — byte-UNidentical, so fingerprint
+    state would admit it; the MinHash signature state drops it. A
+    genuinely new doc still lands."""
+    from entity_etl_spark.ext.prep import run_streaming_neardup_prep
+    from entity_etl_spark.streaming import stream_source
+
+    src = str(tmp_path / "nd_src")
+    out = str(tmp_path / "nd_corpus")
+    state = str(tmp_path / "nd_state")
+    ckpt = str(tmp_path / "nd_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    good = ("the quick brown fox jumps over the lazy dog and it "
+            "is a fine day in the park of wonders to see it all ") * 2
+    fresh = ("entirely different content about distributed joins and "
+             "shuffle partitions with a vocabulary all of its own that "
+             "overlaps nothing in the first document at all here ") * 2
+
+    def write_docs(rows, n):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{n}")
+
+    def run():
+        run_streaming_neardup_prep(
+            spark, stream_source(spark, f"{src}/f*", schema),
+            out, state, ckpt,
+        )
+
+    write_docs([(1, good, "sa")], 1)
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+    # paraphrased re-send (tail edit) + genuinely new doc
+    write_docs([(10, good + "extra tail words", "sa"), (11, fresh, "sb")], 2)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 11}  # 10 suppressed by SIGNATURE state, not bytes
