@@ -15,8 +15,11 @@ dedup is the only shuffle; the split is map-only again):
 Output: the surviving corpus with ``n_tokens`` and ``split`` attached —
 ready for :func:`ext.packing.pack_sequences` / shard writing.
 
-At 100 TB nothing in this chain materializes an intermediate: one body
-scan, one (fp, id) shuffle, one id-keyed semi-join. The near-dup pass
+At 100 TB nothing in this chain materializes an intermediate: the
+winners branch re-scans the source column-pruned to (id, text) for
+fingerprints (plan-verified ReadSchema), the only exchange carries
+(fp, id) pairs, and the survivors semi-join back broadcast — two pruned
+scans beat shuffling full bodies through the dedup. The near-dup pass
 (MinHash) and the LM perplexity gate slot between stages 3 and 4 when
 their cost is warranted.
 """
