@@ -92,13 +92,15 @@ def semantic_near_dup_pairs(
         )
     else:
         cells = assign_cells(emb.select(id_col, vec_col), cents, id_col, vec_col)
+    # multi-probe: a pair sharing 2 cells appears twice — and its two
+    # gram-matmul cosines may differ in the LAST ULP (different BLAS
+    # blocking for different cell-matrix shapes), so the dedup key must
+    # be the PAIR, not (pair, cos). max() picks a deterministic value.
+    # Dedup happens AFTER the threshold so only surviving pairs shuffle.
     return (
-        cell_pairs_gram(
-            cells, threshold, id_col=id_col, vec_col=vec_col
-        )
-        .distinct()  # multi-probe: a pair sharing 2 cells appears twice
-        # (with a bit-identical cos_sim — same vectors, same matmul);
-        # dedup AFTER the threshold so only surviving pairs shuffle
+        cell_pairs_gram(cells, threshold, id_col=id_col, vec_col=vec_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
 
