@@ -572,10 +572,15 @@ def repeated_substring_spans(
        ``span_len = k + max(pos_a) - min(pos_a)``.
 
     A chain of m adjacent matching windows certifies a repeated substring
-    of exactly that extent; repeats shorter than ``k + stride - 1`` may
-    be missed (window sampling) — the stated trade-off vs a suffix array,
-    in exchange for join-shaped distribution: every stage is an equi-join
-    or a keyed window, shuffling slim (id, pos, hash-sized) rows.
+    of exactly that extent. Two stated trade-offs vs a suffix array:
+    repeats shorter than ``k + stride - 1`` may be missed (window
+    sampling), and with ``stride > 1`` a repeat is found ONLY when its
+    two occurrences start at offsets congruent mod ``stride`` (both
+    sides' windows sit on absolute-position grids) — use
+    :func:`repeated_substring_spans_cdc` when alignment cannot be
+    assumed; its fingerprint positions follow CONTENT, not offsets. In
+    exchange: join-shaped distribution — every stage is an equi-join or
+    a keyed window, shuffling slim (id, pos, hash-sized) rows.
 
     At 100 TB: join on ``xxhash64(w)`` instead of the window text (8-byte
     shuffle keys; the text form here keeps the DuckDB oracle exact), and
@@ -636,6 +641,127 @@ def repeated_substring_spans(
         F.min("pb").cast("bigint").alias("start_b"),
         (F.lit(k) + F.max("pa") - F.min("pa")).cast("bigint").alias("span_len"),
     ).select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+
+
+def repeated_substring_spans_cdc(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    w: int = 8,
+    max_gap: int = 64,
+    max_df: int = 50,
+) -> DataFrame:
+    """Alignment-free repeated spans via CONTENT-DEFINED fingerprinting —
+    the winnowing/0-mod-w selection from the plagiarism-detection and
+    CDC-chunking literature (Schleimer et al., MOSS), fixing
+    :func:`repeated_substring_spans`'s grid-alignment blind spot:
+
+    1. every position's k-gram hashes map-side (array higher-order
+       expressions — no explode until selection); a position is a
+       FINGERPRINT iff ``hash % w == 0``, so selection follows content —
+       two occurrences of the same block select the same relative
+       positions no matter where the block sits in each doc (expected
+       density 1/w);
+    2. fingerprints join on k-gram text (hash equi-join; doc-frequency
+       cap 2..max_df bounds fan-out);
+    3. matches chain per (doc pair, diagonal) while consecutive
+       fingerprints sit within ``max_gap`` chars (expected spacing is w);
+    4. every chained span is then VERIFIED by direct substring equality
+       on both documents, so emitted spans are exact repeats — certified,
+       not probabilistic. Spans are maximal at fingerprint resolution
+       (ends can undershoot the true maximal repeat by < w chars).
+
+    The hash is the repo's portable md5 recipe, so the oracle restates
+    selection digit-for-digit. Shuffles carry (id, pos, k-gram) for
+    selected positions only (~len/w per doc); bodies join back once,
+    for candidate spans only.
+    """
+    from pyspark.sql import Window
+
+    n_grams = F.length(text_col) - (k - 1)
+    pos_hash_sel = F.filter(
+        F.sequence(F.lit(1), n_grams),
+        lambda p: (
+            F.conv(
+                F.substring(
+                    F.md5(F.substring(F.col(text_col), p, F.lit(k)).cast("string")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+            == 0
+        ),
+    )
+    fps = (
+        docs.select(id_col, text_col)
+        .filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(pos_hash_sel).alias("__p"),
+            F.col(text_col),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__p").cast("long").alias("__p"),
+            F.expr(f"substring({text_col}, __p, {k})").alias("w"),
+        )
+    )
+    ok = (
+        fps.groupBy("w")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter((F.col("__nd") >= 2) & (F.col("__nd") <= max_df))
+        .select("w")
+    )
+    rep = fps.join(ok, "w")
+    a = rep.select(
+        F.col("w"), F.col(id_col).alias("doc_a"), F.col("__p").alias("pa")
+    )
+    b = rep.select(
+        F.col("w"), F.col(id_col).alias("doc_b"), F.col("__p").alias("pb")
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+        )
+    )
+    wchain = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    flagged = cand.withColumn(
+        "__new",
+        F.when(
+            F.col("pa") - F.lag("pa").over(wchain) <= max_gap, 0
+        ).otherwise(1),
+    ).withColumn(
+        "__chain",
+        F.sum("__new").over(
+            wchain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = flagged.groupBy("doc_a", "doc_b", "diag", "__chain").agg(
+        F.min("pa").cast("bigint").alias("start_a"),
+        F.min("pb").cast("bigint").alias("start_b"),
+        (F.lit(k) + F.max("pa") - F.min("pa")).cast("bigint").alias("span_len"),
+    )
+    ta = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
+    )
+    return (
+        spans.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.expr("substring(__ta, start_a, span_len)")
+            == F.expr("substring(__tb, start_b, span_len)")
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
 
 
 def exact_dedup_incremental(

@@ -7191,3 +7191,70 @@ def q_table_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "repeated_substring_spans_cdc",
+    """
+    WITH g AS (
+      SELECT doc_id, i AS p, substring(text, CAST(i AS INT), 20) AS w
+      FROM documents,
+           UNNEST(range(1, greatest(length(text) - 19, 0) + 1)) AS t(i)
+      WHERE length(text) >= 20
+    ),
+    fps AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p, w FROM g
+      WHERE CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 8 = 0
+    ),
+    ok AS (
+      SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS nd
+                     FROM fps GROUP BY w)
+      WHERE nd BETWEEN 2 AND 50
+    ),
+    rep AS (SELECT fps.* FROM fps JOIN ok USING (w)),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+      FROM rep a JOIN rep b ON a.w = b.w AND a.doc_id < b.doc_id
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN pa - lag(pa) OVER
+                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa) <= 64
+                THEN 0 ELSE 1 END AS new_chain
+      FROM cand
+    ),
+    chains AS (
+      SELECT *, sum(new_chain) OVER
+                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                   ROWS UNBOUNDED PRECEDING) AS chain_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pa) AS BIGINT) AS start_a,
+             CAST(min(pb) AS BIGINT) AS start_b,
+             CAST(20 + max(pa) - min(pa) AS BIGINT) AS span_len
+      FROM chains GROUP BY doc_a, doc_b, diag, chain_id
+    )
+    SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_len
+    FROM spans s
+    JOIN documents da ON da.doc_id = s.doc_a
+    JOIN documents db ON db.doc_id = s.doc_b
+    WHERE substring(da.text, CAST(s.start_a AS INT), CAST(s.span_len AS INT))
+        = substring(db.text, CAST(s.start_b AS INT), CAST(s.span_len AS INT))
+    """,
+    doc="E1/E2 ALIGNMENT-FREE repeated spans "
+    "(ext/dedup.repeated_substring_spans_cdc): content-defined "
+    "fingerprint selection (winnowing 0-mod-w, Schleimer et al.) picks "
+    "k-gram positions by hash, so repeated blocks match wherever they "
+    "sit — no grid-congruence blind spot; chained per (pair, diagonal) "
+    "and VERIFIED by direct substring equality, so every emitted span "
+    "is an exact repeat. Portable md5 selection keeps the oracle "
+    "digit-exact.",
+    tags=("ext",),
+)
+def q_repeated_substring_spans_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import repeated_substring_spans_cdc
+
+    docs = read_sf_table(spark, sf, "documents")
+    return repeated_substring_spans_cdc(docs, k=20, w=8, max_df=50)

@@ -632,3 +632,35 @@ def test_minhash_dedup_incremental_state_grows_by_survivors(spark):
     )
     assert [r.doc_id for r in kept2.collect()] == [21]
     assert sigs2.count() == 3
+
+
+def test_cdc_spans_find_misaligned_repeats(spark):
+    """The grid-strided spans miss a shared block whose two offsets are
+    NOT congruent mod stride; content-defined fingerprints find it, and
+    the emitted span is substring-verified exact."""
+    from entity_etl_spark.ext.dedup import (
+        repeated_substring_spans,
+        repeated_substring_spans_cdc,
+    )
+
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"  # 44 chars
+    rows = [
+        (1, "XXXX" + shared + "YYYY"),    # block at 1-based pos 5
+        (2, "ZZZZZZZ" + shared + "WWWW"), # block at pos 8: 8-5=3, not %4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grid = repeated_substring_spans(docs, k=8, stride=4, max_df=50).collect()
+    assert grid == []  # offsets 5 vs 8 are incongruent mod 4 -> invisible
+    cdc = repeated_substring_spans_cdc(
+        docs, k=8, w=4, max_gap=32, max_df=50
+    ).collect()
+    assert len(cdc) >= 1
+    for r in cdc:
+        assert r.doc_a == 1 and r.doc_b == 2
+        # verified-exact contract: the span really is a repeat
+        assert (
+            rows[0][1][r.start_a - 1 : r.start_a - 1 + r.span_len]
+            == rows[1][1][r.start_b - 1 : r.start_b - 1 + r.span_len]
+        )
+        # and it lies inside the planted block on both sides
+        assert r.start_a >= 5 and r.start_a + r.span_len <= 5 + 44
