@@ -12,10 +12,16 @@ word-frequency table:
    argmax (count desc, then lexicographic pair for determinism). This is
    the classic map-side-combined explode+groupBy — the same shape as the
    repetition and contamination scans.
-2. **merge rewrite** — map-only string replace over the space-delimited
-   segmentation: ``' l r ' -> ' lr '``. Left-to-right non-overlapping
-   ``replace`` semantics (identical in Spark and DuckDB) are exactly
-   BPE's greedy scan, so ``a a a`` merges to ``(aa) a``, not ``a (aa)``.
+2. **merge rewrite** — map-only higher-order fold over the symbol
+   array: append each symbol, or fuse it into the accumulator's last
+   token when that token is ``l`` and the symbol is ``r``. "Last token
+   is ``l``" is decidable by string suffix because a merged ``l+r`` can
+   never equal ``l`` (``r`` is non-empty) — so the fold is EXACTLY
+   Sennrich's greedy left-to-right non-overlapping scan, including runs:
+   ``a a a a`` merges to ``(aa) (aa)``. (A flat ``replace(' l r ',
+   ' lr ')`` is NOT equivalent — the match consumes the separator the
+   next occurrence needs, under-merging runs; a hypothesis test pins
+   the fold against the reference greedy model.)
 
 Only the per-step argmax row (one pair + its count) reaches the driver —
 the word table never moves. At 100 TB the word-frequency table is the
@@ -59,16 +65,15 @@ def learn_bpe_merges(
     (count desc, then lexicographic pair)."""
     spark = docs.sparkSession
     words = word_frequencies(docs, text_col, min_len)
-    # initial segmentation: every char its own symbol, space-delimited and
-    # space-wrapped (' a b c ') so a merge is a plain substring replace
+    # initial segmentation: every char its own symbol
     seqdf = words.select(
-        F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("seq"),
+        F.filter(F.split("w", ""), lambda c: c != "").alias("syms"),
         "freq",
     ).localCheckpoint(eager=False)  # word derivation runs once, not per step
 
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
-        syms = F.split(F.trim(F.col("seq")), " ")
+        syms = F.col("syms")
         pairs = F.transform(
             F.sequence(F.lit(1), F.size(syms) - 1),
             lambda i: F.struct(
@@ -88,10 +93,32 @@ def learn_bpe_merges(
             break
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((step, l, r, cnt))
-        seqdf = seqdf.withColumn(
-            "seq",
-            F.replace(F.col("seq"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")),
-        )
+        seqdf = seqdf.withColumn("syms", _greedy_merge(F.col("syms"), l, r))
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+def _greedy_merge(syms, l: str, r: str):
+    """Greedy left-to-right merge of adjacent (l, r) into l+r — a string
+    fold: append each symbol to the space-joined accumulator, or fuse it
+    when the accumulator's last token is ``l`` and the symbol is ``r``
+    (suffix-decidable: a just-merged token ``l+r`` can never equal
+    ``l``). Split back to the symbol array at the end."""
+    L = len(l)
+    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    folded = F.aggregate(
+        rest,
+        F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            (x == r)
+            & (
+                (acc == l)
+                | (F.substring(acc, -(L + 1), L + 1) == " " + l)
+            ),
+            F.concat(
+                F.substring(acc, 1, F.length(acc) - L), F.lit(l + r)
+            ),
+        ).otherwise(F.concat(acc, F.lit(" "), x)),
+    )
+    return F.split(folded, " ")

@@ -6660,8 +6660,13 @@ def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
     "bpe_learn_merges",
     r"""
     -- the same two BPE steps unrolled: pair counts -> argmax (scalar
-    -- subqueries) -> merge rewrite -> recount. replace() is left-to-right
-    -- non-overlapping in both engines = BPE's greedy scan.
+    -- subqueries) -> GREEDY merge rewrite -> recount. The rewrite is a
+    -- string fold (list_reduce): append, or fuse into the accumulator's
+    -- last token when it equals l and the symbol is r — last-token-is-l
+    -- is suffix-decidable because a merged l||r can never equal l. This
+    -- is exactly Sennrich's left-to-right non-overlapping scan (runs
+    -- included: a a a a -> (aa)(aa)); a flat replace(' l r ') is NOT
+    -- (the match consumes the separator the next occurrence needs).
     WITH words AS (
       SELECT w, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
@@ -6669,27 +6674,27 @@ def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
       WHERE length(w) >= 2 GROUP BY w
     ),
     s0 AS (
-      SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, freq
+      SELECT string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ')
+               AS syms, freq
       FROM words
     ),
     p1 AS (
       SELECT syms[i] AS l, syms[i + 1] AS r, freq
-      FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s0),
-           UNNEST(range(1, len(syms))) AS t(i)
+      FROM s0, UNNEST(range(1, len(syms))) AS t(i)
     ),
     c1 AS (SELECT l, r, sum(freq) AS cnt FROM p1 GROUP BY l, r),
     m1 AS (SELECT l, r, cnt FROM c1 ORDER BY cnt DESC, l, r LIMIT 1),
     s1 AS (
-      SELECT replace(seq,
-                     ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
-                     ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ') AS seq,
-             freq
-      FROM s0
+      SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+               WHEN x = m.r AND (acc = m.l OR
+                    right(acc, length(m.l) + 1) = ' ' || m.l)
+               THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+               ELSE acc || ' ' || x END), ' ') AS syms, freq
+      FROM s0, m1 m
     ),
     p2 AS (
       SELECT syms[i] AS l, syms[i + 1] AS r, freq
-      FROM (SELECT string_split(trim(seq), ' ') AS syms, freq FROM s1),
-           UNNEST(range(1, len(syms))) AS t(i)
+      FROM s1, UNNEST(range(1, len(syms))) AS t(i)
     ),
     c2 AS (SELECT l, r, sum(freq) AS cnt FROM p2 GROUP BY l, r),
     m2 AS (SELECT l, r, cnt FROM c2 ORDER BY cnt DESC, l, r LIMIT 1)
@@ -6700,10 +6705,11 @@ def q_profile_table(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="E4 distributed BPE merge learning (ext/bpe.py, Sennrich et al.): "
     "each step = weighted adjacent-pair explode+groupBy (map-side "
-    "combined) for the argmax pair, then a map-only greedy merge rewrite "
-    "over the space-delimited segmentation. Only the 1-row argmax "
+    "combined) for the argmax pair, then a map-only greedy merge fold "
+    "over the symbol arrays (exact left-to-right non-overlapping scan, "
+    "hypothesis-pinned vs the reference model). Only the 1-row argmax "
     "reaches the driver per step; the word table never moves. Oracle "
-    "unrolls the identical two steps with scalar subqueries.",
+    "unrolls the identical two steps, folding via list_reduce.",
     tags=("ext",),
 )
 def q_bpe_learn_merges(spark: SparkSession, sf: str) -> DataFrame:

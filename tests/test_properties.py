@@ -129,3 +129,42 @@ def test_tsutil_epoch_model(dt, micros):
     # epoch_millis: decimal*1000 then truncating cast == integer floor-div
     assert whole_min * 1000 + frac_us // 1000 == want_us // 1000
     assert whole_min + d.second == want_us // 1_000_000
+
+
+@given(
+    syms=st.lists(
+        st.sampled_from(["a", "b", "ab", "ba"]), min_size=1, max_size=12
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "ba"]),
+        st.sampled_from(["a", "b", "ab", "ba"]),
+    ),
+)
+@settings(max_examples=300)
+def test_bpe_fold_equals_greedy_merge(syms, pair):
+    """The string-accumulator fold used by ext/bpe._greedy_merge (and its
+    DuckDB list_reduce oracle) must equal the canonical greedy
+    left-to-right BPE merge — including overlap runs like (a,a) on
+    'a a a a' -> '(aa) (aa)', which a flat space-wrapped replace gets
+    wrong (it consumes the separator the next match needs)."""
+    l, r = pair
+
+    def greedy_merge(seq):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    # pure-python mirror of the fold expression
+    acc = syms[0]
+    for x in syms[1:]:
+        if x == r and (acc == l or acc.endswith(" " + l)):
+            acc = acc[: len(acc) - len(l)] + l + r
+        else:
+            acc = acc + " " + x
+    assert acc.split(" ") == greedy_merge(syms)
