@@ -440,3 +440,62 @@ def robust_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def distributed_shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: str = "42",
+    out_col: str = "shuffle_rank",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training-shuffle order WITHOUT the
+    single-reducer funnel of ``row_number() OVER (ORDER BY ...)``.
+
+    Training-data pipelines need one global, reproducible permutation of
+    the corpus (epoch shuffling, shard assignment). The order key is
+    ``md5(seed || ':' || key)`` — portable across engines and stable
+    across runs. A naive global window drains 100 TB through one task;
+    here the hash's KNOWN uniform domain removes even the stats pass
+    :func:`distributed_cumsum` needs:
+
+    1. bucket = the hash's leading 60 bits divided into ``n_buckets``
+       fixed ranges (map-side arithmetic, no min/max aggregation);
+    2. row_number WITHIN each bucket ordered by (full hash hex, key) —
+       a balanced hash exchange, each reducer sorts only its slice;
+    3. per-bucket counts (``n_buckets`` rows) prefix-sum on a
+       driver-sized window, broadcast back, added map-side.
+
+    Fixed-width lowercase hex compares lexicographically exactly as its
+    numeric value, so bucket-range order (numeric prefix) agrees with the
+    within-bucket string order — ranks are globally consistent and equal
+    row-for-row to the naive ``ORDER BY md5, key`` window (the driver
+    oracle pins it).
+    """
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(key_col).cast("string")))
+    hnum = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    domain = 16 ** 15
+    keyed = df.withColumn("__h", h).withColumn(
+        "__bkt", (hnum / F.lit(domain / n_buckets)).cast("int")
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("__h", key_col)
+    local = keyed.withColumn("__local", F.row_number().over(w_in))
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        )
+        .select("__bkt", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            out_col, (F.col("__local") + F.col("__off")).cast("bigint")
+        )
+        .drop("__bkt", "__h", "__local", "__off")
+    )

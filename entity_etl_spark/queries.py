@@ -7264,3 +7264,223 @@ def q_repeated_substring_spans_cdc(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     return repeated_substring_spans_cdc(docs, k=20, w=8, max_df=50)
+
+
+@register(
+    "bitmap_distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="E6 EXACT mergeable distinct via Spark 4 bitmap aggregates: "
+    "bitmap_bucket_number/bitmap_bit_position shard the id space into "
+    "32k-bit bitmaps, bitmap_construct_agg builds per-(group, bucket) "
+    "partials map-side, and the rollup is a bitwise OR — the same "
+    "mergeable-partial-state shape as the HLL sketch rollup "
+    "(hll_sketch_merge_daily) but EXACT: incremental distinct-count "
+    "state at 100 TB without a distinct shuffle of raw ids, because "
+    "the exchange carries fixed-size bitmaps, not rows. Oracle: plain "
+    "COUNT(DISTINCT).",
+    tags=("ext",),
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    partials = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    gl AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                    '{_BM25_TERMS[2]}')
+      GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok, ln(1 + (gl.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT tok, count(*) AS df FROM tf GROUP BY tok), gl
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(idf.idf * tf.tf * ({_BM25_K1} + 1) /
+                       (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
+                        * dl.dl / gl.avgdl))), 6) AS score
+      FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), gl
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    doc="Lexical retrieval: Okapi/Lucene BM25 top-k over the corpus for a "
+    "fixed query-term set — the full-text-search twin of the ANN "
+    "operators (E3). Scale shape: term filter applied BEFORE the tf "
+    "aggregation (only query-term postings shuffle), doc lengths are one "
+    "map-side-combined pass, (n_docs, avgdl) and the per-term idf table "
+    "are scalar/tiny broadcasts, and the top-k is TakeOrderedAndProject "
+    "on the ROUNDED score with doc_id tie-break (deterministic across "
+    "engines — ranking on raw doubles would flip on last-ulp sum-order "
+    "wobble).",
+    tags=("ext",),
+)
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    gl = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(gl))
+        .select(
+            "tok",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(gl))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    n AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_docs
+          FROM dt GROUP BY tok),
+    p AS (
+      SELECT tok,
+             array_to_string(list_slice(list_sort(list(doc_id)), 1, 20),
+                             ',') AS postings_head
+      FROM dt GROUP BY tok
+    )
+    SELECT tok, n_docs, postings_head FROM n JOIN p USING (tok)
+    """,
+    doc="Inverted-index build (the batch side of lexical retrieval): "
+    "per-token document-frequency plus the first 20 postings, sorted. "
+    "Scale shape: the posting list is CAPPED BEFORE aggregation — a "
+    "rank<=20 window filter (Spark compiles it to WindowGroupLimit, "
+    "which truncates each group map-side before the sort spills) feeds "
+    "collect_list, so no unbounded per-token list is ever materialized; "
+    "a stop-word token touching every doc costs 20 rows, not |corpus|. "
+    "df counts aggregate the slim (tok, doc_id) pairs with map-side "
+    "combine. Rendered as a CSV string so the value hash is "
+    "engine-stable.",
+    tags=("ext",),
+)
+def q_inverted_index_postings(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    ).distinct()
+    n = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    p = (
+        dt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("tok")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings_head"
+            )
+        )
+    )
+    return n.join(p, "tok")
+
+
+@register(
+    "deterministic_shuffle_rank",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    doc="Global training-epoch shuffle: a reproducible corpus permutation "
+    "(md5 of a seeded key) ranked WITHOUT the single-reducer global "
+    "window the oracle uses — operators.distributed_shuffle_rank "
+    "range-buckets the hash's known uniform domain map-side (no stats "
+    "pass), ranks within balanced buckets, and adds broadcast bucket "
+    "offsets. Row-for-row equal to ORDER BY md5; the widest exchange "
+    "spreads over n_buckets reducers instead of 1.",
+    tags=("ext",),
+)
+def q_deterministic_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators import distributed_shuffle_rank
+
+    docs = read_sf_table(spark, sf, "documents")
+    return distributed_shuffle_rank(
+        docs.select("doc_id"), "doc_id", seed="42"
+    ).select("doc_id", "shuffle_rank")

@@ -180,3 +180,36 @@ def test_robust_outliers_flags_tail_not_bulk(spark):
     flagged = {(r.g, r.v) for r in out.filter("is_outlier").collect()}
     assert flagged == {("g", 1000.0)}
     assert out.filter("g = 'const' and is_outlier").count() == 0  # MAD=0 guard
+
+
+def test_distributed_shuffle_rank_equals_global_window(spark):
+    from entity_etl_spark.operators import distributed_shuffle_rank
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    got = distributed_shuffle_rank(df, "k", seed="s", n_buckets=16)
+    h = F.md5(F.concat(F.lit("s:"), F.col("k").cast("string")))
+    want = df.withColumn(
+        "shuffle_rank", F.row_number().over(W.orderBy(h, "k"))
+    )
+    g = {r.k: r.shuffle_rank for r in got.collect()}
+    w = {r.k: r.shuffle_rank for r in want.collect()}
+    assert g == w
+    # a permutation: every rank 1..n exactly once
+    assert sorted(g.values()) == list(range(1, 5001))
+
+
+def test_distributed_shuffle_rank_not_single_partition(spark):
+    from entity_etl_spark.operators import distributed_shuffle_rank
+    from tests.test_plans import plan_of
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    plan = plan_of(distributed_shuffle_rank(df, "k", n_buckets=16))
+    # row-bearing window is partitioned by bucket; the only
+    # single-partition window runs over the n_buckets-row offsets side
+    assert "hashpartitioning(__bkt" in plan, plan
+    row_window = next(
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "__local" in ln
+    )
+    assert "__bkt" in row_window, row_window
