@@ -122,3 +122,44 @@ def _greedy_merge(syms, l: str, r: str):
         ).otherwise(F.concat(acc, F.lit(" "), x)),
     )
     return F.split(folded, " ")
+
+
+def apply_bpe_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLICATION (the encode side of :func:`learn_bpe_merges`):
+    segment every word by the merge table, in merge order, and return the
+    per-document token accounting ``(id, n_words, n_tokens)``.
+
+    Scale shape: the greedy fold runs over the DISTINCT vocabulary, not
+    the corpus — tokenize each unique word once, then equi-join the
+    per-word token counts back to the slim (doc, word) stream and
+    aggregate. At 100 TB the fold costs |vocab| rows (bounded by the
+    language, not the data); the corpus-sized work is one explode and
+    one map-side-combined aggregation. The merge table is foldable
+    literals (a real tokenizer's would broadcast — same dataflow).
+    """
+    wf = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    enc = wf.select("w").distinct().withColumn(
+        "syms", F.filter(F.split("w", ""), lambda c: c != "")
+    )
+    for left, right in merges:
+        enc = enc.withColumn(
+            "syms", _greedy_merge(F.col("syms"), left, right)
+        )
+    wtok = enc.select("w", F.size("syms").alias("w_tokens"))
+    return (
+        wf.join(wtok, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

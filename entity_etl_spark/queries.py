@@ -7484,3 +7484,226 @@ def q_deterministic_shuffle_rank(spark: SparkSession, sf: str) -> DataFrame:
     return distributed_shuffle_rank(
         docs.select("doc_id"), "doc_id", seed="42"
     ).select("doc_id", "shuffle_rank")
+
+
+_BPE_MERGES = (("a", "g"), ("ag", "g"), ("s", "p"), ("sp", "a"))
+
+
+@register(
+    "bpe_encode_tokens",
+    r"""
+    -- the same merge chain applied in SQL: fold each vocab word through
+    -- the 4 merges (list_reduce, identical greedy-scan semantics as the
+    -- bpe_learn_merges oracle), then join token counts back per doc.
+    WITH wf AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    s0 AS (
+      SELECT w, string_split(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ')
+               AS syms
+      FROM (SELECT DISTINCT w FROM wf)
+    ),
+    s1 AS (SELECT w, string_split(list_reduce(syms, (acc, x) -> CASE
+             WHEN x = 'g' AND (acc = 'a' OR right(acc, 2) = ' a')
+             THEN left(acc, length(acc) - 1) || 'ag'
+             ELSE acc || ' ' || x END), ' ') AS syms FROM s0),
+    s2 AS (SELECT w, string_split(list_reduce(syms, (acc, x) -> CASE
+             WHEN x = 'g' AND (acc = 'ag' OR right(acc, 3) = ' ag')
+             THEN left(acc, length(acc) - 2) || 'agg'
+             ELSE acc || ' ' || x END), ' ') AS syms FROM s1),
+    s3 AS (SELECT w, string_split(list_reduce(syms, (acc, x) -> CASE
+             WHEN x = 'p' AND (acc = 's' OR right(acc, 2) = ' s')
+             THEN left(acc, length(acc) - 1) || 'sp'
+             ELSE acc || ' ' || x END), ' ') AS syms FROM s2),
+    s4 AS (SELECT w, string_split(list_reduce(syms, (acc, x) -> CASE
+             WHEN x = 'a' AND (acc = 'sp' OR right(acc, 3) = ' sp')
+             THEN left(acc, length(acc) - 2) || 'spa'
+             ELSE acc || ' ' || x END), ' ') AS syms FROM s3),
+    wtok AS (SELECT w, len(syms) AS w_tokens FROM s4)
+    SELECT wf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(w_tokens) AS BIGINT) AS n_tokens
+    FROM wf JOIN wtok USING (w)
+    GROUP BY wf.doc_id
+    """,
+    doc="E4 tokenizer APPLICATION (ext/bpe.apply_bpe_merges — the encode "
+    "side of bpe_learn_merges): segment every word by a 4-entry merge "
+    "table (chained merges incl. a second-level 'ag'+'g' fuse), count "
+    "tokens per document. The greedy fold runs over the DISTINCT "
+    "vocabulary only; per-word token counts equi-join back to the slim "
+    "(doc, word) stream — at 100 TB the fold is |vocab|-sized, the "
+    "corpus pays one explode + one map-side-combined agg.",
+    tags=("ext",),
+)
+def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.bpe import apply_bpe_merges
+
+    docs = read_sf_table(spark, sf, "documents")
+    return apply_bpe_merges(docs, list(_BPE_MERGES))
+
+
+@register(
+    "neardup_keep_best",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    groups AS (
+      SELECT u AS doc, CAST(least(u, min(v)) AS BIGINT) AS group_rep
+      FROM reach GROUP BY u
+    ),
+    gk AS (
+      SELECT g.doc AS doc_id, g.group_rep,
+             row_number() OVER (PARTITION BY g.group_rep
+                                ORDER BY d.n_chars DESC, g.doc) = 1 AS kept
+      FROM groups g JOIN documents d ON d.doc_id = g.doc
+    )
+    SELECT doc_id, group_rep, kept FROM gk
+    UNION ALL
+    SELECT doc_id, CAST(doc_id AS BIGINT) AS group_rep, true AS kept
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM gk)
+    """,
+    doc="E2 dedup CANONICAL SELECTION — the stage that turns near-dup "
+    "groups into a kept/dropped corpus decision: within each connected "
+    "component keep the best document (longest, doc_id tie-break), "
+    "singletons keep themselves. Scale shape: the argmax window runs "
+    "only over grouped docs (a small fraction of the corpus — near-dup "
+    "groups, not all rows); ungrouped docs join the result via a "
+    "left-anti join, map-side after the slim group table broadcast. "
+    "Oracle extends the neardup_groups recursive-CTE closure with the "
+    "same per-group argmax.",
+    tags=("ext",),
+)
+def q_neardup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import jaccard_pairs
+    from .ext.graph import near_dup_groups
+
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    grouped = near_dup_groups(pairs)
+    d = docs.select("doc_id", "n_chars")
+    g = grouped.join(d, grouped["doc"] == d["doc_id"]).select(
+        "doc_id", "group_rep", "n_chars"
+    )
+    w = Window.partitionBy("group_rep").orderBy(F.desc("n_chars"), "doc_id")
+    gk = g.withColumn("kept", F.row_number().over(w) == 1).select(
+        "doc_id", "group_rep", "kept"
+    )
+    rest = d.join(gk.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("group_rep"),
+        F.lit(True).alias("kept"),
+    )
+    return gk.unionByName(rest)
+
+
+@register(
+    "curriculum_quality_buckets",
+    r"""
+    -- same pinned classifier score as quality_classifier_gate; bucket
+    -- boundaries are exact interpolated quartiles of the ROUNDED score
+    -- (rounding first makes every boundary comparison engine-stable).
+    WITH scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(CASE WHEN len(ws) > 0
+                 THEN list_sum(ws) / len(ws) ELSE 0.0 END))), 6)
+               AS quality_prob
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             t -> t <> ''),
+                 t -> ((((CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                          % 64) * 37 + 11) % 64) - 32) / 64.0
+               ) AS ws
+        FROM documents)
+    ),
+    qs AS (
+      SELECT round(quantile_cont(quality_prob, 0.25), 6) AS q1,
+             round(quantile_cont(quality_prob, 0.50), 6) AS q2,
+             round(quantile_cont(quality_prob, 0.75), 6) AS q3
+      FROM scored
+    )
+    SELECT doc_id, quality_prob,
+           CAST(1 + CASE WHEN quality_prob > q1 THEN 1 ELSE 0 END
+                  + CASE WHEN quality_prob > q2 THEN 1 ELSE 0 END
+                  + CASE WHEN quality_prob > q3 THEN 1 ELSE 0 END
+                AS INT) AS bucket
+    FROM scored, qs
+    """,
+    doc="Curriculum-learning prep: assign every document a difficulty/"
+    "quality bucket (quartiles of the pinned classifier score) so the "
+    "training loader can schedule easy->hard. Scale shape: scoring is "
+    "the map-only codegen scan of quality_classifier_gate; the quartile "
+    "boundaries are ONE exact-percentile aggregate broadcast back as 3 "
+    "scalars (approx_percentile is the 100 TB swap-in, same dataflow); "
+    "assignment is a map-side comparison — no global sort, no ntile "
+    "single-reducer window.",
+    tags=("ext",),
+)
+def q_curriculum_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.classifier import quality_score
+
+    docs = read_sf_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality_prob"),
+    )
+    qs = scored.agg(
+        F.round(
+            F.expr(
+                "percentile_cont(0.25) WITHIN GROUP (ORDER BY quality_prob)"
+            ),
+            6,
+        ).alias("q1"),
+        F.round(
+            F.expr(
+                "percentile_cont(0.50) WITHIN GROUP (ORDER BY quality_prob)"
+            ),
+            6,
+        ).alias("q2"),
+        F.round(
+            F.expr(
+                "percentile_cont(0.75) WITHIN GROUP (ORDER BY quality_prob)"
+            ),
+            6,
+        ).alias("q3"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("quality_prob") > F.col("q1")).cast("int")
+        + (F.col("quality_prob") > F.col("q2")).cast("int")
+        + (F.col("quality_prob") > F.col("q3")).cast("int")
+    )
+    return (
+        scored.join(F.broadcast(qs))
+        .select("doc_id", "quality_prob", bucket.cast("int").alias("bucket"))
+    )

@@ -664,3 +664,27 @@ def test_cdc_spans_find_misaligned_repeats(spark):
         )
         # and it lies inside the planted block on both sides
         assert r.start_a >= 5 and r.start_a + r.span_len <= 5 + 44
+
+
+def test_apply_bpe_merges_counts_and_runs(spark):
+    from entity_etl_spark.ext.bpe import apply_bpe_merges
+
+    docs = spark.createDataFrame(
+        [
+            # "agg spark": agg -> a g g -> (ag) g -> (agg); spark ->
+            # s p a r k -> (sp) a r k -> (spa) r k  => 1 + 3 tokens
+            (1, "agg spark"),
+            # run semantics: "gagag" -> g a g a g -> g (ag) (ag)
+            (2, "gagag aga"),
+            # word with no merge hits stays char-segmented
+            (3, "xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [("a", "g"), ("ag", "g"), ("s", "p"), ("sp", "a")]
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+    # doc 2: gagag -> 3 tokens; aga -> (ag) a -> 2 tokens
+    assert got == {1: (2, 4), 2: (2, 5), 3: (1, 3)}
