@@ -131,3 +131,38 @@ def write_training_shards(
         .partitionBy(split_col)
         .parquet(path)
     )
+
+
+def write_parquet_with_metrics(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> dict[str, int]:
+    """Parquet write whose row/item accounting rides the WRITE JOB itself
+    (``Dataset.observe``): the counts are collected by accumulators
+    during the one pass that writes the files — no second count() action,
+    no cache. This is the audit-friendly sink shape at 100 TB, where
+    re-scanning the output (or caching the input) just to count rows is
+    a full extra pass over the data.
+
+    Returns ``{"rows": ..., "null_free_rows": ...}`` — null_free counts
+    rows with no NULL in any column (a cheap completeness audit that
+    costs nothing extra on the same pass).
+    """
+    from pyspark.sql import Observation
+
+    from functools import reduce
+
+    any_null = reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in df.columns]
+    )
+    null_free = F.count(F.when(~any_null, 1))
+    obs = Observation("write_metrics")
+    df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        null_free.alias("null_free_rows"),
+    ).write.mode(mode).parquet(path)
+    got = obs.get
+    return {
+        "rows": int(got["rows"]),
+        "null_free_rows": int(got["null_free_rows"]),
+    }

@@ -256,3 +256,39 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """Join-strategy hints are the manual override when stats mislead the
+    planner at scale: SHUFFLE_HASH avoids the sort of SMJ for a
+    medium-sized build side; MERGE forces the spill-safe sort-merge;
+    BROADCAST pins the replicate-small-side plan regardless of the
+    autoBroadcast threshold."""
+    import pyspark.sql.functions as SF
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # disable auto-broadcast so the hint is what decides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 50_000).select(
+            SF.col("id").alias("k"), SF.lit("l").alias("lv"))
+        right = spark.range(0, 5_000).select(
+            SF.col("id").alias("k"), SF.lit("r").alias("rv"))
+
+        p_default = plan_of(left.join(right, "k"))
+        assert "SortMergeJoin" in p_default, p_default[:2000]
+
+        p_sh = plan_of(left.join(right.hint("shuffle_hash"), "k"))
+        assert "ShuffledHashJoin" in p_sh, p_sh[:2000]
+
+        p_bc = plan_of(left.join(right.hint("broadcast"), "k"))
+        assert "BroadcastHashJoin" in p_bc, p_bc[:2000]
+
+        p_mg = plan_of(
+            left.join(right.hint("shuffle_hash").hint("merge"), "k"))
+        assert "SortMergeJoin" in p_mg, p_mg[:2000]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

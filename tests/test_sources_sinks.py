@@ -160,3 +160,15 @@ def test_write_training_shards_layout(spark, tmp_path):
     whole = spark.read.parquet(out)
     assert whole.count() == 3000
     assert whole.select("doc_id").distinct().count() == 3000
+
+
+def test_write_parquet_with_metrics_single_job(spark, tmp_path):
+    from entity_etl_spark.sinks import write_parquet_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, s string"
+    )
+    out = str(tmp_path / "obs_out")
+    got = write_parquet_with_metrics(df, out)
+    assert got == {"rows": 3, "null_free_rows": 2}
+    assert spark.read.parquet(out).count() == 3

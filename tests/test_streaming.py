@@ -312,3 +312,27 @@ def test_run_streaming_neardup_prep_drops_paraphrased_resend(spark, tmp_path):
     run()
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 11}  # 10 suppressed by SIGNATURE state, not bytes
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the built-in twin of the
+    applyInPandasWithState TTL dedup (stateful_ttl_dedup) — dedup state
+    for a key is dropped once the watermark passes its event time, so
+    state is bounded without a custom processor. A re-send INSIDE the
+    watermark window is suppressed even when its timestamp differs (the
+    semantic dropDuplicates([...]) alone cannot express)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # same id twice with different ts inside the window + a distinct id
+    write_batch(spark, src, [(1, 11, 0), (1, 11, 2), (2, 12, 1)], 1)
+    collected = []
+    stream = stream_source(spark, f"{src}/f*", SCHEMA)
+    out = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["id"]
+    )
+    run_available_now(
+        out, ckpt, lambda df, _bid: collected.extend(df.collect())
+    )
+    assert sorted(r["id"] for r in collected) == [1, 2]
+    # the duplicate kept is the FIRST-arriving row per key
+    assert {r["id"]: r["x"] for r in collected} == {1: 11, 2: 12}
