@@ -7707,3 +7707,112 @@ def q_curriculum_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
         scored.join(F.broadcast(qs))
         .select("doc_id", "quality_prob", bucket.cast("int").alias("bucket"))
     )
+
+
+@register(
+    "linear_regression_funcs",
+    """
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Per-group OLS via the SQL-standard regr_* aggregate family "
+    "(slope/intercept/R^2 of price on quantity) — the closed-form "
+    "sufficient-statistics path: one partial+final hash aggregation, no "
+    "iteration, no driver math. The distributed-ML gateway drug: any "
+    "single-feature trend fit at 100 TB is this one scan.",
+    tags=("functions",),
+)
+def q_linear_regression_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"regr_count({y}, {x})").cast("bigint").alias("n"),
+        F.round(F.expr(f"regr_slope({y}, {x})"), 4).alias("slope"),
+        F.round(F.expr(f"regr_intercept({y}, {x})"), 2).alias("intercept"),
+        F.round(F.expr(f"regr_r2({y}, {x})"), 6).alias("r2"),
+        F.round(F.expr(f"regr_avgx({y}, {x})"), 4).alias("avg_x"),
+        F.round(F.expr(f"regr_avgy({y}, {x})"), 2).alias("avg_y"),
+    )
+
+
+@register(
+    "ab_test_welch",
+    """
+    -- Welch's unequal-variance t statistic from per-arm sufficient
+    -- statistics (mean/var/count) — identical closed form both engines.
+    WITH arms AS (
+      SELECT event_type,
+             count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY event_type
+    ),
+    ab AS (
+      SELECT
+        (SELECT n FROM arms WHERE event_type = 'click') AS n_a,
+        (SELECT m FROM arms WHERE event_type = 'click') AS m_a,
+        (SELECT v FROM arms WHERE event_type = 'click') AS v_a,
+        (SELECT n FROM arms WHERE event_type = 'purchase') AS n_b,
+        (SELECT m FROM arms WHERE event_type = 'purchase') AS m_b,
+        (SELECT v FROM arms WHERE event_type = 'purchase') AS v_b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(m_a - m_b, 6) AS mean_diff,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2) /
+                 (pow(v_a / n_a, 2) / (n_a - 1)
+                  + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS dof_welch
+    FROM ab
+    """,
+    doc="A/B experiment readout: Welch's unequal-variance t statistic + "
+    "Welch-Satterthwaite degrees of freedom between two event-type arms. "
+    "Scale shape: ONE grouped aggregation reduces each arm to 3 "
+    "sufficient statistics; the test itself is scalar arithmetic on a "
+    "2-row broadcast — the experimentation-platform query at any corpus "
+    "size.",
+    tags=("ext",),
+)
+def q_ab_test_welch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    arms = (
+        ev.filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a = arms.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = arms.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return a.join(b).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("dof_welch"),
+    )
