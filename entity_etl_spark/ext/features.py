@@ -65,3 +65,62 @@ def standardize(
         )
         .drop("__stats")
     )
+
+
+def vector_norms_arrow(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-vector L2 norms through ``mapInArrow`` — the LOWEST-overhead
+    Python boundary Spark offers: RecordBatches cross as raw Arrow (no
+    pandas object materialization, unlike mapInPandas), and the list
+    column's values buffer is reshaped zero-copy into an (n, dim) numpy
+    matrix for one vectorized BLAS reduction per batch.
+
+    The JVM higher-order-function form (ext/similarity.norm) is still
+    the default — this is the seam to reach for when per-vector math
+    outgrows SQL expressions (the oracle pins both forms equal). Math is
+    float64 (cast up from the stored float32) to match the DuckDB
+    DOUBLE[] oracle digit-for-digit after rounding.
+    """
+    import pyarrow as pa
+
+    out_schema = f"{id_col} long, norm double"
+
+    def batches(it):
+        import math
+
+        import numpy as np
+
+        for batch in it:
+            ids = batch.column(id_col)
+            vecs = batch.column(vec_col)
+            if isinstance(vecs, pa.ChunkedArray):  # pragma: no cover
+                vecs = vecs.combine_chunks()
+            offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offsets)
+            vals = vecs.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+                # uniform dim: zero-copy reshape + one vectorized reduction
+                norms = np.sqrt(
+                    (vals[offsets[0]: offsets[-1]]
+                     .reshape(-1, lens[0]) ** 2).sum(axis=1)
+                )
+            else:  # ragged fallback: per-slice reduction
+                norms = np.array(
+                    [
+                        math.sqrt(float((vals[s:e] ** 2).sum()))
+                        for s, e in zip(offsets[:-1], offsets[1:])
+                    ]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(norms, round_to), pa.float64())],
+                names=[id_col, "norm"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(batches, out_schema)

@@ -7816,3 +7816,27 @@ def q_ab_test_welch(spark: SparkSession, sf: str) -> DataFrame:
             2,
         ).alias("dof_welch"),
     )
+
+
+@register(
+    "vector_norms_arrow",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS norm
+    FROM embeddings
+    """,
+    doc="E3 mapInArrow seam (ext/features.vector_norms_arrow): per-vector "
+    "L2 norm where RecordBatches cross the Python boundary as RAW ARROW "
+    "(no pandas object step) and the list values buffer reshapes "
+    "zero-copy into one (n, dim) numpy reduction per batch — the "
+    "lowest-overhead escape hatch when vector math outgrows SQL "
+    "expressions. Oracle is the JVM higher-order form; both compute in "
+    "float64.",
+    tags=("ext",),
+)
+def q_vector_norms_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.features import vector_norms_arrow
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return vector_norms_arrow(emb)
