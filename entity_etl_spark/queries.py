@@ -7840,3 +7840,131 @@ def q_vector_norms_arrow(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = read_sf_table(spark, sf, "embeddings")
     return vector_norms_arrow(emb)
+
+
+@register(
+    "incremental_agg_retractions",
+    f"""
+    -- oracle = full recompute over (base MINUS deletes) UNION inserts;
+    -- the Spark side never rescans base, it adjusts the aggregate state.
+    WITH base AS (
+      SELECT * FROM events WHERE ts <= TIMESTAMP '{CUTOFF}'
+    ),
+    inserts AS (
+      SELECT * FROM events WHERE ts > TIMESTAMP '{CUTOFF}'
+    ),
+    deletes AS (SELECT * FROM base WHERE event_id % 20 = 0),
+    current_rows AS (
+      SELECT * FROM base WHERE event_id % 20 <> 0
+      UNION ALL SELECT * FROM inserts
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM current_rows GROUP BY event_type
+    """,
+    doc="Retraction-aware incremental aggregate maintenance (the "
+    "materialized-view DELTA pattern): the standing per-type (count, "
+    "sum) state absorbs a CDC batch of inserts AND deletes by sign — "
+    "deletes contribute (-1, -value) — in ONE aggregation over the "
+    "(small) change batch merged with the (grouped, tiny) state; the "
+    "100 TB base table is never rescanned. Groups whose count reaches "
+    "zero drop out. Oracle recomputes from scratch.",
+    tags=("ext",),
+)
+def q_incremental_agg_retractions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp_ntz")
+    base = ev.filter(F.col("ts") <= cutoff)
+    # standing aggregate state (normally persisted; derived here)
+    state = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )
+    # CDC batch: inserts after the cutoff, deletes of some base rows
+    inserts = ev.filter(F.col("ts") > cutoff).select(
+        "event_type", F.lit(1).alias("sgn"), F.col("value")
+    )
+    deletes = base.filter(F.col("event_id") % 20 == 0).select(
+        "event_type", F.lit(-1).alias("sgn"), F.col("value")
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("event_type")
+        .agg(
+            F.sum("sgn").alias("dn"),
+            F.sum(F.col("sgn") * F.col("value")).alias("dsum"),
+        )
+    )
+    merged = (
+        state.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n"
+            ),
+            (
+                F.coalesce("sum_value", F.lit(0.0))
+                + F.coalesce("dsum", F.lit(0.0))
+            ).alias("sum_value"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@register(
+    "per_source_quota",
+    r"""
+    -- same pinned classifier score as quality_classifier_gate
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(1.0 / (1.0 + exp(-(CASE WHEN len(ws) > 0
+                 THEN list_sum(ws) / len(ws) ELSE 0.0 END))), 6)
+               AS quality_prob
+      FROM (
+        SELECT doc_id, source,
+               list_transform(
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             t -> t <> ''),
+                 t -> ((((CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                          % 64) * 37 + 11) % 64) - 32) / 64.0
+               ) AS ws
+        FROM documents)
+    )
+    SELECT doc_id, source, quality_prob
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY quality_prob DESC, doc_id)
+                      AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+    doc="Per-source quota capping (the anti-domination step of pretraining "
+    "mixtures: no domain may exceed K docs, best-quality first): rank by "
+    "the pinned classifier score within each source, keep the top 10. "
+    "Scale shape: Spark compiles the rank<=K filter to WindowGroupLimit "
+    "— each source's candidate set truncates to K map-side BEFORE the "
+    "exchange/sort materializes the full group, so a 10-billion-doc "
+    "domain costs K rows of window state, not |domain|.",
+    tags=("ext",),
+)
+def q_per_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.classifier import quality_score
+
+    docs = read_sf_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality_prob"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_prob"), "doc_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
