@@ -45,15 +45,25 @@ def prepare_training_data(
     classifier_threshold: float | None = None,
     val_fraction: float = 0.1,
     test_fraction: float = 0.1,
+    per_source_cap: int | None = None,
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
-    """Clean → gate → dedup → split. Returns the kept rows with the cleaned
-    text, quality features, and a ``split`` column.
+    """Clean → gate → dedup → [cap] → split → [shuffle]. Returns the kept
+    rows with the cleaned text, quality features, and a ``split`` column.
 
     ``classifier_threshold`` adds the third public quality gate (the
     DCLM/fastText-pattern linear classifier, ext/classifier.py) on top of
     the heuristic features and the perplexity-style score: docs below
     P(high quality) = threshold drop. Still one map-only predicate in the
-    same scan — no extra pass."""
+    same scan — no extra pass.
+
+    ``per_source_cap`` bounds any one source/domain to its top-K docs by
+    quality_score (the anti-domination mixture step) — a rank<=K window
+    Spark truncates map-side via WindowGroupLimit.
+
+    ``shuffle_seed`` appends a ``shuffle_rank`` column — the reproducible
+    global training permutation (operators.distributed_shuffle_rank; no
+    single-reducer global sort)."""
     cleaned = docs.withColumn(text_col, clean_text(text_col))
     gated = quality_features(cleaned, text_col).filter(
         (F.col("n_tokens") >= min_tokens)
@@ -72,12 +82,28 @@ def prepare_training_data(
     deduped = gated.join(
         winners.select("__id"), gated[id_col] == winners["__id"], "left_semi"
     )
-    return grouped_split(
+    if per_source_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("quality_score"), id_col
+        )
+        deduped = (
+            deduped.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= per_source_cap)
+            .drop("__rk")
+        )
+    out = grouped_split(
         deduped,
         group_col,
         val_fraction=val_fraction,
         test_fraction=test_fraction,
     )
+    if shuffle_seed is not None:
+        from ..operators import distributed_shuffle_rank
+
+        out = distributed_shuffle_rank(out, id_col, seed=shuffle_seed)
+    return out
 
 
 def run_streaming_prep(

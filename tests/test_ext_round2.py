@@ -688,3 +688,32 @@ def test_apply_bpe_merges_counts_and_runs(spark):
     }
     # doc 2: gagag -> 3 tokens; aga -> (ag) a -> 2 tokens
     assert got == {1: (2, 4), 2: (2, 5), 3: (1, 3)}
+
+
+def test_prepare_training_data_cap_and_shuffle(spark):
+    from entity_etl_spark.ext.prep import prepare_training_data
+
+    base = ("the quick brown fox jumps over the lazy dog and it "
+            "is a fine day in the park of wonders to see it all ")
+    rows = [
+        (i, base + f"tail variant {i} " * 3, f"src_{i % 2}")
+        for i in range(1, 9)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = prepare_training_data(
+        docs,
+        min_tokens=10,
+        min_quality=0.0,
+        per_source_cap=2,
+        shuffle_seed="ep0",
+    )
+    got = out.collect()
+    # cap: at most 2 docs per source survive
+    per_src = {}
+    for r in got:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert all(v <= 2 for v in per_src.values()) and len(got) == 4
+    # shuffle_rank is a permutation of 1..n
+    assert sorted(r.shuffle_rank for r in got) == [1, 2, 3, 4]

@@ -336,3 +336,34 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert sorted(r["id"] for r in collected) == [1, 2]
     # the duplicate kept is the FIRST-arriving row per key
     assert {r["id"]: r["x"] for r in collected} == {1: 11, 2: 12}
+
+
+def test_stateful_dedup_under_rocksdb_state_store(spark, tmp_path):
+    """The same changed-row suppression drains correctly under the
+    RocksDB state store provider — the 100 TB state backend (state
+    spills to disk instead of living in executor heap; changelog
+    checkpointing). No extra deps: RocksDB ships in Spark core."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        xform = lambda s: changed_rows_stream(s, SPEC, "10 minutes")
+        write_batch(spark, src, [(1, 11, 0), (2, 12, 1)], 1)
+        got1 = drain(spark, src, ckpt, xform)
+        assert sorted(r["id"] for r in got1) == [1, 2]
+        # re-send of 1 unchanged (suppressed by RocksDB-held state),
+        # 2 changed, 3 new
+        write_batch(spark, src, [(1, 11, 3), (2, 24, 4), (3, 13, 5)], 2)
+        got2 = drain(spark, src, ckpt, xform)
+        assert sorted(r["id"] for r in got2) == [2, 3]
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
