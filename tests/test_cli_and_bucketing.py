@@ -65,3 +65,28 @@ def test_bucketed_state_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS bucketed_state_test")
+
+
+def test_parameterized_sql_named_args(spark):
+    """Spark 4 parameterized SQL: named placeholders bind server-side
+    (no string interpolation — the injection-safe templating the
+    reference's config layer would map onto)."""
+    df = spark.sql(
+        "SELECT :lo AS lo, id FROM range(10) WHERE id BETWEEN :lo AND :hi",
+        args={"lo": 2, "hi": 4},
+    )
+    assert [r.id for r in df.orderBy("id").collect()] == [2, 3, 4]
+
+
+def test_parameterized_sql_identifier_clause(spark):
+    """IDENTIFIER(:name) parameterizes table/column NAMES safely —
+    the dynamic-table-list pattern (reference: CLI table args)."""
+    spark.range(5).createOrReplaceTempView("param_t")
+    try:
+        df = spark.sql(
+            "SELECT count(*) AS n FROM IDENTIFIER(:t)",
+            args={"t": "param_t"},
+        )
+        assert df.first().n == 5
+    finally:
+        spark.catalog.dropTempView("param_t")

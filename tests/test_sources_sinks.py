@@ -172,3 +172,23 @@ def test_write_parquet_with_metrics_single_job(spark, tmp_path):
     got = write_parquet_with_metrics(df, out)
     assert got == {"rows": 3, "null_free_rows": 2}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from entity_etl_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 8 tiny files from 8 incremental writes
+    for i in range(8):
+        spark.range(i * 10, (i + 1) * 10).write.mode(
+            "append"
+        ).parquet(path)
+    before = spark.read.parquet(path)
+    assert before.count() == 80
+    got = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert got["files_before"] >= 8
+    assert got["files_after"] == 1
+    assert got["rows"] == 80
+    after = spark.read.parquet(path)
+    assert after.count() == 80
+    assert sorted(r.id for r in after.collect()) == list(range(80))
