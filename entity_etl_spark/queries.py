@@ -7968,3 +7968,164 @@ def q_per_source_quota(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@register(
+    "boilerplate_segment_removal",
+    r"""
+    -- 10-word segments stand in for lines (the corpus has no newlines);
+    -- semantics are the MassiveText/CCNet line-dedup pair: first
+    -- occurrence wins WITHIN a doc, segments seen in > 20% of a
+    -- source's docs are boilerplate and drop everywhere.
+    WITH segs AS (
+      SELECT doc_id, source, CAST(t.i AS BIGINT) AS pos,
+             array_to_string(w[t.i * 10 + 1 : t.i * 10 + 10], ' ') AS seg
+      FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\s+'), x -> x <> '')
+                     AS w
+            FROM documents),
+           UNNEST(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    intra AS (
+      SELECT doc_id, source, seg, min(pos) AS pos
+      FROM segs GROUP BY doc_id, source, seg
+    ),
+    src_docs AS (
+      SELECT source, count(DISTINCT doc_id) AS nd FROM segs GROUP BY source
+    ),
+    seg_df AS (
+      SELECT source, seg, count(*) AS df FROM intra GROUP BY source, seg
+    ),
+    kept AS (
+      SELECT i.* FROM intra i
+      JOIN seg_df d ON d.source = i.source AND d.seg = i.seg
+      JOIN src_docs n ON n.source = i.source
+      WHERE d.df <= 0.2 * n.nd
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             count(*) AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY pos)) AS text_md5
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_seg AS BIGINT) AS n_seg,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           r.text_md5
+    FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+    """,
+    doc="Line-level dedup + boilerplate removal (the MassiveText/CCNet "
+    "preprocessing pair, over 10-word segments since the corpus has no "
+    "newlines): within-doc first-occurrence dedup, then segments "
+    "appearing in > 20% of a source's docs (headers, nav, legal "
+    "boilerplate) drop corpus-wide; docs reassemble in original segment "
+    "order (md5-pinned). Scale shape: segments are slim (doc, pos, seg) "
+    "rows; the df aggregation is map-side combined per (source, seg); "
+    "the boilerplate table joins back keyed — no doc ever compares to "
+    "another doc directly.",
+    tags=("ext",),
+)
+def q_boilerplate_segment_removal(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    w = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
+    segs = (
+        docs.select("doc_id", "source", w.alias("w"))
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("w"), i * 10 + 1, 10), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+        .select("doc_id", "source", F.col("pos").cast("bigint").alias("pos"), "seg")
+    )
+    intra = segs.groupBy("doc_id", "source", "seg").agg(
+        F.min("pos").alias("pos")
+    )
+    src_docs = segs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    seg_df = intra.groupBy("source", "seg").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        intra.join(seg_df, ["source", "seg"])
+        .join(F.broadcast(src_docs), "source")
+        .filter(F.col("df") <= 0.2 * F.col("nd"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("text_md5"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seg"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_seg").cast("bigint").alias("n_seg"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        "text_md5",
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+      WHERE value IS NOT NULL
+    )
+    -- DuckDB has no width_bucket; the SQL-standard closed form
+    SELECT CAST(CASE WHEN value < lo THEN 0
+                     WHEN value >= hi THEN 21
+                     ELSE 1 + floor((value - lo) * 20 / (hi - lo)) END
+                AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo_val,
+           round(max(value), 6) AS hi_val
+    FROM events, bounds
+    WHERE value IS NOT NULL
+    GROUP BY bucket
+    """,
+    doc="Equi-width histogram via the SQL-standard width_bucket: one "
+    "stats pass for (min, max) broadcast as scalars, one "
+    "map-side-combined count per bucket — the numeric-profiling query "
+    "(data-quality dashboards, drift detection) at any scale. The "
+    "max value lands in the overflow bucket n+1 per the standard.",
+    tags=("functions",),
+)
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .groupBy(
+            F.expr("width_bucket(value, lo, hi, 20)")
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("value"), 6).alias("lo_val"),
+            F.round(F.max("value"), 6).alias("hi_val"),
+        )
+    )
