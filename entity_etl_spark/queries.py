@@ -8129,3 +8129,57 @@ def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi_val"),
         )
     )
+
+
+@register(
+    "decimal_arithmetic_funcs",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR)
+             AS sum_price_dec,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(1 - l_discount AS DECIMAL(18, 6)))
+                AS DECIMAL(38, 8)) :: VARCHAR AS disc_price_dec,
+           CAST(avg(CAST(l_quantity AS DECIMAL(12, 2))) :: DECIMAL(16, 6)
+                AS VARCHAR) AS avg_qty_dec,
+           CAST(round(CAST(l_tax AS DECIMAL(8, 4)), 2) AS VARCHAR) AS tax_r
+    FROM lineitem
+    GROUP BY l_returnflag, round(CAST(l_tax AS DECIMAL(8, 4)), 2)
+    """,
+    doc="Exact DECIMAL arithmetic semantics — the money-math surface "
+    "(doubles drift under reordered 100 TB partial sums; decimals are "
+    "exact and associative, so the distributed aggregation is "
+    "bit-reproducible regardless of partitioning). Exercises precision/"
+    "scale propagation through sum, multiply (scale adds), avg (scale "
+    "widens), and round; results rendered as strings so the value hash "
+    "compares exact digits, not float re-parses.",
+    tags=("functions",),
+)
+def q_decimal_arithmetic_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)")
+    return (
+        li.groupBy(
+            "l_returnflag",
+            F.round(F.col("l_tax").cast("decimal(8,4)"), 2).alias("__taxr"),
+        )
+        .agg(
+            F.sum(price_dec).cast("string").alias("sum_price_dec"),
+            F.sum(price_dec * disc_dec)
+            .cast("decimal(38,8)")
+            .cast("string")
+            .alias("disc_price_dec"),
+            F.avg(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(16,6)")
+            .cast("string")
+            .alias("avg_qty_dec"),
+        )
+        .select(
+            "l_returnflag",
+            "sum_price_dec",
+            "disc_price_dec",
+            "avg_qty_dec",
+            F.col("__taxr").cast("string").alias("tax_r"),
+        )
+    )
