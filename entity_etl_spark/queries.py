@@ -8183,3 +8183,84 @@ def q_decimal_arithmetic_funcs(spark: SparkSession, sf: str) -> DataFrame:
             F.col("__taxr").cast("string").alias("tax_r"),
         )
     )
+
+
+@register(
+    "data_quality_checks",
+    """
+    SELECT
+      CAST((SELECT count(*) FROM events
+            WHERE event_id IS NULL OR user_id IS NULL) AS BIGINT)
+        AS ev_null_keys,
+      CAST((SELECT count(*) FROM events
+            WHERE event_type NOT IN
+              ('click', 'view', 'purchase', 'signup', 'refund'))
+           AS BIGINT) AS ev_bad_type,
+      CAST((SELECT count(*) FROM orders
+            WHERE o_totalprice < 0 OR o_totalprice > 1e9) AS BIGINT)
+        AS ord_price_range,
+      CAST((SELECT coalesce(sum(n - 1), 0) FROM
+              (SELECT count(*) AS n FROM events GROUP BY event_id))
+           AS BIGINT) AS ev_dup_ids,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS ord_orphans,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS li_orphans
+    """,
+    doc="Declarative data-quality audit (ext/expectations.py — the "
+    "dbt-test/Deequ pattern): NOT NULL + accepted-values + range checks "
+    "fuse into ONE aggregate pass per table (analyzer-batch shape, not "
+    "one job per rule); key uniqueness is a grouped surplus count "
+    "(map-side combined); referential integrity is a counted left-anti "
+    "join per FK edge (parent broadcast at dimension size). The whole "
+    "audit ships 6 integers to the driver.",
+    tags=("ext",),
+)
+def q_data_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext import expectations as X
+
+    ev = read_sf_table(spark, sf, "events")
+    orders = read_sf_table(spark, sf, "orders")
+    li = read_sf_table(spark, sf, "lineitem")
+    cust = read_sf_table(spark, sf, "customer")
+    ev_checks = X.run_checks(
+        ev,
+        {
+            "ev_null_keys": X.not_null(["event_id", "user_id"]),
+            "ev_bad_type": X.accepted_values(
+                "event_type",
+                ["click", "view", "purchase", "signup", "refund"],
+            ),
+        },
+    )
+    ord_checks = X.run_checks(
+        orders,
+        {"ord_price_range": X.in_range("o_totalprice", 0, 1e9)},
+    )
+    dup = X.unique_violations(ev, ["event_id"]).withColumnRenamed(
+        "surplus_rows", "ev_dup_ids"
+    )
+    ord_orphans = X.fk_violations(
+        orders, "o_custkey", cust, "c_custkey"
+    ).withColumnRenamed("orphan_rows", "ord_orphans")
+    li_orphans = X.fk_violations(
+        li, "l_orderkey", orders, "o_orderkey"
+    ).withColumnRenamed("orphan_rows", "li_orphans")
+    return (
+        ev_checks.join(ord_checks)
+        .join(dup)
+        .join(ord_orphans)
+        .join(li_orphans)
+        .select(
+            "ev_null_keys",
+            "ev_bad_type",
+            "ord_price_range",
+            "ev_dup_ids",
+            "ord_orphans",
+            "li_orphans",
+        )
+    )

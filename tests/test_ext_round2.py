@@ -717,3 +717,28 @@ def test_prepare_training_data_cap_and_shuffle(spark):
     assert all(v <= 2 for v in per_src.values()) and len(got) == 4
     # shuffle_rank is a permutation of 1..n
     assert sorted(r.shuffle_rank for r in got) == [1, 2, 3, 4]
+
+
+def test_expectations_detect_violations(spark):
+    from entity_etl_spark.ext import expectations as X
+
+    child = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "a", 5.0), (2, None, -1.0), (3, "zz", 120.0)],
+        "k long, cat string, v double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    one = X.run_checks(
+        child,
+        {
+            "nulls": X.not_null(["k", "cat"]),
+            "bad_cat": X.accepted_values("cat", ["a", "b"]),
+            "oor": X.in_range("v", 0.0, 100.0),
+        },
+    ).first()
+    # NULL cat row; 'zz' outside set (NULL is not counted as bad value —
+    # isin(NULL) is NULL, the not-null check owns it); -1 and 120 out of range
+    assert (one["nulls"], one["bad_cat"], one["oor"]) == (1, 1, 2)
+    assert X.unique_violations(child, ["k"]).first()["surplus_rows"] == 1
+    assert (
+        X.fk_violations(child, "k", parent, "pk").first()["orphan_rows"] == 1
+    )
