@@ -7346,7 +7346,7 @@ _BM25_B = 0.75
     "on the ROUNDED score with doc_id tie-break (deterministic across "
     "engines — ranking on raw doubles would flip on last-ulp sum-order "
     "wobble).",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
@@ -7537,7 +7537,7 @@ _BPE_MERGES = (("a", "g"), ("ag", "g"), ("s", "p"), ("sp", "a"))
     "vocabulary only; per-word token counts equi-join back to the slim "
     "(doc, word) stream — at 100 TB the fold is |vocab|-sized, the "
     "corpus pays one explode + one map-side-combined agg.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.bpe import apply_bpe_merges
@@ -7600,14 +7600,22 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     "left-anti join, map-side after the slim group table broadcast. "
     "Oracle extends the neardup_groups recursive-CTE closure with the "
     "same per-group argmax.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_neardup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
-    from .ext.dedup import jaccard_pairs
+    from .ext.dedup import minhash_near_dups
     from .ext.graph import near_dup_groups
 
     docs = read_sf_table(spark, sf, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    # the 100 TB pair path: LSH-bucketed candidates, exact-verified at
+    # threshold 0.5 — same pair set as all-pairs jaccard_pairs here
+    # (the minhash_near_dups oracle pins 100% recall at this config; the
+    # word-soup corpus' high-df shingles make the exact self-join
+    # quadratic, which bench2 exposed at 10 s vs ~2 s for this form)
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=32, bands=8, k=3,
+        verify_threshold=0.5,
+    )
     grouped = near_dup_groups(pairs)
     d = docs.select("doc_id", "n_chars")
     g = grouped.join(d, grouped["doc"] == d["doc_id"]).select(
@@ -8024,7 +8032,7 @@ def q_per_source_quota(spark: SparkSession, sf: str) -> DataFrame:
     "rows; the df aggregation is map-side combined per (source, seg); "
     "the boilerplate table joins back keyed — no doc ever compares to "
     "another doc directly.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_boilerplate_segment_removal(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
