@@ -8272,3 +8272,58 @@ def q_data_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
             "li_orphans",
         )
     )
+
+
+@register(
+    "transpose_type_stats",
+    """
+    -- the transposed layout restated: one row per metric, one column per
+    -- event_type (pivot of a 5-row aggregate — driver-sized by design)
+    WITH s AS (
+      SELECT event_type, round(avg(value), 4) AS avg_v,
+             round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT 'avg_v' AS key,
+           max(CASE WHEN event_type = 'click' THEN avg_v END) AS click,
+           max(CASE WHEN event_type = 'purchase' THEN avg_v END) AS purchase,
+           max(CASE WHEN event_type = 'error' THEN avg_v END) AS error,
+           max(CASE WHEN event_type = 'signup' THEN avg_v END) AS signup,
+           max(CASE WHEN event_type = 'view' THEN avg_v END) AS view
+    FROM s
+    UNION ALL
+    SELECT 'max_v',
+           max(CASE WHEN event_type = 'click' THEN max_v END),
+           max(CASE WHEN event_type = 'purchase' THEN max_v END),
+           max(CASE WHEN event_type = 'error' THEN max_v END),
+           max(CASE WHEN event_type = 'signup' THEN max_v END),
+           max(CASE WHEN event_type = 'view' THEN max_v END)
+    FROM s
+    UNION ALL
+    SELECT 'min_v',
+           max(CASE WHEN event_type = 'click' THEN min_v END),
+           max(CASE WHEN event_type = 'purchase' THEN min_v END),
+           max(CASE WHEN event_type = 'error' THEN min_v END),
+           max(CASE WHEN event_type = 'signup' THEN min_v END),
+           max(CASE WHEN event_type = 'view' THEN min_v END)
+    FROM s
+    """,
+    doc="Spark 4 DataFrame.transpose over a per-type stats aggregate — "
+    "rows become columns (the metrics-dashboard layout). Correctly used "
+    "ONLY on an aggregate: transpose materializes the input to derive "
+    "the output schema, so the transposed relation must be "
+    "driver-sized; the corpus-scale work is the grouped aggregation "
+    "that precedes it. Oracle restates the pivot with conditional "
+    "aggregates.",
+    tags=("functions",),
+)
+def q_transpose_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_v"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+    )
+    return s.transpose("event_type")
