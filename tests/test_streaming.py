@@ -367,3 +367,63 @@ def test_stateful_dedup_under_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_stream_stream_left_outer_join_null_completion(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched left row is held in
+    state until the watermark passes its join window, THEN emits with
+    nulls — the semantics that make outer joins bounded-state (a row
+    can only be declared unmatched once late data is impossible)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # x=1 purchases, x=2 signups; user 1 matches, user 9 never will
+    write_batch(spark, src, [(1, 1, 5), (9, 1, 6), (1, 2, 4)], 1)
+
+    def build(stream):
+        purchases = (
+            stream.filter("x = 1")
+            .select("id", F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "5 minutes")
+        )
+        signups = (
+            stream.filter("x = 2")
+            .select(F.col("id").alias("s_id"), F.col("ts").alias("s_ts"))
+            .withWatermark("s_ts", "5 minutes")
+        )
+        return purchases.join(
+            signups,
+            (purchases.id == signups.s_id)
+            & (signups.s_ts >= purchases.p_ts - F.expr("INTERVAL 5 MINUTES"))
+            & (signups.s_ts <= purchases.p_ts + F.expr("INTERVAL 5 MINUTES")),
+            "left_outer",
+        ).select("id", "p_ts", "s_id")
+
+    collected = []
+    stream = stream_source(spark, f"{src}/f*", SCHEMA)
+    run_available_now(
+        build(stream), ckpt,
+        lambda df, _bid: collected.extend(df.collect()),
+    )
+    # inner part: user 1 matched; user 9 still pending (watermark has not
+    # passed its window yet)
+    assert {(r["id"], r["s_id"]) for r in collected} == {(1, 1)}
+
+    # advance event time far past user 9's window; the held row completes
+    # with a NULL right side. Eviction happens in the micro-batch AFTER
+    # the one whose data moved the watermark, so: one file to advance it
+    # (f2), one more batch to flush (f3) — maxFilesPerTrigger=1 keeps
+    # them separate batches.
+    # (rows on BOTH sides: the query watermark is the MIN across the two
+    # withWatermark columns, so a side that never advances pins it)
+    write_batch(spark, src, [(50, 1, 50), (60, 2, 50)], 2)
+    write_batch(spark, src, [(51, 1, 51), (61, 2, 51)], 3)
+    collected2 = []
+    stream2 = stream_source(
+        spark, f"{src}/f*", SCHEMA, max_files_per_trigger=1
+    )
+    run_available_now(
+        build(stream2), ckpt,
+        lambda df, _bid: collected2.extend(df.collect()),
+    )
+    null_completed = {r["id"] for r in collected2 if r["s_id"] is None}
+    assert 9 in null_completed
