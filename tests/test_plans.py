@@ -292,3 +292,40 @@ def test_join_strategy_hints_control_physical_plan(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """AQE's other headline re-plan: the static planner estimates a big
+    join side (no filter selectivity stats) and picks SortMergeJoin; at
+    runtime the filtered side's ACTUAL shuffle size is tiny, so AQE
+    re-plans the remaining stages into a BroadcastHashJoin. This is the
+    safety net for the 100 TB case where a selective predicate makes a
+    fact-fact join broadcastable and no one hand-tuned it."""
+    import pyspark.sql.functions as SF
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # below the unfiltered side's ~30 MB size ESTIMATE, above the
+        # filtered side's ~30 KB ACTUAL size: static SMJ, runtime BHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+        left = spark.range(0, 200_000).select(
+            SF.col("id").alias("k"),
+            SF.sha2(SF.col("id").cast("string"), 256).alias("pad"),
+        )
+        # selective filter the static planner cannot see through
+        right = spark.range(0, 200_000).select(
+            SF.col("id").alias("k"),
+            SF.sha2(SF.col("id").cast("string"), 256).alias("rpad"),
+        ).filter(SF.col("k") % 1000 == 0)
+        joined = left.join(right, "k")
+        static = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in static, static[:2000]
+        joined.collect()  # materialize: AQE finalizes the adaptive plan
+        final = plan_of(joined)
+        assert "AdaptiveSparkPlan" in final
+        assert "BroadcastHashJoin" in final, final[:3000]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
