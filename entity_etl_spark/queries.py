@@ -8327,3 +8327,64 @@ def q_transpose_type_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("value"), 4).alias("max_v"),
     )
     return s.transpose("event_type")
+
+
+@register(
+    "hourly_seasonal_anomalies",
+    f"""
+    -- hour-of-day profile per event_type -> residual z-score -> anomaly
+    -- flag; tsutil-equivalent hour extraction is just hour() (no epoch
+    -- math needed, NTZ-safe in both engines)
+    WITH hourly AS (
+      SELECT event_type, date_part('hour', ts) AS hod,
+             CAST(date_trunc('hour', ts) AS DATE) AS day,
+             sum(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, date_part('hour', ts),
+               CAST(date_trunc('hour', ts) AS DATE)
+    ),
+    profile AS (
+      SELECT event_type, hod, avg(v) AS mu, stddev_samp(v) AS sigma
+      FROM hourly GROUP BY event_type, hod
+    )
+    SELECT h.event_type, CAST(h.hod AS INT) AS hod,
+           CAST(h.day AS VARCHAR) AS day,
+           round(h.v, 4) AS v,
+           round((h.v - p.mu) / nullif(p.sigma, 0), 4) AS z,
+           coalesce(abs((h.v - p.mu) / nullif(p.sigma, 0)) > 2.5, false)
+             AS is_anomaly
+    FROM hourly h JOIN profile p
+      ON p.event_type = h.event_type AND p.hod = h.hod
+    """,
+    doc="Seasonal anomaly detection (the ops-dashboard query): per-type "
+    "hour-of-day seasonal profile (mu, sigma over daily observations of "
+    "that hour) joined back for residual z-scores; |z| > 2.5 flags. "
+    "Scale shape: the corpus reduces to (type, hour, day) partial sums "
+    "in ONE map-side-combined aggregation; the profile is |types|x24 "
+    "rows broadcast back — seasonal baselines at 100 TB cost one scan.",
+    tags=("ext",),
+)
+def q_hourly_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.to_date(F.date_trunc("hour", F.col("ts"))).alias("day"),
+    ).agg(F.sum("value").alias("v"))
+    profile = hourly.groupBy("event_type", "hod").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    z = (F.col("v") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0))
+    return (
+        hourly.join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.col("hod").cast("int").alias("hod"),
+            F.col("day").cast("string").alias("day"),
+            F.round("v", 4).alias("v"),
+            F.round(z, 4).alias("z"),
+            F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
+        )
+    )
