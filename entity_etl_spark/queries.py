@@ -8388,3 +8388,66 @@ def q_hourly_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "cusum_drift_detection",
+    """
+    -- one-sided CUSUM S_t = max(0, S_{t-1} + (x_t - mu - slack)) unrolled
+    -- to window algebra: S_t = P_t - min_{i<=t}(P_i) with P the running
+    -- sum of (x - mu - slack) — the max(0,...) recursion is exactly
+    -- "prefix sum minus its running minimum", so no recursion is needed
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             sum(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    mu AS (SELECT event_type, avg(v) AS mu FROM daily GROUP BY event_type),
+    p AS (
+      SELECT d.event_type, d.day, d.v,
+             sum(d.v - m.mu - 5.0) OVER
+               (PARTITION BY d.event_type ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS pref
+      FROM daily d JOIN mu m ON m.event_type = d.event_type
+    )
+    SELECT event_type, day, round(v, 4) AS v,
+           round(pref - min(pref) OVER
+                   (PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING), 4) AS cusum,
+           (pref - min(pref) OVER
+              (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)) > 50.0 AS drift_alarm
+    FROM p
+    """,
+    doc="CUSUM drift detection (Page's test — the data-drift monitor for "
+    "a production pipeline): one-sided CUSUM of daily value sums per "
+    "event type against the type mean with slack 5, alarm above 50. The "
+    "max(0, ...) recursion unrolls to prefix-sum minus running-min — "
+    "two frames over ONE per-type sort, no recursion, no UDF. Scale "
+    "shape: the corpus reduces to (type, day) partials map-side; the "
+    "windows run over |types| x |days| rows only.",
+    tags=("ext",),
+)
+def q_cusum_drift_detection(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("__d")
+    ).agg(F.sum("value").alias("v"))
+    mu = daily.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    w = Window.partitionBy("event_type").orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = daily.join(F.broadcast(mu), "event_type").withColumn(
+        "pref", F.sum(F.col("v") - F.col("mu") - 5.0).over(w)
+    )
+    cusum = F.col("pref") - F.min("pref").over(w)
+    return p.select(
+        "event_type",
+        F.col("__d").cast("string").alias("day"),
+        F.round("v", 4).alias("v"),
+        F.round(cusum, 4).alias("cusum"),
+        (cusum > 50.0).alias("drift_alarm"),
+    )
