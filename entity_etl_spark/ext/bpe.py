@@ -155,11 +155,18 @@ def apply_bpe_merges(
             "syms", _greedy_merge(F.col("syms"), left, right)
         )
     wtok = enc.select("w", F.size("syms").alias("w_tokens"))
-    return (
+    counts = (
         wf.join(wtok, "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
             F.sum("w_tokens").cast("bigint").alias("n_tokens"),
         )
+    )
+    # per-DOCUMENT accounting: docs with no alphabetic words report
+    # (0, 0) instead of silently vanishing from the result
+    return docs.select(id_col).join(counts, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
     )

@@ -465,7 +465,11 @@ def distributed_shuffle_rank(
     2. row_number WITHIN each bucket ordered by (full hash hex, key) —
        a balanced hash exchange, each reducer sorts only its slice;
     3. per-bucket counts (``n_buckets`` rows) prefix-sum on a
-       driver-sized window, broadcast back, added map-side.
+       driver-sized window, broadcast back, added map-side. The keyed
+       input is localCheckpoint-materialized once: the ranked-rows and
+       bucket-count branches cannot share an exchange (column pruning
+       differentiates their subtrees), so without it the full upstream
+       lineage would execute twice.
 
     Fixed-width lowercase hex compares lexicographically exactly as its
     numeric value, so bucket-range order (numeric prefix) agrees with the
@@ -479,6 +483,12 @@ def distributed_shuffle_rank(
     keyed = df.withColumn("__h", h).withColumn(
         "__bkt", (hnum / F.lit(domain / n_buckets)).cast("int")
     )
+    # ranked rows and per-bucket counts are TWO consumers of `keyed`, and
+    # column pruning gives each branch its own exchange subtree (no
+    # ReusedExchange) — so materialize `keyed` once; without this the
+    # full input lineage (e.g. a whole prep pipeline) executes twice.
+    # Same pattern and rationale as the MinHash signature checkpoint.
+    keyed = keyed.localCheckpoint(eager=False)
     w_in = Window.partitionBy("__bkt").orderBy("__h", key_col)
     local = keyed.withColumn("__local", F.row_number().over(w_in))
     w_off = Window.orderBy("__bkt").rowsBetween(

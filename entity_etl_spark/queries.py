@@ -7523,12 +7523,18 @@ _BPE_MERGES = (("a", "g"), ("ag", "g"), ("s", "p"), ("sp", "a"))
              WHEN x = 'a' AND (acc = 'sp' OR right(acc, 3) = ' sp')
              THEN left(acc, length(acc) - 2) || 'spa'
              ELSE acc || ' ' || x END), ' ') AS syms FROM s3),
-    wtok AS (SELECT w, len(syms) AS w_tokens FROM s4)
-    SELECT wf.doc_id,
-           CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(w_tokens) AS BIGINT) AS n_tokens
-    FROM wf JOIN wtok USING (w)
-    GROUP BY wf.doc_id
+    wtok AS (SELECT w, len(syms) AS w_tokens FROM s4),
+    counts AS (
+      SELECT wf.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(w_tokens) AS BIGINT) AS n_tokens
+      FROM wf JOIN wtok USING (w)
+      GROUP BY wf.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id
     """,
     doc="E4 tokenizer APPLICATION (ext/bpe.apply_bpe_merges — the encode "
     "side of bpe_learn_merges): segment every word by a 4-entry merge "
@@ -8042,6 +8048,9 @@ def q_boilerplate_segment_removal(spark: SparkSession, sf: str) -> DataFrame:
     nseg = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
     segs = (
         docs.select("doc_id", "source", w.alias("w"))
+        # zero-token docs have no segments (F.sequence(0, -1) would emit a
+        # DESCENDING [0, -1] — phantom segments the oracle's range() lacks)
+        .filter(F.size("w") > 0)
         .select(
             "doc_id",
             "source",
@@ -8351,8 +8360,8 @@ def q_transpose_type_stats(spark: SparkSession, sf: str) -> DataFrame:
            CAST(h.day AS VARCHAR) AS day,
            round(h.v, 4) AS v,
            round((h.v - p.mu) / nullif(p.sigma, 0), 4) AS z,
-           coalesce(abs((h.v - p.mu) / nullif(p.sigma, 0)) > 2.5, false)
-             AS is_anomaly
+           coalesce(abs(round((h.v - p.mu) / nullif(p.sigma, 0), 4)) > 2.5,
+                    false) AS is_anomaly
     FROM hourly h JOIN profile p
       ON p.event_type = h.event_type AND p.hod = h.hod
     """,
@@ -8385,7 +8394,10 @@ def q_hourly_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
             F.col("day").cast("string").alias("day"),
             F.round("v", 4).alias("v"),
             F.round(z, 4).alias("z"),
-            F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
+            # flag on the ROUNDED z so the boolean is engine-stable
+            F.coalesce(F.abs(F.round(z, 4)) > 2.5, F.lit(False)).alias(
+                "is_anomaly"
+            ),
         )
     )
 
@@ -8394,9 +8406,11 @@ def q_hourly_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     "cusum_drift_detection",
     """
     -- one-sided CUSUM S_t = max(0, S_{t-1} + (x_t - mu - slack)) unrolled
-    -- to window algebra: S_t = P_t - min_{i<=t}(P_i) with P the running
-    -- sum of (x - mu - slack) — the max(0,...) recursion is exactly
-    -- "prefix sum minus its running minimum", so no recursion is needed
+    -- to window algebra: S_t = P_t - min(0, min_{i<=t} P_i) with P the
+    -- running sum of (x - mu - slack) — the max(0,...) recursion is
+    -- exactly "prefix sum minus its running minimum INCLUDING the empty
+    -- prefix P_0 = 0" (without the least(...,0) a series whose first
+    -- deviations are positive would be under-reported)
     WITH daily AS (
       SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
              sum(value) AS v
@@ -8412,12 +8426,13 @@ def q_hourly_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
       FROM daily d JOIN mu m ON m.event_type = d.event_type
     )
     SELECT event_type, day, round(v, 4) AS v,
-           round(pref - min(pref) OVER
+           round(pref - least(min(pref) OVER
                    (PARTITION BY event_type ORDER BY day
-                    ROWS UNBOUNDED PRECEDING), 4) AS cusum,
-           (pref - min(pref) OVER
-              (PARTITION BY event_type ORDER BY day
-               ROWS UNBOUNDED PRECEDING)) > 50.0 AS drift_alarm
+                    ROWS UNBOUNDED PRECEDING), 0.0), 4) AS cusum,
+           round(pref - least(min(pref) OVER
+                   (PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING), 0.0), 4) > 50.0
+             AS drift_alarm
     FROM p
     """,
     doc="CUSUM drift detection (Page's test — the data-drift monitor for "
@@ -8443,11 +8458,12 @@ def q_cusum_drift_detection(spark: SparkSession, sf: str) -> DataFrame:
     p = daily.join(F.broadcast(mu), "event_type").withColumn(
         "pref", F.sum(F.col("v") - F.col("mu") - 5.0).over(w)
     )
-    cusum = F.col("pref") - F.min("pref").over(w)
+    cusum = F.col("pref") - F.least(F.min("pref").over(w), F.lit(0.0))
     return p.select(
         "event_type",
         F.col("__d").cast("string").alias("day"),
         F.round("v", 4).alias("v"),
         F.round(cusum, 4).alias("cusum"),
-        (cusum > 50.0).alias("drift_alarm"),
+        # alarm on the ROUNDED value so the boolean is engine-stable
+        (F.round(cusum, 4) > 50.0).alias("drift_alarm"),
     )

@@ -149,22 +149,18 @@ def write_parquet_with_metrics(
     """
     from pyspark.sql import Observation
 
-    from functools import reduce
+    from .ext.expectations import not_null
 
-    any_null = reduce(
-        lambda a, b: a | b, [F.col(c).isNull() for c in df.columns]
-    )
-    null_free = F.count(F.when(~any_null, 1))
     obs = Observation("write_metrics")
     df.observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
-        null_free.alias("null_free_rows"),
+        not_null(df.columns).alias("null_rows"),
     ).write.mode(mode).parquet(path)
     got = obs.get
     return {
         "rows": int(got["rows"]),
-        "null_free_rows": int(got["null_free_rows"]),
+        "null_free_rows": int(got["rows"]) - int(got["null_rows"]),
     }
 
 
@@ -180,18 +176,25 @@ def compact_parquet(
 
     File inventory comes from the scan itself (``_metadata`` hidden
     columns — no filesystem listing pass), the target file count is
-    ``ceil(total_bytes / target_file_bytes)``, and the rewrite goes
-    through the same crash-safe tmp-dir swap as the state store: readers
-    of the old generation keep working until the atomic rename. (On a
-    real lakehouse this rename is the table-format commit — Delta/
-    Iceberg swap a manifest instead of a directory; the dataflow is
-    identical.)
+    ``ceil(total_bytes / target_file_bytes)``, the row count is observed
+    on the write job itself (no re-scan of the output), and the swap is
+    the two-rename generation pattern: old generation renamed aside,
+    compacted generation renamed in, old one deleted last. Atomic-ISH
+    like ``state.save_state``: no data is ever lost (a crash between the
+    renames leaves the old generation intact at ``path + '.old'``), but
+    a directory swap cannot be a single atomic operation — a reader
+    listing ``path`` in the instant between the two renames errors and
+    must retry. On a real lakehouse this step is the table-format commit
+    (Delta/Iceberg swap a manifest pointer, which IS atomic); the
+    dataflow is identical.
 
     Returns {"files_before", "files_after", "total_bytes", "rows"}.
     """
     import math
     import os
     import shutil
+
+    from pyspark.sql import Observation
 
     df = spark.read.parquet(path)
     inv = (
@@ -210,11 +213,15 @@ def compact_parquet(
     n_files, total_bytes = int(inv["n_files"]), int(inv["total_bytes"])
     n_target = max(1, math.ceil(total_bytes / target_file_bytes))
     tmp = path + ".compact_tmp"
-    compacted = df.repartition(n_target)
-    compacted.write.mode("overwrite").parquet(tmp)
-    rows = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
+    obs = Observation("compact_rows")
+    df.repartition(n_target).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    ).write.mode("overwrite").parquet(tmp)
+    rows = int(obs.get["rows"])
+    old = path + ".old"
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     after = len(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )

@@ -678,6 +678,8 @@ def test_apply_bpe_merges_counts_and_runs(spark):
             (2, "gagag aga"),
             # word with no merge hits stays char-segmented
             (3, "xyz"),
+            # no alphabetic words at all -> reported as (0, 0), not dropped
+            (4, "123 456 !!!"),
         ],
         "doc_id long, text string",
     )
@@ -687,7 +689,7 @@ def test_apply_bpe_merges_counts_and_runs(spark):
         for r in apply_bpe_merges(docs, merges).collect()
     }
     # doc 2: gagag -> 3 tokens; aga -> (ag) a -> 2 tokens
-    assert got == {1: (2, 4), 2: (2, 5), 3: (1, 3)}
+    assert got == {1: (2, 4), 2: (2, 5), 3: (1, 3), 4: (0, 0)}
 
 
 def test_prepare_training_data_cap_and_shuffle(spark):
@@ -742,3 +744,30 @@ def test_expectations_detect_violations(spark):
     assert (
         X.fk_violations(child, "k", parent, "pk").first()["orphan_rows"] == 1
     )
+
+
+def test_cusum_window_algebra_equals_pages_recursion(spark):
+    """The registry query's CUSUM unroll (prefix sum minus min(0, running
+    min)) must equal Page's recursion S_t = max(0, S_{t-1} + d_t) — the
+    oracle shares the algebra, so only an independent reference
+    implementation can catch a formula bug (a first-day-positive series
+    exposed exactly that: without the 0 baseline, d=[3,-1] yields [0,0]
+    instead of [3,2])."""
+    from pyspark.sql import Window as W
+
+    devs = [3.0, -1.0, 4.0, -9.0, 2.0, 2.0, -1.0, 8.0]
+    # Page's recursion, reference implementation
+    want, s = [], 0.0
+    for d in devs:
+        s = max(0.0, s + d)
+        want.append(round(s, 6))
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(devs)], "t int, d double"
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pref = F.sum("d").over(w)
+    out = df.withColumn(
+        "cusum", F.round(pref - F.least(F.min(pref).over(w), F.lit(0.0)), 6)
+    )
+    got = [r.cusum for r in out.orderBy("t").collect()]
+    assert got == want
