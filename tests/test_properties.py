@@ -168,3 +168,34 @@ def test_bpe_fold_equals_greedy_merge(syms, pair):
         else:
             acc = acc + " " + x
     assert acc.split(" ") == greedy_merge(syms)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        unique=True, min_size=2, max_size=50,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+def test_shuffle_rank_bucket_monotone_in_hash_order(keys, n_buckets):
+    """Pure-Python mirror of distributed_shuffle_rank's bucket arithmetic:
+    bucket assignment (double division of the 60-bit hash prefix) must be
+    monotone non-decreasing in the full md5-hex sort order — the invariant
+    that makes per-bucket ranks globally consistent. Double rounding of
+    the prefix is fine BECAUSE it is monotone; a value at the very top of
+    the domain may round into an extra bucket index == n_buckets, which
+    is harmless (buckets are partition labels, not positions)."""
+    import hashlib
+
+    domain = 16 ** 15
+    rows = []
+    for k in keys:
+        h = hashlib.md5(f"42:{k}".encode()).hexdigest()
+        hnum = int(h[:15], 16)
+        bkt = int(hnum / (domain / n_buckets))  # same IEEE math as the expr
+        rows.append((h, bkt))
+    rows.sort()
+    bkts = [b for _, b in rows]
+    assert bkts == sorted(bkts)
+    assert all(0 <= b <= n_buckets for b in bkts)
