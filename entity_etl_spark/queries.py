@@ -8467,3 +8467,59 @@ def q_cusum_drift_detection(spark: SparkSession, sf: str) -> DataFrame:
         # alarm on the ROUNDED value so the boolean is engine-stable
         (F.round(cusum, 4) > 50.0).alias("drift_alarm"),
     )
+
+
+@register(
+    "seasonal_naive_backtest",
+    """
+    -- forecast v(d) := v(d - 7 days) (seasonal-naive, the canonical
+    -- baseline every forecasting system must beat), scored by MAE/MAPE
+    -- per event type; the 7-day lag is an exact date self-join, not a
+    -- row lag, so calendar gaps cannot misalign the season
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(avg(abs(d.v - p.v)), 4) AS mae,
+           round(avg(abs(d.v - p.v) / nullif(abs(d.v), 0)), 6) AS mape
+    FROM daily d
+    JOIN daily p ON p.event_type = d.event_type
+                AND p.day = d.day - INTERVAL 7 DAY
+    GROUP BY d.event_type
+    """,
+    doc="Seasonal-naive forecast backtest (the baseline MAE/MAPE every "
+    "forecasting deployment reports): predict each day's per-type total "
+    "with the value 7 days earlier via an exact date self-join (row-lag "
+    "would misalign across calendar gaps), score in one aggregation. "
+    "Scale shape: the corpus reduces to (type, day) partials map-side; "
+    "the self-join and scoring run over |types| x |days| rows.",
+    tags=("ext",),
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    d = daily.alias("d")
+    p = daily.alias("p")
+    err = F.abs(F.col("d.v") - F.col("p.v"))
+    return (
+        d.join(
+            p,
+            (F.col("p.event_type") == F.col("d.event_type"))
+            & (F.col("p.day") == F.date_sub(F.col("d.day"), 7)),
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.round(F.avg(err), 4).alias("mae"),
+            F.round(
+                F.avg(err / F.nullif(F.abs(F.col("d.v")), F.lit(0.0))), 6
+            ).alias("mape"),
+        )
+    )
