@@ -427,3 +427,52 @@ def test_stream_stream_left_outer_join_null_completion(spark, tmp_path):
     )
     null_completed = {r["id"] for r in collected2 if r["s_id"] is None}
     assert 9 in null_completed
+
+
+def test_crash_recovery_exactly_once_with_batchid_idempotent_sink(
+    spark, tmp_path
+):
+    """Fault injection: the sink crashes mid-run; a restart from the SAME
+    checkpoint replays the failed micro-batch (at-least-once), and a
+    batchId-keyed idempotent sink turns that into exactly-once output —
+    the foreachBatch recovery contract a production pipeline relies on."""
+    import pytest as _pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    write_batch(spark, src, [(1, 11, 0), (2, 12, 1)], 1)
+    write_batch(spark, src, [(3, 13, 2), (4, 14, 3)], 2)
+
+    sunk: dict[int, list] = {}   # batch_id -> rows (idempotent: keyed)
+    crashed = {"armed": True}
+
+    def sink(df, bid):
+        rows = df.collect()
+        if crashed["armed"] and bid == 1:
+            crashed["armed"] = False
+            raise RuntimeError("injected sink failure")
+        # idempotent by batch id: a replayed batch overwrites, never appends
+        sunk[bid] = rows
+
+    def start():
+        stream = stream_source(
+            spark, f"{src}/f*", SCHEMA, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with _pytest.raises(StreamingQueryException, match="injected"):
+        start()
+    # batch 0 landed, batch 1 died mid-sink
+    assert set(sunk) == {0}
+
+    start()  # restart from the same checkpoint: replays batch 1 onward
+    got = sorted(r["id"] for rows in sunk.values() for r in rows)
+    assert got == [1, 2, 3, 4]  # every row exactly once
