@@ -64,6 +64,13 @@ def quality_score(
     length-invariant like fastText's normalized bag-of-words input).
     Empty docs score sigmoid(bias)."""
     w = weights if weights is not None else pinned_weights(n_buckets)
+    if len(w) != n_buckets:
+        # element_at past the array end is non-ANSI NULL — a short weight
+        # list would silently NULL every score instead of erroring
+        raise ValueError(
+            f"weights has {len(w)} entries but n_buckets={n_buckets}; "
+            "pass n_buckets=len(weights) or a full-length vector"
+        )
     w_arr = F.array(*[F.lit(float(x)) for x in w])
     toks = F.filter(
         F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""

@@ -667,11 +667,18 @@ def repeated_substring_spans_cdc(
     2. fingerprints join on k-gram text (hash equi-join; doc-frequency
        cap 2..max_df bounds fan-out);
     3. matches chain per (doc pair, diagonal) while consecutive
-       fingerprints sit within ``max_gap`` chars (expected spacing is w);
-    4. every chained span is then VERIFIED by direct substring equality
-       on both documents, so emitted spans are exact repeats — certified,
-       not probabilistic. Spans are maximal at fingerprint resolution
-       (ends can undershoot the true maximal repeat by < w chars).
+       fingerprints sit within ``max_gap`` chars (expected spacing is w)
+       AND the stretch between them — [prev, cur + k) on both docs —
+       compares equal. Verifying each LINK (not just each finished span)
+       means a differing gap splits the chain into two valid spans
+       instead of poisoning one glued span that a whole-span check would
+       then drop entirely (two real repeated blocks separated by <
+       max_gap chars of differing content used to vanish);
+    4. consecutive verified stretches overlap by >= k chars, so their
+       union — the whole chained span — is an exact repeat by induction;
+       a final whole-span substring equality stays as cheap insurance.
+       Spans are maximal at fingerprint resolution (ends can undershoot
+       the true maximal repeat by < w chars).
 
     The hash is the repo's portable md5 recipe, so the oracle restates
     selection digit-for-digit. Shuffles carry (id, pos, k-gram) for
@@ -722,6 +729,16 @@ def repeated_substring_spans_cdc(
     b = rep.select(
         F.col("w"), F.col(id_col).alias("doc_b"), F.col("__p").alias("pb")
     )
+    ta = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
+    )
+    # bodies join onto CANDIDATE rows (selected fingerprints of paired
+    # docs only) so link verification can read the gap content — heavier
+    # than joining after the span aggregate, but what makes a differing
+    # gap split a chain instead of dropping it
     cand = (
         a.join(b, "w")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -729,29 +746,35 @@ def repeated_substring_spans_cdc(
             "doc_a", "doc_b", "pa", "pb",
             (F.col("pa") - F.col("pb")).alias("diag"),
         )
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
     )
     wchain = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    flagged = cand.withColumn(
-        "__new",
-        F.when(
-            F.col("pa") - F.lag("pa").over(wchain) <= max_gap, 0
-        ).otherwise(1),
-    ).withColumn(
-        "__chain",
-        F.sum("__new").over(
-            wchain.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    link_ok = (
+        ((F.col("pa") - F.col("__prev_pa")) <= max_gap)
+        & (
+            F.expr("substring(__ta, __prev_pa, __stretch)")
+            == F.expr("substring(__tb, __prev_pb, __stretch)")
+        )
+    )
+    flagged = (
+        cand.withColumn("__prev_pa", F.lag("pa").over(wchain))
+        .withColumn("__prev_pb", F.lag("pb").over(wchain))
+        .withColumn("__stretch", F.col("pa") - F.col("__prev_pa") + k)
+        .withColumn("__new", F.when(link_ok, 0).otherwise(1))
+        .withColumn(
+            "__chain",
+            F.sum("__new").over(
+                wchain.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
     )
     spans = flagged.groupBy("doc_a", "doc_b", "diag", "__chain").agg(
         F.min("pa").cast("bigint").alias("start_a"),
         F.min("pb").cast("bigint").alias("start_b"),
         (F.lit(k) + F.max("pa") - F.min("pa")).cast("bigint").alias("span_len"),
-    )
-    ta = docs.select(
-        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
-    )
-    tb = docs.select(
-        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
     )
     return (
         spans.join(ta, "doc_a")

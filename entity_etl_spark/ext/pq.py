@@ -39,12 +39,7 @@ class PQCodebooks(NamedTuple):
     k: int
 
 
-def _normalize(mat):
-    import numpy as np
-
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return mat / norms
+from .ivf import _normalize  # shared zero-guarded row normalization
 
 
 def train_pq_codebooks(

@@ -125,10 +125,14 @@ def cell_pairs_gram(
     import numpy as np
     import pandas as pd
 
+    # output ids keep the INPUT id type (the expression-join form this
+    # replaced was generic over any ordered id type; hardcoding int64
+    # here would break string/uuid ids the id_col parameter advertises)
+    id_type = cells.schema[id_col].dataType
     schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
@@ -136,11 +140,11 @@ def cell_pairs_gram(
     def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) < 2:
             return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
+                {"id_a": pdf[id_col].iloc[:0],
+                 "id_b": pdf[id_col].iloc[:0],
                  "cos_sim": pd.Series(dtype="float64")}
             )
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
         mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
         sims = mat @ mat.T
         ii, jj = np.where(sims >= threshold)

@@ -264,24 +264,29 @@ MAX_DRIVER_COLLECT_ROWS = 2_000_000
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, what: str):
-    """Collect (ids, normalized float64 matrix) with the documented row cap
-    enforced BEFORE the collect (limit+count probe, no full materialize)."""
+    """Collect (ids, normalized float64 matrix) with the documented row
+    cap enforced in the SAME job as the collect: limit(cap + 1) bounds
+    driver memory identically to a separate probe+count pass, without
+    executing the upstream plan twice."""
     import numpy as np
 
-    probe = df.select(id_col).limit(MAX_DRIVER_COLLECT_ROWS + 1).count()
-    if probe > MAX_DRIVER_COLLECT_ROWS:
+    from .ivf import _normalize
+
+    rows = (
+        df.select(id_col, vec_col)
+        .limit(MAX_DRIVER_COLLECT_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_DRIVER_COLLECT_ROWS:
         raise ValueError(
             f"{what} side has more than {MAX_DRIVER_COLLECT_ROWS} rows; "
             "refusing the driver-side collect (it would risk a driver "
             "OOM). Use the distributed path (LSH/IVF/PQ) or raise "
             "MAX_DRIVER_COLLECT_ROWS deliberately."
         )
-    rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return ids, mat / norms
+    return ids, _normalize(mat)
 
 
 def exact_cosine_pairs(
@@ -321,11 +326,11 @@ def exact_cosine_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            from .ivf import _normalize as _nrm
+
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ mat_all.T
+            sims = _nrm(mat) @ mat_all.T
             ii, jj = np.where(sims >= threshold)
             keep = ids[ii] < ids_all[jj]  # upper triangle only, no self
             yield pd.DataFrame(

@@ -2676,6 +2676,20 @@ def q_rest_source_scan(spark: SparkSession, sf: str) -> DataFrame:
                 _os.replace(tmp, _os.path.join(pages_dir, f"page{pg}.json"))
 
         items.repartition(n_pages, "__page").foreachPartition(_write_pages)
+        # an empty residue class writes no file from the executors; fill
+        # the gaps with empty envelopes so the page SET always honors the
+        # pagination contract — in particular the final page must exist
+        # to carry partialResults:false (a do..while(partialResults)
+        # consumer would otherwise never see the terminator). Envelope
+        # metadata only — still zero data rows through the driver.
+        for pg in range(n_pages):
+            page_path = _os.path.join(pages_dir, f"page{pg}.json")
+            if not _os.path.exists(page_path):
+                partial = "true" if pg < n_pages - 1 else "false"
+                with open(page_path, "w", encoding="utf-8") as fh:
+                    fh.write(
+                        '{"items": [], "partialResults": ' + partial + "}"
+                    )
         open(done, "w").close()
 
     df = (
@@ -7220,14 +7234,31 @@ def q_table_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     rep AS (SELECT fps.* FROM fps JOIN ok USING (w)),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag,
+             da.text AS ta, db.text AS tb
       FROM rep a JOIN rep b ON a.w = b.w AND a.doc_id < b.doc_id
+      JOIN documents da ON da.doc_id = a.doc_id
+      JOIN documents db ON db.doc_id = b.doc_id
+    ),
+    lagged AS (
+      SELECT *,
+             lag(pa) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS prev_pa,
+             lag(pb) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+               AS prev_pb
+      FROM cand
     ),
     flagged AS (
-      SELECT *, CASE WHEN pa - lag(pa) OVER
-                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa) <= 64
+      -- a link chains only when the WHOLE stretch between consecutive
+      -- fingerprints matches on both docs (a differing gap splits the
+      -- chain into two valid spans instead of poisoning one glued span)
+      SELECT *, CASE WHEN pa - prev_pa <= 64
+                      AND substring(ta, CAST(prev_pa AS INT),
+                                    CAST(pa - prev_pa + 20 AS INT))
+                        = substring(tb, CAST(prev_pb AS INT),
+                                    CAST(pa - prev_pa + 20 AS INT))
                 THEN 0 ELSE 1 END AS new_chain
-      FROM cand
+      FROM lagged
     ),
     chains AS (
       SELECT *, sum(new_chain) OVER

@@ -292,7 +292,13 @@ class RestEntitiesWriter(DataSourceWriter):
     def write(self, iterator) -> RestBatchCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt number in the temp name: a speculative/zombie attempt of
+        # the same partition must not write into the winner's temp file
+        # (interleaved writes -> corrupt page committed); only the attempt
+        # whose commit message reaches commit() gets renamed in
+        attempt = ctx.taskAttemptId()
         tmp_files: list[str] = []
         batch: list[str] = []
         n_batches = 0
@@ -308,7 +314,8 @@ class RestEntitiesWriter(DataSourceWriter):
                 _resolve_fetcher(self.poster)(dict(self.options), body)
             if self.path:
                 tmp = os.path.join(
-                    self.path, f".batch-{pid:05d}-{n_batches:05d}.tmp"
+                    self.path,
+                    f".batch-{pid:05d}-{n_batches:05d}-a{attempt}.tmp",
                 )
                 with open(tmp, "w", encoding="utf-8") as fh:
                     fh.write(body)

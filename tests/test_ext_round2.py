@@ -771,3 +771,48 @@ def test_cusum_window_algebra_equals_pages_recursion(spark):
     )
     got = [r.cusum for r in out.orderBy("t").collect()]
     assert got == want
+
+
+def test_cdc_spans_split_at_differing_gap_instead_of_dropping(spark):
+    """Two real repeated blocks separated by a short stretch of DIFFERING
+    content on the same diagonal: link-level verification must split the
+    chain into two exact spans. (The earlier whole-span-only check glued
+    them into one span, failed the equality, and emitted NOTHING.)"""
+    from entity_etl_spark.ext.dedup import repeated_substring_spans_cdc
+
+    b1 = "abcdefghijklmnopqrstuvwxyz012345"   # 32 chars
+    b2 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ6789!@"   # 32 chars
+    rows = [
+        (1, "XX" + b1 + "11111111" + b2 + "YY"),
+        (2, "XX" + b1 + "22222222" + b2 + "YY"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_substring_spans_cdc(
+        docs, k=8, w=4, max_gap=48, max_df=50
+    ).collect()
+    assert len(got) >= 2, got  # both blocks survive as separate spans
+    for r in got:
+        sa = rows[0][1][r.start_a - 1 : r.start_a - 1 + r.span_len]
+        sb = rows[1][1][r.start_b - 1 : r.start_b - 1 + r.span_len]
+        assert sa == sb  # exactness contract holds per span
+        assert "1" not in sa and "2" not in sa  # no span crosses the gap
+
+
+def test_semdedup_generic_string_ids(spark):
+    """cell_pairs_gram must stay generic over any ordered id type (the
+    id_col parameter's contract) — string ids round-trip through the
+    Arrow seam with ordering preserved."""
+    from entity_etl_spark.ext.semdedup import cell_pairs_gram
+
+    rows = [
+        ("docA", 0, [1.0, 0.0]), ("docB", 0, [1.0, 0.001]),
+        ("docC", 0, [0.0, 1.0]),
+    ]
+    cells = spark.createDataFrame(
+        rows, "doc_uuid string, cell int, embedding array<double>"
+    )
+    got = cell_pairs_gram(
+        cells, 0.99, id_col="doc_uuid", vec_col="embedding"
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [("docA", "docB")]
+    assert got[0].cos_sim > 0.99

@@ -90,6 +90,11 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"ROWS-ONLY  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            # record the weaker evidence honestly: the artifact must cover
+            # every executed query, and an oracle-less one is not a match
+            results[name] = {"rows": len(s_rows), "match": None,
+                             "rows_only": True,
+                             "seconds": round(time.time() - t0, 2)}
             continue
         try:
             res = con.execute(oracles[name])
