@@ -329,3 +329,45 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_window_group_limit_caps_postings_and_quota(spark):
+    """The rank<=K filters in inverted_index_postings and
+    per_source_quota must compile to WindowGroupLimit — the map-side
+    per-group truncation that makes a stop-word or a giant domain cost
+    K rows of window state instead of the whole group."""
+    from entity_etl_spark.queries import REGISTRY
+
+    for name in ("inverted_index_postings", "per_source_quota"):
+        plan = plan_of(
+            REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        )
+        assert "WindowGroupLimit" in plan, (name, plan[:2000])
+
+
+def test_incremental_retraction_base_filter_pushed(spark):
+    """incremental_agg_retractions' cutoff predicates must reach the
+    parquet scan (PushedFilters) — the 'never rescan the base' claim
+    needs the scan itself pruned, not a post-scan filter."""
+    from entity_etl_spark.queries import REGISTRY
+
+    plan = plan_of(
+        REGISTRY["incremental_agg_retractions"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("LessThanOrEqual(ts" in p or "GreaterThan(ts" in p
+               for p in pushed), pushed
+
+
+def test_classifier_rejects_short_weights(spark):
+    import pytest as _pytest
+
+    from entity_etl_spark.ext.classifier import classify_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        classify_documents(docs, weights=[0.1, 0.2]).collect()
