@@ -1,0 +1,64 @@
+"""Entity resolution (record linkage): block -> score -> best-match.
+
+The classic three-stage shape (Fellegi-Sunter lineage, every MDM/dedup
+system): candidate pairs come from an EQUI-JOIN on blocking keys (never
+all-pairs), each candidate scores with a cheap map-side comparator
+(edit distance here; any similarity works), and each left record keeps
+its best-scoring right match via a rank-1 window — which Spark compiles
+to WindowGroupLimit, so a record with thousands of candidates carries
+one row of window state.
+
+At 100 TB the whole cost is governed by block sizes: Σ_b |L_b|·|R_b|
+scored pairs. Oversized blocks are the skew knob — tighten the blocking
+key or salt it; the dataflow does not change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resolve_entities(
+    dirty: DataFrame,
+    clean: DataFrame,
+    *,
+    block_cols: list[str],
+    dirty_id: str,
+    clean_id: str,
+    dirty_name: str,
+    clean_name: str,
+    max_len_diff: int = 1,
+) -> DataFrame:
+    """Best clean match per dirty record: equi-join on ``block_cols``
+    (+ a name-length band, a standard cheap filter that prunes most of
+    each block before the comparator runs), levenshtein score, keep the
+    rank-1 candidate per dirty id (ties: lower distance, then lower
+    clean id — deterministic). Returns
+    (dirty_id, matched_id, edit_dist)."""
+    d = dirty.select(
+        F.col(dirty_id).alias("__did"),
+        F.col(dirty_name).alias("__dname"),
+        *[F.col(c) for c in block_cols],
+    )
+    c = clean.select(
+        F.col(clean_id).alias("__cid"),
+        F.col(clean_name).alias("__cname"),
+        *[F.col(c_) for c_ in block_cols],
+    )
+    cand = d.join(c, block_cols).filter(
+        F.abs(F.length("__dname") - F.length("__cname")) <= max_len_diff
+    )
+    scored = cand.withColumn(
+        "__dist", F.levenshtein("__dname", "__cname")
+    )
+    w = Window.partitionBy("__did").orderBy("__dist", "__cid")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("__did").alias(dirty_id),
+            F.col("__cid").alias("matched_id"),
+            F.col("__dist").cast("int").alias("edit_dist"),
+        )
+    )

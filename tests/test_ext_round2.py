@@ -816,3 +816,32 @@ def test_semdedup_generic_string_ids(spark):
     ).collect()
     assert [(r.id_a, r.id_b) for r in got] == [("docA", "docB")]
     assert got[0].cos_sim > 0.99
+
+
+def test_entity_resolution_picks_argmin_with_tiebreak(spark):
+    from entity_etl_spark.ext.er import resolve_entities
+
+    clean = spark.createDataFrame(
+        [(1, 1, "martha stewart"), (2, 1, "marta stewart"),
+         (3, 1, "martin stewart"), (9, 2, "martha stewart")],
+        "cid long, blk int, name string",
+    )
+    dirty = spark.createDataFrame(
+        # 'martha stewrt' is 1 edit from cid 1, 2 from cid 2 -> cid 1;
+        # blocking confines to blk=1 (cid 9 is identical but unreachable)
+        [(100, 1, "martha stewrt"),
+         # 'marth stewart': 1 edit from cid 1 (insert 'a') AND 1 edit
+         # from cid 2 (substitute) -> a true tie, broken by lower cid
+         (200, 1, "marth stewart")],
+        "did long, blk int, name string",
+    )
+    got = {
+        r.did: (r.matched_id, r.edit_dist)
+        for r in resolve_entities(
+            dirty, clean,
+            block_cols=["blk"], dirty_id="did", clean_id="cid",
+            dirty_name="name", clean_name="name",
+        ).collect()
+    }
+    assert got[100] == (1, 1)
+    assert got[200] == (1, 1)  # tie on distance -> lower cid wins
