@@ -371,3 +371,46 @@ def test_classifier_rejects_short_weights(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="n_buckets"):
         classify_documents(docs, weights=[0.1, 0.2]).collect()
+
+
+def test_parquet_aggregate_pushdown_reads_footers_only(spark):
+    """COUNT/MIN/MAX over parquet can be answered from row-group footer
+    statistics instead of scanning data — at 100 TB the difference
+    between a metadata read and a full pass. Requires the V2 parquet
+    source + spark.sql.parquet.aggregatePushdown; the plan must show
+    PushedAggregation and the results must equal the scan-based answer."""
+    import pyspark.sql.functions as SF
+
+    olds = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        agg = df.agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.min("l_quantity").alias("mn"),
+            SF.max("l_quantity").alias("mx"),
+        )
+        plan = plan_of(agg)
+        assert "PushedAggregation: [COUNT(*), MIN(l_quantity), MAX(l_quantity)]" in plan, plan[:1500]
+        got = agg.first()
+    finally:
+        for k, v in olds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.min("l_quantity").alias("mn"),
+        SF.max("l_quantity").alias("mx"),
+    ).first()
+    assert (got.n, got.mn, got.mx) == (want.n, want.mn, want.mx)
