@@ -8635,3 +8635,156 @@ def q_entity_resolution_customers(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("accuracy"),
         F.round(F.avg("edit_dist"), 4).alias("avg_edit_dist"),
     )
+
+
+@register(
+    "markov_event_transitions",
+    """
+    -- first-order Markov chain over each user's event stream
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) /
+                 sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams (the sequence-model / next-event-prediction baseline): "
+    "lead() pairs consecutive events within each user (deterministic "
+    "(ts, event_id) order), transition counts aggregate map-side, and "
+    "row-normalization is a window over the |types|^2 count matrix. "
+    "Scale shape: ONE shuffle keyed by user for the sequencing; the "
+    "matrix itself is tiny.",
+    tags=("ext",),
+)
+def q_markov_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wnorm = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wnorm), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "gini_value_concentration",
+    """
+    -- Gini coefficient per event type from the sorted-cumulative form:
+    -- G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS i
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(2.0 * sum(i * value) / (count(*) * sum(value))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Gini concentration of value per event type (the inequality "
+    "metric behind revenue-concentration and whale-detection "
+    "dashboards): the sorted-cumulative closed form needs one rank "
+    "window per type plus one aggregation — no pairwise |x_i - x_j| "
+    "comparison (the naive definition is O(n^2)). Deterministic "
+    "(value, event_id) rank order keeps tied values engine-stable.",
+    tags=("ext",),
+)
+def q_gini_value_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("event_type").agg(
+        n.cast("bigint").alias("n"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("value")) / (n * F.sum("value"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    -- observed first-significant-digit distribution vs Benford's law,
+    -- chi-square statistic per event type
+    WITH digits AS (
+      SELECT event_type,
+             CAST(substring(CAST(CAST(
+               value / pow(10, floor(log10(value))) AS DOUBLE)
+               AS VARCHAR), 1, 1) AS INT) AS d
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    obs AS (
+      SELECT event_type, d, count(*) AS n FROM digits GROUP BY event_type, d
+    ),
+    tot AS (SELECT event_type, sum(n) AS tn FROM obs GROUP BY event_type)
+    SELECT o.event_type,
+           CAST(sum(o.n) AS BIGINT) AS n_values,
+           round(sum(pow(o.n - t.tn * log10(1.0 + 1.0 / o.d), 2)
+                     / (t.tn * log10(1.0 + 1.0 / o.d))), 4) AS chi2
+    FROM obs o JOIN tot t ON t.event_type = o.event_type
+    GROUP BY o.event_type
+    """,
+    doc="Benford first-digit test per event type (the forensic-audit "
+    "screen for fabricated numeric data): first significant digit via "
+    "log10 normalization, observed counts vs the Benford expectation "
+    "log10(1 + 1/d), Pearson chi-square statistic. One "
+    "map-side-combined count over the corpus; the test itself runs on "
+    "|types| x 9 rows.",
+    tags=("ext",),
+)
+def q_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    norm = (
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("double")
+    digits = ev.select(
+        "event_type",
+        F.substring(norm.cast("string"), 1, 1).cast("int").alias("d"),
+    )
+    obs = digits.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    exp = F.col("tn") * F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_values"),
+            F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias(
+                "chi2"
+            ),
+        )
+    )
