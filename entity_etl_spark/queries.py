@@ -8788,3 +8788,170 @@ def q_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "token_entropy_by_source",
+    r"""
+    WITH toks AS (
+      SELECT source, t.tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    tt AS (SELECT source, sum(c) AS n FROM tc GROUP BY source)
+    SELECT tc.source,
+           CAST(tt.n AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(-sum((c / CAST(tt.n AS DOUBLE))
+                      * ln(c / CAST(tt.n AS DOUBLE))), 6) AS entropy_nats
+    FROM tc JOIN tt ON tt.source = tc.source
+    GROUP BY tc.source, tt.n
+    """,
+    doc="Shannon token entropy per source (the mixture-design diversity "
+    "metric: low-entropy sources are repetitive/templated, high-entropy "
+    "ones carry more information per token): one explode + one "
+    "map-side-combined (source, token) count; the entropy sum runs over "
+    "the vocabulary, orders of magnitude smaller than the corpus.",
+    tags=("ext",),
+)
+def q_token_entropy_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tt = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        tc.join(tt, "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "vocab",
+            "entropy_nats",
+        )
+    )
+
+
+@register(
+    "zipf_slope_fit",
+    r"""
+    -- rank-frequency log-log OLS slope (natural language ~ -1)
+    WITH tc AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab,
+           round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+           round(regr_r2(ln(c), ln(r)), 4) AS r2
+    FROM ranked
+    """,
+    doc="Zipf's-law fit over the corpus rank-frequency curve (corpus-QA "
+    "diagnostic: natural language fits slope ~ -1; templated or "
+    "synthetic text deviates): token counts aggregate map-side, the "
+    "log-log OLS runs via regr_* sufficient statistics over the "
+    "vocabulary only. The rank window sorts |vocab| rows — "
+    "distributed_shuffle_rank is the swap-in if a vocabulary ever "
+    "outgrows one reducer.",
+    tags=("ext",),
+)
+def q_zipf_slope_fit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    tc = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = tc.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.round(F.expr("regr_slope(ln(c), ln(r))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(c), ln(r))"), 4).alias("r2"),
+    )
+
+
+@register(
+    "daily_autocorrelation",
+    """
+    -- lag-1 and lag-7 autocorrelation of the daily value series per type
+    -- via exact date self-joins (gap-safe) + the corr aggregate
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT d.event_type,
+           round(corr(d.v, l1.v), 6) AS acf_lag1,
+           round(corr(d.v, l7.v), 6) AS acf_lag7
+    FROM daily d
+    LEFT JOIN daily l1 ON l1.event_type = d.event_type
+                      AND l1.day = d.day - INTERVAL 1 DAY
+    LEFT JOIN daily l7 ON l7.event_type = d.event_type
+                      AND l7.day = d.day - INTERVAL 7 DAY
+    GROUP BY d.event_type
+    """,
+    doc="Daily autocorrelation (lag 1 and 7) of per-type value series — "
+    "the seasonality screen that justifies seasonal_naive_backtest's "
+    "weekly lag: exact date self-joins (row-lag would misalign across "
+    "calendar gaps) feed the corr sufficient-statistics aggregate. "
+    "Corpus reduces to (type, day) partials map-side; joins run over "
+    "|types| x |days| rows.",
+    tags=("ext",),
+)
+def q_daily_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    d, l1, l7 = daily.alias("d"), daily.alias("l1"), daily.alias("l7")
+    return (
+        d.join(
+            l1,
+            (F.col("l1.event_type") == F.col("d.event_type"))
+            & (F.col("l1.day") == F.date_sub(F.col("d.day"), 1)),
+            "left",
+        )
+        .join(
+            l7,
+            (F.col("l7.event_type") == F.col("d.event_type"))
+            & (F.col("l7.day") == F.date_sub(F.col("d.day"), 7)),
+            "left",
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"))
+        .agg(
+            F.round(F.corr(F.col("d.v"), F.col("l1.v")), 6).alias(
+                "acf_lag1"
+            ),
+            F.round(F.corr(F.col("d.v"), F.col("l7.v")), 6).alias(
+                "acf_lag7"
+            ),
+        )
+    )
