@@ -8955,3 +8955,79 @@ def q_daily_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ks_two_sample_test",
+    """
+    -- two-sample Kolmogorov-Smirnov D between the click and purchase
+    -- value distributions: per DISTINCT value, both groups' counts ->
+    -- running CDFs -> max |F1 - F2| (evaluating at distinct values
+    -- AFTER ties are grouped makes D tie-order-insensitive)
+    WITH vals AS (
+      SELECT value,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      GROUP BY value
+    ),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM vals),
+    cdf AS (
+      SELECT sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               / CAST(t.n1 AS DOUBLE) AS f1,
+             sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               / CAST(t.n2 AS DOUBLE) AS f2,
+             t.n1, t.n2
+      FROM vals, tot t
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+           round(max(abs(f1 - f2)), 6) AS ks_d,
+           round(max(abs(f1 - f2))
+                 * sqrt(max(n1) * max(n2) / (max(n1) + max(n2) + 0.0)),
+                 6) AS ks_stat
+    FROM cdf
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test (distribution-shift detector "
+    "between two event-type arms — the nonparametric sibling of "
+    "ab_test_welch): grouping ties into distinct values FIRST makes the "
+    "running-CDF difference order-insensitive; D is one window + one "
+    "max. The global-ordered window runs over |distinct values| rows — "
+    "operators.distributed_cumsum is the documented swap-in when that "
+    "outgrows one reducer; at 100 TB a KLL-sketch CDF comparison is the "
+    "approximate path.",
+    tags=("ext",),
+)
+def q_ks_two_sample_test(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    vals = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("c2"),
+    )
+    tot = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = vals.join(F.broadcast(tot)).select(
+        (F.sum("c1").over(w) / F.col("n1").cast("double")).alias("f1"),
+        (F.sum("c2").over(w) / F.col("n2").cast("double")).alias("f2"),
+        "n1",
+        "n2",
+    )
+    d = F.max(F.abs(F.col("f1") - F.col("f2")))
+    return cdf.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(
+            d
+            * F.sqrt(
+                F.max("n1") * F.max("n2")
+                / (F.max("n1") + F.max("n2") + F.lit(0.0))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
