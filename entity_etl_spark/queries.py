@@ -9031,3 +9031,87 @@ def q_ks_two_sample_test(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+@register(
+    "split_leakage_neardups",
+    r"""
+    -- exact near-dup pairs (same threshold as the minhash oracle) with
+    -- each side's deterministic split; cross-split pairs are leakage
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN u < 0.1 THEN 'test'
+                  WHEN u < 0.2 THEN 'val' ELSE 'train' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT)
+                     / 4294967296.0 AS u
+            FROM documents)
+    )
+    SELECT least(sa.split, sb.split) AS split_x,
+           greatest(sa.split, sb.split) AS split_y,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (sa.split <> sb.split) AS is_leakage
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split),
+             sa.split <> sb.split
+    """,
+    doc="Cross-split near-dup LEAKAGE audit (the eval-integrity check "
+    "fuzzy decontamination exists for: a test doc whose near-duplicate "
+    "sits in train inflates eval): near-dup pairs from the LSH pair "
+    "path join each side's deterministic split assignment; pairs "
+    "straddling splits are leakage, reported per split pair. This is "
+    "the diagnostic that motivates grouped_split (assign by CONTENT "
+    "group, and leakage pairs become structurally impossible). Oracle "
+    "restates the exact pair set + the md5 split arithmetic.",
+    tags=("ext",),
+)
+def q_split_leakage_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import minhash_near_dups
+    from .ext.sampling import train_val_test_split
+
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=32, bands=8, k=3,
+        verify_threshold=0.5,
+    )
+    splits = train_val_test_split(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("__sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_x"),
+            F.greatest("__sa", "__sb").alias("split_y"),
+            (F.col("__sa") != F.col("__sb")).alias("is_leakage"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select("split_x", "split_y", "n_pairs", "is_leakage")
+    )
