@@ -8736,11 +8736,15 @@ def q_gini_value_concentration(spark: SparkSession, sf: str) -> DataFrame:
     """
     -- observed first-significant-digit distribution vs Benford's law,
     -- chi-square statistic per event type
+    -- first significant digit by scanning the shortest-roundtrip string
+    -- for the first nonzero digit: float math (v / 10^floor(log10 v))
+    -- rounds values like 0.7 to 6.999... and misbins them; the string
+    -- scan is exact and engine-portable (both engines print the same
+    -- significand for the same double)
     WITH digits AS (
       SELECT event_type,
-             CAST(substring(CAST(CAST(
-               value / pow(10, floor(log10(value))) AS DOUBLE)
-               AS VARCHAR), 1, 1) AS INT) AS d
+             CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]', 0)
+                  AS INT) AS d
       FROM events WHERE value IS NOT NULL AND value > 0
     ),
     obs AS (
@@ -8766,12 +8770,13 @@ def q_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_sf_table(spark, sf, "events").filter(
         F.col("value").isNotNull() & (F.col("value") > 0)
     )
-    norm = (
-        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
-    ).cast("double")
     digits = ev.select(
         "event_type",
-        F.substring(norm.cast("string"), 1, 1).cast("int").alias("d"),
+        # first nonzero digit of the shortest-roundtrip string — exact,
+        # unlike v / 10^floor(log10 v), which rounds 0.7 to 6.999...
+        F.regexp_extract(F.col("value").cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("d"),
     )
     obs = digits.groupBy("event_type", "d").agg(
         F.count(F.lit(1)).alias("n")

@@ -845,3 +845,93 @@ def test_entity_resolution_picks_argmin_with_tiebreak(spark):
     }
     assert got[100] == (1, 1)
     assert got[200] == (1, 1)  # tie on distance -> lower cid wins
+
+
+def test_statistical_queries_match_reference_implementations(spark):
+    """Independent pure-Python references for the statistical operators
+    (Gini, KS, Benford chi2, Markov rows): the DuckDB oracles share each
+    query's algebra, so only a from-first-principles reference can catch
+    a formula bug (the CUSUM baseline lesson)."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+
+    # --- Gini: closed form must equal mean-absolute-difference / 2*mean
+    n = len(vals)
+    mad = sum(abs(a - b) for a in vals for b in vals) / (n * n)
+    want_gini = round(mad / (2 * (sum(vals) / n)), 6)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, value double"
+    )
+    ranked = df.select(
+        "value", F.row_number().over(W.orderBy("value", "id")).alias("i")
+    )
+    cnt = F.count(F.lit(1))
+    got_gini = ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("value"))
+            / (cnt * F.sum("value"))
+            - (cnt + 1.0) / cnt,
+            6,
+        ).alias("g")
+    ).first()["g"]
+    assert abs(got_gini - want_gini) < 1e-9
+
+    # --- KS: distinct-value CDF window vs direct sup over all points
+    a = [1.0, 2.0, 2.0, 3.0, 5.0]
+    b = [2.0, 4.0, 4.0, 6.0]
+    pts = sorted(set(a) | set(b))
+    want_d = max(
+        abs(
+            sum(1 for x in a if x <= p) / len(a)
+            - sum(1 for x in b if x <= p) / len(b)
+        )
+        for p in pts
+    )
+    rows = [(v, 1, 0) for v in a] + [(v, 0, 1) for v in b]
+    kdf = spark.createDataFrame(rows, "value double, c1 int, c2 int")
+    g = kdf.groupBy("value").agg(
+        F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    got_d = (
+        g.select(
+            (F.sum("c1").over(w) / float(len(a))).alias("f1"),
+            (F.sum("c2").over(w) / float(len(b))).alias("f2"),
+        )
+        .agg(F.max(F.abs(F.col("f1") - F.col("f2"))).alias("d"))
+        .first()["d"]
+    )
+    assert abs(got_d - want_d) < 1e-9
+
+    # --- Benford digit extraction: the string scan must equal the true
+    # first significant digit (float normalization v/10^floor(log10 v)
+    # FAILS this — 0.7 and 7e-5 round to 6.999...; the query scans the
+    # string precisely to dodge that)
+    import re
+
+    for v in (0.042, 0.7, 1.0, 9.99, 123.0, 7e-5):
+        want = next(c for c in f"{v:.10e}" if c.isdigit())
+        got = re.search(r"[1-9]", repr(v)).group(0)
+        assert got == want, (v, got, want)
+
+    # --- Markov: per-from probabilities sum to 1
+    ev = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("ababcabcc")],
+        "user_id long, event_id long, event_type string",
+    )
+    wseq = W.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(wseq).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    p = (
+        seq.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p", F.col("n") / F.sum("n").over(W.partitionBy("f"))
+        )
+    )
+    sums = {r.f: r.s for r in p.groupBy("f").agg(F.round(F.sum("p"), 9).alias("s")).collect()}
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
