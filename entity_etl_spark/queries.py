@@ -9120,3 +9120,161 @@ def q_split_leakage_neardups(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .select("split_x", "split_y", "n_pairs", "is_leakage")
     )
+
+
+@register(
+    "sessionized_ordered_funnel",
+    f"""
+    -- funnel constrained WITHIN a session: steps must occur in order
+    -- inside one 30-minute-gap session (funnel_conversion is the
+    -- lifetime variant; this is the per-visit one)
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 30 * 60 * 1000000 OR lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    steps AS (
+      SELECT user_id, sid,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS s_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_view_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_full_funnel
+    FROM steps
+    """,
+    doc="Per-SESSION ordered funnel (view -> click -> purchase inside one "
+    "30-min-gap session — the per-visit conversion twin of the lifetime "
+    "funnel_conversion): sessionization and step extraction share ONE "
+    "user-keyed shuffle; per-session first-step timestamps reduce via "
+    "conditional mins; the ordering constraint is pure column "
+    "comparison. NULL comparisons make missing steps fall out of the "
+    "ordered counts without explicit guards.",
+    tags=("ext",),
+)
+def q_sessionized_ordered_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = tsutil.epoch_micros(F.col("ts")) - tsutil.epoch_micros(
+        F.lag("ts").over(w)
+    )
+    ordered = ev.withColumn(
+        "new_s",
+        F.when(
+            gap_us > 30 * 60 * 1_000_000, 1
+        ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ordered.withColumn("sid", F.sum("new_s").over(ws))
+    steps = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    return steps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("t_view").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("s_view"),
+        F.sum(
+            (
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("s_view_click"),
+        F.sum(
+            (
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("s_full_funnel"),
+    )
+
+
+@register(
+    "interarrival_time_stats",
+    """
+    -- per-user inter-event gap distribution, summarized per event count
+    -- band (engagement analytics: do heavy users act in bursts?)
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) / 1e6
+               AS gap_s
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, count(*) + 1 AS n_events,
+             avg(gap_s) AS mean_gap, median(gap_s) AS med_gap
+      FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT CASE WHEN n_events < 10 THEN 'light'
+                WHEN n_events < 50 THEN 'mid' ELSE 'heavy' END AS band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(mean_gap), 2) AS avg_mean_gap_s,
+           round(avg(med_gap), 2) AS avg_median_gap_s
+    FROM per_user GROUP BY 1
+    """,
+    doc="Inter-arrival time analysis (burstiness / engagement cadence): "
+    "per-user event gaps via one lag window (tsutil NTZ-safe epochs), "
+    "per-user mean/median gap, rolled up into activity bands. One "
+    "user-keyed shuffle; the exact per-user median sorts only each "
+    "user's gaps (bounded partitions), and the band rollup is "
+    "map-side-combined.",
+    tags=("ext",),
+)
+def q_interarrival_time_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        tsutil.epoch_micros(F.col("ts"))
+        - tsutil.epoch_micros(F.lag("ts").over(w))
+    ) / 1e6
+    gaps = ev.select("user_id", gap_s.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.avg("gap_s").alias("mean_gap"),
+        F.expr("median(gap_s)").alias("med_gap"),
+    )
+    band = (
+        F.when(F.col("n_events") < 10, "light")
+        .when(F.col("n_events") < 50, "mid")
+        .otherwise("heavy")
+    )
+    return per_user.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("mean_gap"), 2).alias("avg_mean_gap_s"),
+        F.round(F.avg("med_gap"), 2).alias("avg_median_gap_s"),
+    )
