@@ -147,7 +147,19 @@ def apply_bpe_merges(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w"),
     ).filter(F.col("w") != "")
-    enc = wf.select("w").distinct().withColumn(
+    # Collapse the corpus-sized explode ONCE into (doc, word, cnt), then
+    # cut the lineage: the two consumers below (distinct-vocab branch and
+    # token-count join) would otherwise each re-run the explode —
+    # Catalyst's column pruning rewrites the vocab branch's explode
+    # without doc_id, so the subtrees aren't identical and ReusedExchange
+    # cannot fire. localCheckpoint materializes the slim aggregate once
+    # (same two-consumer pattern as layout.distributed_shuffle_rank); on
+    # a real cluster the deployment path would persist this table to
+    # storage instead (executor loss discards localCheckpoint blocks).
+    wfc = wf.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    ).localCheckpoint(eager=False)
+    enc = wfc.select("w").distinct().withColumn(
         "syms", F.filter(F.split("w", ""), lambda c: c != "")
     )
     for left, right in merges:
@@ -156,11 +168,13 @@ def apply_bpe_merges(
         )
     wtok = enc.select("w", F.size("syms").alias("w_tokens"))
     counts = (
-        wf.join(wtok, "w")
+        wfc.join(wtok, "w")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("__cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("__cnt") * F.col("w_tokens"))
+            .cast("bigint")
+            .alias("n_tokens"),
         )
     )
     # per-DOCUMENT accounting: docs with no alphabetic words report

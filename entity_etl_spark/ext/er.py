@@ -29,13 +29,22 @@ def resolve_entities(
     dirty_name: str,
     clean_name: str,
     max_len_diff: int = 1,
+    keep_unmatched: bool = True,
 ) -> DataFrame:
     """Best clean match per dirty record: equi-join on ``block_cols``
     (+ a name-length band, a standard cheap filter that prunes most of
     each block before the comparator runs), levenshtein score, keep the
     rank-1 candidate per dirty id (ties: lower distance, then lower
     clean id — deterministic). Returns
-    (dirty_id, matched_id, edit_dist)."""
+    (dirty_id, matched_id, edit_dist).
+
+    ``keep_unmatched`` (default True) left-joins the rank-1 matches back
+    to the full dirty id set, so records with ZERO candidates (blocking
+    key absent from clean, or length band pruned everything) surface as
+    (dirty_id, NULL, NULL) rather than silently vanishing — accuracy
+    reports over the output then count them as misses instead of
+    inflating the denominator-free match rate. Pass False for the
+    matched-only inner shape."""
     d = dirty.select(
         F.col(dirty_id).alias("__did"),
         F.col(dirty_name).alias("__dname"),
@@ -53,7 +62,7 @@ def resolve_entities(
         "__dist", F.levenshtein("__dname", "__cname")
     )
     w = Window.partitionBy("__did").orderBy("__dist", "__cid")
-    return (
+    best = (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select(
@@ -62,3 +71,10 @@ def resolve_entities(
             F.col("__dist").cast("int").alias("edit_dist"),
         )
     )
+    if not keep_unmatched:
+        return best
+    # Left-join back so zero-candidate records appear with NULL match.
+    # The right side is rank-1-per-did (<= |dirty| rows), so this join
+    # shuffles on the same did key the window already used — no new
+    # skew surface, and AQE can plan it alongside the window exchange.
+    return dirty.select(F.col(dirty_id)).join(best, dirty_id, "left")

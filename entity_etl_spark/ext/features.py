@@ -118,8 +118,23 @@ def vector_norms_arrow(
                         for s, e in zip(offsets[:-1], offsets[1:])
                     ]
                 )
+            # NULL vector rows have a zero-length slot (norm would come
+            # out 0.0); read the validity bitmap and emit NULL instead,
+            # matching the JVM higher-order form and the DuckDB oracle.
+            null_mask = (
+                vecs.is_null().to_numpy(zero_copy_only=False)
+                if vecs.null_count
+                else None
+            )
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(np.round(norms, round_to), pa.float64())],
+                [
+                    ids,
+                    pa.array(
+                        np.round(norms, round_to),
+                        pa.float64(),
+                        mask=null_mask,
+                    ),
+                ],
                 names=[id_col, "norm"],
             )
 

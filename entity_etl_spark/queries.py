@@ -8580,14 +8580,20 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
                  AS rk
         FROM cand)
       WHERE rk = 1
+    ),
+    resolved AS (
+      -- left-join back: zero-candidate records count as misses
+      SELECT d.dirty_id, b.cid, b.dist
+      FROM dirty d LEFT JOIN best b ON b.dirty_id = d.dirty_id
     )
     SELECT CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(cid) AS BIGINT) AS n_matched,
            CAST(sum(CASE WHEN cid = dirty_id THEN 1 ELSE 0 END) AS BIGINT)
              AS n_correct,
            round(avg(CASE WHEN cid = dirty_id THEN 1.0 ELSE 0.0 END), 4)
              AS accuracy,
            round(avg(dist), 4) AS avg_edit_dist
-    FROM best
+    FROM resolved
     """,
     doc="Entity resolution end-to-end (ext/er.py — block -> score -> "
     "rank-1 match): every customer name is deterministically corrupted "
@@ -8622,17 +8628,14 @@ def q_entity_resolution_customers(spark: SparkSession, sf: str) -> DataFrame:
         dirty_name="dname",
         clean_name="c_name",
     )
+    hit = F.coalesce(
+        (F.col("matched_id") == F.col("dirty_id")).cast("int"), F.lit(0)
+    )
     return best.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_records"),
-        F.sum(
-            (F.col("matched_id") == F.col("dirty_id")).cast("int")
-        )
-        .cast("bigint")
-        .alias("n_correct"),
-        F.round(
-            F.avg((F.col("matched_id") == F.col("dirty_id")).cast("double")),
-            4,
-        ).alias("accuracy"),
+        F.count("matched_id").cast("bigint").alias("n_matched"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(F.avg(hit.cast("double")), 4).alias("accuracy"),
         F.round(F.avg("edit_dist"), 4).alias("avg_edit_dist"),
     )
 
@@ -9129,7 +9132,7 @@ def q_split_leakage_neardups(spark: SparkSession, sf: str) -> DataFrame:
     -- inside one 30-minute-gap session (funnel_conversion is the
     -- lifetime variant; this is the per-visit one)
     WITH ordered AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id)
                   > 30 * 60 * 1000000 OR lag(ts) OVER
@@ -9139,7 +9142,7 @@ def q_split_leakage_neardups(spark: SparkSession, sf: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, event_type,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     ),
@@ -9181,7 +9184,10 @@ def q_sessionized_ordered_funnel(spark: SparkSession, sf: str) -> DataFrame:
             gap_us > 30 * 60 * 1_000_000, 1
         ).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
     )
-    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # (ts, event_id) on BOTH the flag and the running-sum windows: a
+    # ts-only ROWS frame would assign sids nondeterministically when two
+    # same-ts events straddle a session boundary.
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = ordered.withColumn("sid", F.sum("new_s").over(ws))

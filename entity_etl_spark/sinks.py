@@ -181,10 +181,11 @@ def compact_parquet(
     the two-rename generation pattern: old generation renamed aside,
     compacted generation renamed in, old one deleted last. Atomic-ISH
     like ``state.save_state``: no data is ever lost (a crash between the
-    renames leaves the old generation intact at ``path + '.old'``), but
-    a directory swap cannot be a single atomic operation — a reader
-    listing ``path`` in the instant between the two renames errors and
-    must retry. On a real lakehouse this step is the table-format commit
+    renames leaves the old generation intact at ``path + '.old'``, and
+    the next run fails fast with recovery instructions instead of
+    compacting half-state), but a directory swap cannot be a single
+    atomic operation — a reader listing ``path`` in the instant between
+    the two renames errors and must retry. On a real lakehouse this step is the table-format commit
     (Delta/Iceberg swap a manifest pointer, which IS atomic); the
     dataflow is identical.
 
@@ -195,6 +196,24 @@ def compact_parquet(
     import shutil
 
     from pyspark.sql import Observation
+
+    # Crash-reentrancy: a previous run that died between the two renames
+    # leaves ``path + '.old'`` holding the ONLY good generation (and
+    # possibly no ``path`` at all) — silently proceeding would compact a
+    # half-state or fail mid-swap with an opaque ENOTEMPTY. Fail fast
+    # with the recovery instruction instead. A stale ``.compact_tmp``
+    # (crash during the write) is safe to discard: nothing referenced it.
+    old = path + ".old"
+    tmp = path + ".compact_tmp"
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"compact_parquet: leftover {old!r} from an interrupted "
+            "compaction. Recover manually: if "
+            f"{path!r} is complete, delete {old!r}; if {path!r} is "
+            f"missing or partial, restore it from {old!r} first."
+        )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
     df = spark.read.parquet(path)
     inv = (
@@ -212,13 +231,11 @@ def compact_parquet(
     )
     n_files, total_bytes = int(inv["n_files"]), int(inv["total_bytes"])
     n_target = max(1, math.ceil(total_bytes / target_file_bytes))
-    tmp = path + ".compact_tmp"
     obs = Observation("compact_rows")
     df.repartition(n_target).observe(
         obs, F.count(F.lit(1)).alias("rows")
     ).write.mode("overwrite").parquet(tmp)
     rows = int(obs.get["rows"])
-    old = path + ".old"
     os.replace(path, old)
     os.replace(tmp, path)
     shutil.rmtree(old)

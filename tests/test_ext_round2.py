@@ -363,6 +363,43 @@ def test_standardize_zero_mean_unit_var_and_heldout_mode(spark):
     assert got[0] == 0.0 and got[2] == 0.0  # train means: 4.5, 10.0, const
 
 
+def test_vector_norms_arrow_null_vector_yields_null(spark):
+    """A NULL embedding row must produce a NULL norm (matching the JVM
+    higher-order form and the SQL oracle) — the Arrow list slot for a
+    null row is zero-length, so without reading the validity bitmap the
+    ragged path would silently emit 0.0. Covers both batch shapes:
+    all-non-null uniform (fast reshape) and mixed-null (ragged)."""
+    from entity_etl_spark.ext.features import vector_norms_arrow
+
+    rows = [(1, [3.0, 4.0]), (2, None), (3, []), (4, [0.6, 0.8])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.norm for r in vector_norms_arrow(df).collect()}
+    assert got[1] == 5.0
+    assert got[2] is None          # null vector -> null norm
+    assert got[3] == 0.0           # empty (non-null) vector -> 0.0
+    assert got[4] == 1.0
+    # parity with the JVM higher-order form on the same frame
+    jvm = {
+        r.vec_id: r.norm
+        for r in df.select(
+            "vec_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        "embedding",
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                ),
+                6,
+            ).alias("norm"),
+        ).collect()
+    }
+    assert got == jvm
+
+
 def test_clean_text_strips_controls_and_squeezes_whitespace(spark):
     from entity_etl_spark.ext.text import clean_text
 
@@ -690,6 +727,16 @@ def test_apply_bpe_merges_counts_and_runs(spark):
     }
     # doc 2: gagag -> 3 tokens; aga -> (ag) a -> 2 tokens
     assert got == {1: (2, 4), 2: (2, 5), 3: (1, 3), 4: (0, 0)}
+    # single-materialization contract: the (doc, word, cnt) intermediate
+    # is localCheckpointed, so the corpus explode must NOT appear in the
+    # final plan at all (each consumer reads the checkpoint, not lineage)
+    plan = (
+        apply_bpe_merges(docs, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate explode") == 0
 
 
 def test_prepare_training_data_cap_and_shuffle(spark):
@@ -832,7 +879,10 @@ def test_entity_resolution_picks_argmin_with_tiebreak(spark):
         [(100, 1, "martha stewrt"),
          # 'marth stewart': 1 edit from cid 1 (insert 'a') AND 1 edit
          # from cid 2 (substitute) -> a true tie, broken by lower cid
-         (200, 1, "marth stewart")],
+         (200, 1, "marth stewart"),
+         # blk=7 exists in no clean record: zero candidates -> must
+         # still surface, with NULL match (keep_unmatched contract)
+         (300, 7, "nobody home")],
         "did long, blk int, name string",
     )
     got = {
@@ -845,6 +895,13 @@ def test_entity_resolution_picks_argmin_with_tiebreak(spark):
     }
     assert got[100] == (1, 1)
     assert got[200] == (1, 1)  # tie on distance -> lower cid wins
+    assert got[300] == (None, None)  # unmatched surfaces, not dropped
+    matched_only = resolve_entities(
+        dirty, clean,
+        block_cols=["blk"], dirty_id="did", clean_id="cid",
+        dirty_name="name", clean_name="name", keep_unmatched=False,
+    )
+    assert {r.did for r in matched_only.collect()} == {100, 200}
 
 
 def test_statistical_queries_match_reference_implementations(spark):

@@ -192,3 +192,32 @@ def test_compact_parquet_small_files(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 80
     assert sorted(r.id for r in after.collect()) == list(range(80))
+
+
+def test_compact_parquet_crash_reentrancy(spark, tmp_path):
+    """Leftover generations from an interrupted compaction must not be
+    silently clobbered: a stale '.old' (holds the only good copy if the
+    crash hit between the renames) fails fast with recovery guidance; a
+    stale '.compact_tmp' (crash during the write — nothing references
+    it) is discarded and the run proceeds."""
+    import os
+
+    import pytest
+
+    from entity_etl_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(20).write.parquet(path)
+
+    # stale tmp dir: cleaned up, compaction succeeds
+    os.makedirs(path + ".compact_tmp/junk")
+    got = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert got["rows"] == 20
+    assert not os.path.exists(path + ".compact_tmp")
+
+    # stale .old dir: refuse to run, name both paths in the message
+    os.makedirs(path + ".old")
+    with pytest.raises(RuntimeError, match=r"\.old"):
+        compact_parquet(spark, path, target_file_bytes=1 << 30)
+    # table untouched by the refused run
+    assert spark.read.parquet(path).count() == 20
