@@ -181,6 +181,9 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
     rows_per_band: int = 4,
+    *,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from MinHash signatures (doc_a < doc_b).
 
@@ -189,12 +192,26 @@ def lsh_candidate_pairs(
     bucket key (cross-band hash collisions are vanishingly rare and get
     removed by exact verification anyway), so the join key is one long.
 
+    ``max_bucket_size`` caps the self-join fan-out: a degenerate bucket
+    (B near-identical docs, or a stop-shingle signature collision) emits
+    O(B²) pairs — one hot bucket can dominate an entire stage at corpus
+    scale. Buckets above the cap are dropped BEFORE the join (their pairs
+    are overwhelmingly intra-group near-dups that other, smaller buckets
+    of the same docs still surface; the canonical mitigation in MinHash
+    dedup deployments). The per-bucket count is a window over the
+    bucket-partitioned exchange the join needs anyway — no extra shuffle.
+    Pass an ``Observation`` as ``observation`` to account for what the
+    cap dropped: after the first action, ``obs.get`` carries
+    ``lsh_rows_in_dropped_buckets`` and ``lsh_max_bucket_size``.
+
     ``signatures`` MUST be materialized (cached / checkpointed / read from
     storage): each of the ``bands`` bucket expressions references the sig
     column, and Catalyst's projection collapse would otherwise inline — and
     recompute — the full signature fold once per band, and again for each
     side of the self-join (:func:`minhash_near_dups` handles this). Tune
     bands×rows for the target threshold t ≈ (1/bands)^(1/rows)."""
+    from pyspark.sql import Window
+
     b = signatures.select(
         "doc",
         F.explode(
@@ -208,6 +225,18 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     ).repartition(F.col("bucket"))
+    if max_bucket_size is not None:
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        b = b.withColumn("__bsz", bsz)
+        if observation is not None:
+            b = b.observe(
+                observation,
+                F.sum(
+                    (F.col("__bsz") > max_bucket_size).cast("long")
+                ).alias("lsh_rows_in_dropped_buckets"),
+                F.max("__bsz").alias("lsh_max_bucket_size"),
+            )
+        b = b.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     left = b.alias("l")
     right = b.alias("r")
     return (
@@ -221,6 +250,29 @@ def lsh_candidate_pairs(
     )
 
 
+def materialize_signatures(
+    sig: DataFrame, path: str | None = None
+) -> DataFrame:
+    """Materialize a signature table for its multi-consumer downstream
+    (band explode × both self-join sides would otherwise recompute the
+    signature fold once each).
+
+    ``path=None`` → ``localCheckpoint(eager=True)``: executor-memory/disk
+    blocks, zero filesystem setup — right for single-process and
+    test-scale runs, but blocks are LOST on executor death and pin
+    executor storage for the job's lifetime.
+
+    ``path`` given → write parquet once, return a scan of the file: the
+    deployment form. Survives executor loss, caps memory at scan-batch
+    granularity, and a later incremental run (
+    :func:`minhash_dedup_incremental`) reads the same table as its
+    ``corpus_sigs`` state instead of recomputing corpus signatures."""
+    if path is None:
+        return sig.localCheckpoint(eager=True)
+    sig.write.mode("overwrite").parquet(path)
+    return sig.sparkSession.read.parquet(path)
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -230,12 +282,26 @@ def minhash_near_dups(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float | None = 0.5,
+    max_bucket_size: int | None = None,
+    observation=None,
+    signature_path: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs, optionally exact-verified.
 
     The scale pipeline: signatures (map-side) → banded buckets (small
     shuffle) → candidates (bucket join) → exact Jaccard only on candidates
-    (join back to shingles of candidate docs only)."""
+    (join back to shingles of candidate docs only).
+
+    ``max_bucket_size`` / ``observation`` pass through to
+    :func:`lsh_candidate_pairs` (hot-bucket cap + dropped accounting).
+
+    ``signature_path`` switches signature materialization from
+    ``localCheckpoint`` (fine single-process; at cluster scale it pins
+    executor storage and dies with the executor) to a STORAGE-backed
+    persist: signatures are written to parquet at that path once and every
+    downstream consumer (band explode, both self-join sides, incremental
+    reuse in a later run) scans the file — the deployment-path form of
+    "persist the signature table"."""
     rows_per_band = num_hashes // bands
     # spread the CPU-heavy map-side signature work across all cores: a small
     # parquet file arrives as one scan partition (maxPartitionBytes) and
@@ -246,12 +312,18 @@ def minhash_near_dups(
     if len(df.inputFiles() or ()) < parallelism:
         df = df.repartition(parallelism)
     # materialize signatures: the band expressions and the self-join would
-    # otherwise re-inline (and re-run) the signature fold bands×2 times; at
-    # deployment scale this is the "persist the signature table" step
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).localCheckpoint(
-        eager=True
+    # otherwise re-inline (and re-run) the signature fold bands×2 times
+    sig = materialize_signatures(
+        minhash_signatures(df, id_col, text_col, num_hashes, k),
+        signature_path,
     )
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
+    cand = lsh_candidate_pairs(
+        sig,
+        bands,
+        rows_per_band,
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+    )
     if verify_threshold is None:
         return cand
     # the candidate set is consumed three times by verification (two sides
@@ -331,7 +403,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    *,
+    max_block_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Pairs of docs whose SimHashes are within ``max_hamming`` bits.
 
@@ -345,7 +423,15 @@ def simhash_near_dups(
     ``distinct`` collapses pairs that collide in several blocks.
 
     Cost: |docs| × blocks rows in the join (tiny — (doc, long, int, long)),
-    candidate count driven by block-key collisions, not |docs|²."""
+    candidate count driven by block-key collisions, not |docs|². A hot
+    block key (a corpus of near-identical docs collapses whole signature
+    blocks) still fans out O(B²): ``max_block_size`` drops oversized
+    (blk, key) groups before the join, same contract and accounting
+    (``simhash_rows_in_dropped_blocks`` / ``simhash_max_block_size`` on
+    ``observation``) as :func:`lsh_candidate_pairs`. NOTE the pigeonhole
+    never-miss guarantee then holds only for pairs retaining at least one
+    un-dropped shared block — the cap trades recall on mega-groups for a
+    bounded stage, exactly like the LSH cap."""
     blocks = max_hamming + 1
     bits = 64 // blocks
     # signatures are one row per doc; materialize so the 64-aggregate
@@ -369,6 +455,23 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.blk", "bk.key")
+    if max_block_size is not None:
+        from pyspark.sql import Window
+
+        blocked = blocked.repartition(F.col("blk"), F.col("key"))
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("blk", "key"))
+        blocked = blocked.withColumn("__bsz", bsz)
+        if observation is not None:
+            blocked = blocked.observe(
+                observation,
+                F.sum(
+                    (F.col("__bsz") > max_block_size).cast("long")
+                ).alias("simhash_rows_in_dropped_blocks"),
+                F.max("__bsz").alias("simhash_max_block_size"),
+            )
+        blocked = blocked.filter(
+            F.col("__bsz") <= max_block_size
+        ).drop("__bsz")
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -397,6 +500,8 @@ def drop_near_dups(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float | None = 0.5,
+    max_bucket_size: int | None = None,
+    signature_path: str | None = None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: keep one representative per near-dup
     group (the standard keep-the-smaller-id policy over MinHash pairs, as
@@ -405,11 +510,15 @@ def drop_near_dups(
     at least its minimum-id member).
 
     Returns df minus dropped docs — the "switch your corpus to the deduped
-    one" API; :func:`minhash_near_dups` is the pair-level forensic view."""
+    one" API; :func:`minhash_near_dups` is the pair-level forensic view.
+    ``max_bucket_size`` / ``signature_path`` thread through to the LSH
+    candidate stage (hot-bucket cap; storage-backed signature persist)."""
     pairs = minhash_near_dups(
         df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, k=k,
         verify_threshold=verify_threshold,
+        max_bucket_size=max_bucket_size,
+        signature_path=signature_path,
     )
     losers = pairs.select(F.col("doc_b").alias("__loser")).distinct()
     return df.join(losers, df[id_col] == losers["__loser"], "left_anti")
@@ -490,6 +599,7 @@ def minhash_dedup_incremental(
     bands: int = 8,
     k: int = 3,
     verify_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup: drop batch docs near-duplicate to the
     accumulated corpus (or to a smaller-id batch sibling) — the MinHash
@@ -520,7 +630,9 @@ def minhash_dedup_incremental(
         )
     batch_sigs = minhash_signatures(batch, id_col, text_col, num_hashes, k)
     all_sigs = corpus_sigs.unionByName(batch_sigs).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(all_sigs, bands, rows_per_band)
+    cand = lsh_candidate_pairs(
+        all_sigs, bands, rows_per_band, max_bucket_size=max_bucket_size
+    )
     batch_ids = batch.select(F.col(id_col).alias("doc_b")).distinct()
     # only pairs whose GREATER side is a batch doc can drop anything:
     # corpus-corpus pairs were settled in earlier increments

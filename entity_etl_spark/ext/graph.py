@@ -84,6 +84,44 @@ def connected_components(
     return labels.select("node", "comp")
 
 
+def keep_best_per_group(
+    grouped: DataFrame,
+    *,
+    group_col: str = "group_rep",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Flag each group's winner (max ``score_col``, min ``id_col``
+    tie-break): (id_col, group_col, kept boolean) — the canonical-
+    selection reduction that turns near-dup groups into keep/drop.
+
+    Deliberately NOT a row_number window: the kept flag is needed on
+    EVERY row, so WindowGroupLimit cannot prune, and a pathological
+    mega-group (an all-identical corpus collapses into one component)
+    would funnel through a single sort task. ``min_by`` over
+    (-score, id) is a hash aggregate instead — partial aggregation
+    collapses each partition's slice of the mega-group to ONE row before
+    the shuffle, so per-task work is bounded by partition size, not
+    group size; the winner table (one row per group) then joins back
+    broadcast-or-bucketed on the group key."""
+    winners = grouped.groupBy(group_col).agg(
+        F.min_by(
+            id_col,
+            F.struct(
+                (-F.col(score_col)).alias("s"), F.col(id_col).alias("i")
+            ),
+        ).alias("__winner")
+    )
+    return (
+        grouped.join(winners, group_col)
+        .select(
+            id_col,
+            group_col,
+            (F.col(id_col) == F.col("__winner")).alias("kept"),
+        )
+    )
+
+
 def near_dup_groups(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
 ) -> DataFrame:

@@ -169,6 +169,8 @@ def lsh_topk(
     n_planes: int = 6,
     n_probe: int = 1,
     probe: str = "margin",
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing the query's
     hyperplane bucket. Equi-join on the bucket key replaces the cross join —
@@ -180,7 +182,16 @@ def lsh_topk(
     untouched). ``probe="margin"`` flips the query's least-confident planes
     (smallest |dot|, cf. multi-probe LSH literature); ``probe="fixed"``
     flips plane positions 0..n_probe-2 (the baseline the unit test compares
-    against)."""
+    against).
+
+    ``max_bucket_size`` caps the CORPUS side of a hot bucket (a dense
+    embedding cluster puts B rows behind one sign pattern; every query
+    probing it then scores B rows): oversized buckets are dropped before
+    the join, with dropped-row accounting on ``observation``
+    (``lshtopk_rows_in_dropped_buckets`` / ``lshtopk_max_bucket_size``) —
+    same hot-bucket contract as ``dedup.lsh_candidate_pairs``. Queries
+    landing only in dropped buckets return fewer than k rows; raise
+    ``n_probe`` to recover."""
     from pyspark.sql import Window
 
     c = corpus.select(
@@ -188,6 +199,19 @@ def lsh_topk(
         F.col(vec_col).alias("__cvec"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
     )
+    if max_bucket_size is not None:
+        c = c.repartition(F.col("__bucket"))
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
+        c = c.withColumn("__bsz", bsz)
+        if observation is not None:
+            c = c.observe(
+                observation,
+                F.sum(
+                    (F.col("__bsz") > max_bucket_size).cast("long")
+                ).alias("lshtopk_rows_in_dropped_buckets"),
+                F.max("__bsz").alias("lshtopk_max_bucket_size"),
+            )
+        c = c.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     if probe == "margin" and n_probe > 1:
         probe_buckets = lsh_margin_probe_buckets(
             F.col(vec_col), dim, n_planes, n_probe

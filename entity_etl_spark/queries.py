@@ -7641,7 +7641,7 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_neardup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.dedup import minhash_near_dups
-    from .ext.graph import near_dup_groups
+    from .ext.graph import keep_best_per_group, near_dup_groups
 
     docs = read_sf_table(spark, sf, "documents")
     # the 100 TB pair path: LSH-bucketed candidates, exact-verified at
@@ -7658,10 +7658,10 @@ def q_neardup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     g = grouped.join(d, grouped["doc"] == d["doc_id"]).select(
         "doc_id", "group_rep", "n_chars"
     )
-    w = Window.partitionBy("group_rep").orderBy(F.desc("n_chars"), "doc_id")
-    gk = g.withColumn("kept", F.row_number().over(w) == 1).select(
-        "doc_id", "group_rep", "kept"
-    )
+    # min_by hash-agg argmax, not a row_number window: an all-identical
+    # mega-group would funnel the window's sort into one task; the agg
+    # partial-combines map-side (ext/graph.keep_best_per_group)
+    gk = keep_best_per_group(g)
     rest = d.join(gk.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id",
         F.col("doc_id").alias("group_rep"),

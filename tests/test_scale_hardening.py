@@ -1,0 +1,227 @@
+"""Round-4 scale hardening: hot-bucket caps on every LSH-family candidate
+stage, storage-backed signature materialization, and the skew-proof
+canonical-selection argmax.
+
+The failure family under test is the one the heavy bench caught twice in
+round 3 (semantic_dedup_pairs, neardup_keep_best): a degenerate key —
+one hot LSH bucket, one hot SimHash block, one mega near-dup group —
+turns a bucketed/banded plan back into O(B²) or a single-task sort.
+Each fixture here plants exactly that degenerate key and asserts the
+capped/aggregated form bounds it, with dropped-work accounting."""
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+
+def _mega_corpus(spark, n_clones=40):
+    """n_clones byte-identical docs (one hot bucket in every band) plus
+    one ordinary near-dup pair and one unrelated doc."""
+    clone = "the quick brown fox jumps over the lazy dog near the river bank"
+    # the 1001/1002 pair is an exact dup: every band/block collides, so
+    # its buckets have size exactly 2 and must survive any cap > 2
+    small = "spark catalyst plans the shuffle stages for the query"
+    rows = [(i, clone) for i in range(1, n_clones + 1)]
+    rows += [
+        (1001, small),
+        (1002, small),
+        (2001, "completely unrelated content about alpine meadow flowers"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket(spark):
+    from entity_etl_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _mega_corpus(spark)
+    sig = minhash_signatures(docs, "doc_id", "text").localCheckpoint()
+
+    uncapped = lsh_candidate_pairs(sig, 8, 4)
+    # the 40 clones alone contribute 40*39/2 = 780 pairs
+    assert uncapped.count() >= 780
+
+    obs = Observation("lsh_cap")
+    capped = lsh_candidate_pairs(
+        sig, 8, 4, max_bucket_size=10, observation=obs
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # every clone bucket (size 40 > 10) dropped -> no clone pairs at all
+    assert not any(a <= 40 and b <= 40 for a, b in got)
+    # the ordinary near-dup pair rides buckets of size 2 -> survives
+    assert (1001, 1002) in got
+    # accounting: the dropped rows and the hot-bucket size are observable
+    m = obs.get
+    assert m["lsh_rows_in_dropped_buckets"] > 0
+    assert m["lsh_max_bucket_size"] == 40
+
+
+def test_lsh_cap_none_and_loose_cap_change_nothing(spark):
+    """Parity guard: cap disabled (default) and a cap above every bucket
+    size must both reproduce the uncapped pair set exactly — the
+    registry queries run uncapped, so their oracles stay green."""
+    from entity_etl_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _mega_corpus(spark, n_clones=5)
+    sig = minhash_signatures(docs, "doc_id", "text").localCheckpoint()
+    base = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig, 8, 4).collect()}
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sig, 8, 4, max_bucket_size=10_000
+        ).collect()
+    }
+    assert base == loose
+
+
+def test_simhash_block_cap_bounds_hot_block(spark):
+    from entity_etl_spark.ext.dedup import simhash_near_dups
+
+    docs = _mega_corpus(spark)
+    uncapped = simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+    assert uncapped.count() >= 780
+
+    obs = Observation("simhash_cap")
+    capped = simhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        max_block_size=10,
+        observation=obs,
+    )
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert not any(a <= 40 and b <= 40 for a, b in got)
+    # the near-identical 1001/1002 pair shares at least one small block
+    assert (1001, 1002) in got
+    m = obs.get
+    assert m["simhash_rows_in_dropped_blocks"] > 0
+    assert m["simhash_max_block_size"] >= 40
+
+
+def test_lsh_topk_corpus_bucket_cap(spark):
+    from entity_etl_spark.ext.similarity import lsh_topk
+
+    dim = 8
+    # 50 identical corpus vectors -> one hot sign-pattern bucket;
+    # 3 distinct vectors in other buckets
+    rows = [(i, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]) for i in range(50)]
+    rows += [
+        (100, [-1.0, 2.0, -3.0, 4.0, -5.0, 6.0, -7.0, 8.0]),
+        (101, [-1.0, 2.1, -3.0, 4.1, -5.0, 6.1, -7.0, 8.1]),
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),
+            (100, [-1.0, 2.0, -3.0, 4.0, -5.0, 6.0, -7.0, 8.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    obs = Observation("lshtopk_cap")
+    got = lsh_topk(
+        corpus,
+        queries,
+        dim=dim,
+        n_planes=4,
+        k=5,
+        max_bucket_size=10,
+        observation=obs,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # query 0's hot bucket was dropped entirely -> no neighbors from it
+    assert not (by_q.get(0, set()) & set(range(50)))
+    # query 100's small bucket is untouched
+    assert 101 in by_q.get(100, set())
+    m = obs.get
+    assert m["lshtopk_rows_in_dropped_buckets"] >= 50
+    assert m["lshtopk_max_bucket_size"] >= 50
+
+
+def test_materialize_signatures_storage_backed(spark, tmp_path):
+    """signature_path switches the signature materialization to a real
+    parquet table: the candidate plan must SCAN that file (no recompute
+    of the signature fold per consumer, survives executor loss), and the
+    pair results must equal the localCheckpoint form."""
+    from entity_etl_spark.ext.dedup import minhash_near_dups
+
+    from entity_etl_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        materialize_signatures,
+        minhash_signatures,
+    )
+
+    docs = _mega_corpus(spark, n_clones=5)
+    sig_path = str(tmp_path / "sigs")
+    # stage-level plan contract: every consumer of the materialized
+    # signatures reads the parquet file, not recomputed lineage
+    sig = materialize_signatures(
+        minhash_signatures(docs, "doc_id", "text"), sig_path
+    )
+    plan = (
+        lsh_candidate_pairs(sig, 8, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "sigs" in plan and "parquet" in plan.lower()
+    assert "Generate explode(split" not in plan  # no signature recompute
+    # end-to-end equality vs the localCheckpoint form
+    stored = minhash_near_dups(
+        docs, "doc_id", "text", verify_threshold=0.5,
+        signature_path=sig_path,
+    )
+    local = minhash_near_dups(docs, "doc_id", "text", verify_threshold=0.5)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+    # and the persisted table is the incremental state shape: (doc, sig)
+    sigs = spark.read.parquet(sig_path)
+    assert set(sigs.columns) == {"doc", "sig"}
+    assert sigs.count() == docs.count()
+
+
+def test_keep_best_per_group_mega_group_no_window(spark):
+    """The canonical-selection argmax must survive an all-identical
+    corpus (one group holding every row): hash aggregate with map-side
+    partial combine, never a row_number window whose sort funnels the
+    mega-group into a single task."""
+    from entity_etl_spark.ext.graph import keep_best_per_group
+
+    n = 10_000
+    g = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("group_rep"),
+        # two docs tie at the max length -> min doc_id wins
+        F.when(F.col("id").isin(17, 23), 500).otherwise(100).alias(
+            "n_chars"
+        ),
+    ).repartition(8)
+    out = keep_best_per_group(g)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min_by" in plan  # map-side combine proves skew-safety
+    kept = [r.doc_id for r in out.filter("kept").collect()]
+    assert kept == [17]
+    assert out.count() == n
+
+
+def test_keep_best_per_group_multiple_groups(spark):
+    from entity_etl_spark.ext.graph import keep_best_per_group
+
+    g = spark.createDataFrame(
+        [
+            (1, 1, 10), (2, 1, 30), (3, 1, 30),   # winner: 2 (tie -> min id)
+            (7, 7, 5), (9, 7, 4),                 # winner: 7
+        ],
+        ["doc_id", "group_rep", "n_chars"],
+    )
+    got = {r.doc_id: r.kept for r in keep_best_per_group(g).collect()}
+    assert got == {1: False, 2: True, 3: False, 7: True, 9: False}
