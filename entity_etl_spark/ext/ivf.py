@@ -42,14 +42,28 @@ def train_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iterations: int = 2,
+    sample_fraction: float | None = None,
 ):
     """Deterministic spherical k-means; returns a numpy (k, dim) matrix.
 
     Init = vectors with the k smallest xxhash64(id). Each Lloyd iteration:
     map-side assignment + one (cluster, dim) aggregation; only k×dim floats
-    ever reach the driver."""
+    ever reach the driver.
+
+    ``sample_fraction`` trains on a deterministic hash-sample of the
+    corpus (``ext.sampling.hash_sample`` — membership is a pure function
+    of the id, so training is reproducible across runs and cluster
+    layouts). Centroid quality needs a representative sample, not every
+    row: at 100 TB run Lloyd over ~1e6-1e8 sampled vectors and
+    :func:`assign_cells` over the full corpus — each iteration's scan
+    cost drops by 1/fraction while recall is statistically unchanged
+    (the recall-gated unit tests run both modes)."""
     import numpy as np
 
+    if sample_fraction is not None:
+        from .sampling import hash_sample
+
+        corpus = hash_sample(corpus, id_col, sample_fraction)
     seed_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -123,15 +137,21 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids=None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the ``n_probe`` cells
-    nearest each query. Candidate volume ≈ corpus × n_probe / n_centroids."""
+    nearest each query. Candidate volume ≈ corpus × n_probe / n_centroids.
+    ``sample_fraction`` passes through to :func:`train_centroids`
+    (hash-sampled Lloyd training; assignment always runs full-corpus)."""
     import numpy as np
 
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = train_centroids(corpus, id_col, vec_col, n_centroids)
+        centroids = train_centroids(
+            corpus, id_col, vec_col, n_centroids,
+            sample_fraction=sample_fraction,
+        )
 
     cells = assign_cells(corpus, centroids, id_col, vec_col)
 

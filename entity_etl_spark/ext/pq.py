@@ -49,15 +49,26 @@ def train_pq_codebooks(
     m: int = 8,
     k: int = 16,
     iterations: int = 2,
+    sample_fraction: float | None = None,
 ) -> PQCodebooks:
     """Per-subspace k-means codebooks over unit-normalized vectors.
 
     Init: the k vectors with the smallest xxhash64(id) seed every
     subspace (deterministic, no RNG). Each Lloyd iteration runs ONE
     distributed pass: per-row numpy assignment against the broadcast
-    codebooks, then a (subspace, cluster) aggregation of partial sums."""
+    codebooks, then a (subspace, cluster) aggregation of partial sums.
+
+    ``sample_fraction``: train the codebooks on a deterministic
+    hash-sample (``ext.sampling.hash_sample``) — codeword quality needs
+    a representative sample, not the full corpus; encoding
+    (:func:`encode_pq`) always runs over every row. The standard
+    100 TB shape: sample for Lloyd, full-scan once for codes."""
     import numpy as np
 
+    if sample_fraction is not None:
+        from .sampling import hash_sample
+
+        corpus = hash_sample(corpus, id_col, sample_fraction)
     seed_rows = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))

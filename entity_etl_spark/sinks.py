@@ -56,47 +56,94 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def http_sink(
     bodies: DataFrame,
-    post: Callable[[str], int] | None = None,
+    post: Callable | None = None,
     *,
     method: str = "PUT",
     url: str | None = None,
     headers: dict[str, str] | None = None,
+    max_retries: int = 0,
+    backoff_s: float = 0.5,
 ) -> None:
     """Send each assembled batch body (batch.py:assemble_bodies output).
 
-    ``post(body) -> status_code`` is the injected transport; when None, a
-    stdlib ``urllib`` client posting to ``url`` is used. One HTTP round-trip
-    per batch row, executed on the executors partition-parallel — the
-    distributed analogue of the reference's sequential per-batch await
+    ``post`` is the injected transport; when None, a stdlib ``urllib``
+    client posting to ``url`` is used. One HTTP round-trip per batch row,
+    executed on the executors partition-parallel — the distributed
+    analogue of the reference's sequential per-batch await
     (app.js:99-111).
-    """
+
+    Delivery semantics (reference parity + the distributed extra):
+    fail-fast on non-2xx like http.js:15-19, but distributed execution
+    adds a failure mode the sequential reference never has — a task that
+    dies MID-partition is re-run by Spark from the partition's first
+    row, re-sending every body the failed attempt already delivered. So
+    the sink is at-least-once per BODY, and each request carries a
+    deterministic ``Idempotency-Key`` header (md5 of the body) so a
+    conforming receiver can collapse replays into exactly-once effect;
+    an upsert-by-id receiver (the reference's documented contract,
+    README.md:161-171) is naturally idempotent and may ignore the key.
+
+    An injected ``post`` may accept ``(body)`` or ``(body, key)``
+    (arity-detected); return the HTTP status int.
+
+    ``max_retries`` > 0 enables per-request retry with exponential
+    backoff (``backoff_s * 2**attempt``) on TRANSIENT outcomes only —
+    408/429/5xx and transport exceptions; 4xx client errors fail fast
+    with no retry (a malformed body never heals). Retries re-send with
+    the SAME idempotency key. Task-level Spark retries sit above this
+    and replay whole partitions; both layers rely on the key/upsert
+    contract for dedup."""
+    import hashlib
+    import inspect
+
     if post is None:
         if url is None:
             raise ValueError("http_sink needs either a post callable or a url")
         frozen_headers = dict(headers or {"Content-Type": "application/json"})
         frozen_method, frozen_url = method, url
 
-        def post(body: str) -> int:  # pragma: no cover - network path
+        def post(body: str, key: str) -> int:  # pragma: no cover - network
             import urllib.request
 
             req = urllib.request.Request(
                 frozen_url,
                 data=body.encode("utf-8"),
-                headers=frozen_headers,
+                headers={**frozen_headers, "Idempotency-Key": key},
                 method=frozen_method,
             )
             with urllib.request.urlopen(req) as resp:
                 resp.read()
                 return resp.status
 
-    sender = post
+    try:
+        takes_key = len(inspect.signature(post).parameters) >= 2
+    except (TypeError, ValueError):  # builtins without signatures
+        takes_key = False
+    sender, retries, backoff = post, max_retries, backoff_s
+
+    def send_one(body: str) -> None:
+        import time
+
+        key = hashlib.md5(body.encode("utf-8")).hexdigest()
+        for attempt in range(retries + 1):
+            try:
+                status = sender(body, key) if takes_key else sender(body)
+            except Exception:
+                if attempt >= retries:
+                    raise
+                time.sleep(backoff * (2**attempt))
+                continue
+            if 200 <= status < 300:
+                return
+            transient = status in (408, 429) or status >= 500
+            if not transient or attempt >= retries:
+                # fail-fast on non-2xx (reference http.js:15-19)
+                raise RuntimeError(f"sink returned HTTP {status}")
+            time.sleep(backoff * (2**attempt))
 
     def send_partition(rows) -> None:
         for row in rows:
-            status = sender(row["body"])
-            if not (200 <= status < 300):
-                # fail-fast on non-2xx (reference http.js:15-19)
-                raise RuntimeError(f"sink returned HTTP {status}")
+            send_one(row["body"])
 
     bodies.select("body").foreachPartition(send_partition)
 

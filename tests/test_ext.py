@@ -225,6 +225,70 @@ def test_ivf_topk_high_recall_on_clustered_data(spark):
     assert recall == 1.0
 
 
+def test_ivf_sampled_training_keeps_recall(spark):
+    """sample_fraction trains Lloyd on a hash-sample only (the 100 TB
+    shape: sample for training, full corpus for assignment) — on
+    well-separated clusters the recall gate must hold unchanged."""
+    import math
+
+    from entity_etl_spark.ext.ivf import ivf_topk
+    from entity_etl_spark.ext.similarity import topk_brute_force
+
+    rows = []
+    for i in range(60):
+        base = 0.0 if i < 30 else math.pi
+        a = base + (i % 30) * 0.01
+        rows.append((i, [math.cos(a), math.sin(a)], 0))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = vecs.filter("vec_id IN (0, 40)")
+
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             topk_brute_force(vecs, q, k=3).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            vecs, q, k=3, n_centroids=2, n_probe=1, sample_fraction=0.5
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) == 1.0
+
+
+def test_pq_sampled_training_keeps_recall(spark):
+    """PQ codebooks trained on a hash-sample must still pass the
+    reranked recall gate (encoding always runs full-corpus)."""
+    import math
+
+    from entity_etl_spark.ext.pq import (
+        encode_pq,
+        pq_topk_reranked,
+        train_pq_codebooks,
+    )
+    from entity_etl_spark.ext.similarity import topk_brute_force
+
+    rows = []
+    for i in range(60):
+        base = 0.0 if i < 30 else math.pi / 2
+        a = base + (i % 30) * 0.01
+        rows.append(
+            (i, [math.cos(a), math.sin(a), math.cos(2 * a), math.sin(2 * a)])
+        )
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = vecs.filter("vec_id IN (0, 40)")
+    books = train_pq_codebooks(
+        vecs, m=2, k=8, iterations=2, sample_fraction=0.5
+    )
+    codes = encode_pq(vecs, books)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             topk_brute_force(vecs, q, k=3).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk_reranked(
+            vecs, codes, q, books, k=3, shortlist=10
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 2 / 3
+
+
 def test_ivf_centroids_deterministic(spark):
     import numpy as np
 

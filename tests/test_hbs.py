@@ -153,3 +153,187 @@ def test_every_reference_template_renders_through_hbs(spark):
             assert obj and all(isinstance(v, str) for v in obj.values()), name
             rendered_ok += 1
     assert rendered_ok == len(files) - len(broken)
+
+
+# --------------------------------------------------------------- fuzzing
+# Independent pure-Python renderer of the supported dialect. Deliberately
+# NOT built on hbs._parse/_compile: the goldens pin the 21 reference
+# templates byte-for-byte, but only a from-first-principles second
+# implementation can catch dialect regressions (escaping order, nested
+# #with scoping, ""-falsy) on templates nobody has written yet.
+
+_FUZZ_ESCAPES = [
+    ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+    ("'", "&#x27;"), ("`", "&#x60;"), ("=", "&#x3D;"),
+]
+
+
+def _py_escape(s):
+    for a, b in _FUZZ_ESCAPES:
+        s = s.replace(a, b)
+    return s
+
+
+def _py_resolve(expr, row, dtypes, env, subject):
+    expr = expr.strip()
+    if expr in (".", "this"):
+        expr = subject
+    if expr.startswith("env."):
+        return env.get(expr[4:], ""), "string", True
+    if expr.startswith("entity."):
+        expr = expr[len("entity."):]
+    if expr not in dtypes:
+        return None, None, False
+    return row[expr], dtypes[expr], True
+
+def _py_to_str(v, dtype):
+    if v is None:
+        return ""
+    if dtype == "boolean":
+        return "true" if v else "false"
+    return str(v)
+
+
+def _py_truthy(v, dtype):
+    if v is None:
+        return False
+    if dtype == "string":
+        return v != ""
+    if dtype == "boolean":
+        return bool(v)
+    return v != 0
+
+
+def _py_render(parts, row, dtypes, env, subject=None):
+    out = []
+    for p in parts:
+        kind = p[0]
+        if kind == "lit":
+            out.append(p[1])
+        elif kind == "ref":
+            _, expr, escaped = p
+            v, dtype, found = _py_resolve(expr, row, dtypes, env, subject)
+            if not found:
+                out.append("")
+            else:
+                s = _py_to_str(v, dtype)
+                out.append(
+                    _py_escape(s) if escaped and dtype == "string" else s
+                )
+        else:  # ("with", subject_expr, then_parts, else_parts)
+            _, sub, then_p, else_p = p
+            v, dtype, found = _py_resolve(sub, row, dtypes, env, subject)
+            if found and _py_truthy(v, dtype):
+                out.append(_py_render(then_p, row, dtypes, env, sub))
+            else:
+                out.append(_py_render(else_p, row, dtypes, env, subject))
+    return "".join(out)
+
+
+def _parts_to_template(parts):
+    buf = []
+    for p in parts:
+        if p[0] == "lit":
+            buf.append(p[1])
+        elif p[0] == "ref":
+            buf.append(
+                "{{{%s}}}" % p[1] if not p[2] else "{{%s}}" % p[1]
+            )
+        else:
+            buf.append("{{#with %s}}" % p[1])
+            buf.append(_parts_to_template(p[2]))
+            buf.append("{{else}}")
+            buf.append(_parts_to_template(p[3]))
+            buf.append("{{/with}}")
+    return "".join(buf)
+
+
+_FUZZ_ROWS = [
+    (None, "", 0, None),
+    ("a&b<c>\"d'", "x`y=z", 1, True),
+    ("", "&amp;", -3, False),
+    ("plain text", "\n two ", 0, True),
+    ("`=&<>", "e", 9999999, None),
+]
+_FUZZ_DTYPES = {"s1": "string", "s2": "string", "n": "int", "b": "boolean"}
+
+
+def test_hbs_dialect_fuzz_against_independent_renderer(spark):
+    """Randomized templates (refs raw+escaped, env refs, missing columns,
+    nested #with/else, special-char literals) rendered by the Column
+    compiler must match the independent Python renderer on every fixture
+    row — nulls, ""-falsy, 0-falsy, escaping inside/outside blocks."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from entity_etl_spark.hbs import render_hbs
+
+    os.environ["HBS_FUZZ_ENV"] = "en&v<val>"
+    env = {"HBS_FUZZ_ENV": "en&v<val>"}
+
+    lit_text = st.text(
+        alphabet="ab &<>\"'`=\n.#!x", min_size=0, max_size=8
+    ).filter(lambda s: s != "")
+    ref_expr = st.sampled_from(
+        ["s1", "s2", "n", "b", "entity.s1", "entity.n",
+         "missing_col", "env.HBS_FUZZ_ENV", " s1 "]
+    )
+    with_subject = st.sampled_from(
+        ["s1", "s2", "n", "b", "entity.s2", "missing_col",
+         "env.HBS_FUZZ_ENV"]
+    )
+    inner_expr = st.sampled_from(["s1", "n", ".", "this", "missing_col"])
+
+    def part_strategy(depth):
+        leaf = st.one_of(
+            st.tuples(st.just("lit"), lit_text),
+            st.tuples(st.just("ref"), ref_expr, st.booleans()),
+            st.tuples(st.just("ref"), inner_expr, st.booleans())
+            if depth > 0
+            else st.tuples(st.just("ref"), ref_expr, st.booleans()),
+        )
+        if depth >= 2:
+            return leaf
+        sub = st.lists(part_strategy(depth + 1), min_size=0, max_size=3)
+        block = st.tuples(st.just("with"), with_subject, sub, sub)
+        return st.one_of(leaf, leaf, block)
+
+    templates = st.lists(part_strategy(0), min_size=1, max_size=5)
+
+    df = spark.createDataFrame(
+        _FUZZ_ROWS, "s1 string, s2 string, n int, b boolean"
+    )
+    rows = [dict(zip(["s1", "s2", "n", "b"], r)) for r in _FUZZ_ROWS]
+
+    @given(parts=templates)
+    @settings(max_examples=30, deadline=None)
+    def check(parts):
+        # '.' outside a #with is a compile error by contract; prune any
+        # top-level dot refs the strategy produced
+        def prune(ps, in_with):
+            out = []
+            for p in ps:
+                if p[0] == "ref" and not in_with and p[1] in (".", "this"):
+                    continue
+                if p[0] == "with":
+                    out.append(
+                        ("with", p[1], prune(p[2], True), prune(p[3], in_with))
+                    )
+                else:
+                    out.append(p)
+            return out
+
+        parts = prune(parts, False)
+        template = _parts_to_template(parts)
+        got = [
+            r.rendered
+            for r in render_hbs(df, template).select("rendered").collect()
+        ]
+        want = [
+            _py_render(parts, row, _FUZZ_DTYPES, env) for row in rows
+        ]
+        assert got == want, template
+
+    check()
