@@ -375,19 +375,49 @@ def jaccard_verify(
 
 
 # ------------------------------------------------------------------- SimHash
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per document: bit b of the signature is the majority
     vote of bit b across the doc's token hashes.
 
     Implemented as 64 conditional-sum aggregates over exploded tokens —
-    entirely JVM-side, map-side combined. Output: (doc, simhash long)."""
+    entirely JVM-side, map-side combined. Output: (doc, simhash long).
+
+    ``hash_fn="md5"`` derives the 64 token bits from the repo's PORTABLE
+    cross-engine hash (two 32-bit ints from md5 hex prefixes — the only
+    hash both Spark and DuckDB evaluate identically): bits 0..31 from
+    md5[1:8], bits 32..63 from md5[9:16]. Each half stays inside a
+    positive 32-bit range so an ANSI oracle can restate the whole
+    signature without 64-bit overflow; xxhash64 (default) is cheaper
+    JVM-side and the right choice when no cross-engine replay is
+    needed."""
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(text_col)).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    )
+    if hash_fn == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("t"))
+        half = {"lo": F.col("h"), "hi": F.shiftright("h", 32)}
+    elif hash_fn == "md5":
+        tok = tok.withColumn("__m", F.md5("t"))
+        half = {
+            "lo": F.conv(F.substring("__m", 1, 8), 16, 10).cast("long"),
+            "hi": F.conv(F.substring("__m", 9, 8), 16, 10).cast("long"),
+        }
+    else:
+        raise ValueError(f"unknown simhash hash_fn: {hash_fn}")
     aggs = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(half["hi" if b >= 32 else "lo"], b % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]
@@ -410,6 +440,7 @@ def simhash_near_dups(
     *,
     max_block_size: int | None = None,
     observation=None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs of docs whose SimHashes are within ``max_hamming`` bits.
 
@@ -436,7 +467,7 @@ def simhash_near_dups(
     bits = 64 // blocks
     # signatures are one row per doc; materialize so the 64-aggregate
     # simhash fold runs once, not once per self-join side
-    sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    sig = simhash(df, id_col, text_col, hash_fn).localCheckpoint(eager=True)
     mask = (1 << bits) - 1
     blocked = sig.select(
         "doc",

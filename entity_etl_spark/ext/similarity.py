@@ -91,10 +91,37 @@ def topk_brute_force(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int) -> Column:
+def _hyperplane(dim: int, plane_idx: int, plane_fn: str = "xxhash64") -> Column:
     """Deterministic pseudo-random hyperplane: component j of plane i is a
-    zero-mean value derived from xxhash64(i, j). No driver-side RNG state —
-    executors regenerate it identically (closure captures only ints)."""
+    zero-mean value derived from a hash of (i, j). No driver-side RNG state —
+    executors regenerate it identically (closure captures only ints).
+
+    ``plane_fn="md5"``: the repo's portable cross-engine recipe —
+    component = md5-prefix-int('i_j') / 2^31 - 1 (exactly representable,
+    so an ANSI oracle regenerates the planes bit-for-bit); paired with
+    round-9 dot quantization in the callers so sign/margin decisions
+    agree across engines. xxhash64 (default) is cheaper JVM-side."""
+    if plane_fn == "md5":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_", F.lit(str(plane_idx)), j.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(2147483648.0)
+            - F.lit(1.0),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
@@ -103,19 +130,36 @@ def _hyperplane(dim: int, plane_idx: int) -> Column:
     )
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+def _plane_dot(v: Column, dim: int, i: int, plane_fn: str) -> Column:
+    """Query/corpus-side plane projection; portable mode quantizes to 9
+    decimals so downstream sign/margin decisions are engine-stable."""
+    d = dot(v, _hyperplane(dim, i, plane_fn))
+    return F.round(d, 9) if plane_fn == "md5" else d
+
+
+def lsh_bucket(
+    vec_col: Column, dim: int, n_planes: int = 8, plane_fn: str = "xxhash64"
+) -> Column:
     """Sign-pattern bucket id (0..2^n_planes-1) of a vector under the
     deterministic hyperplane family."""
     v = _f64(vec_col)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        bit = F.when(dot(v, _hyperplane(dim, i)) >= 0, 1).otherwise(0).cast("long")
+        bit = (
+            F.when(_plane_dot(v, dim, i, plane_fn) >= 0, 1)
+            .otherwise(0)
+            .cast("long")
+        )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
 
 
 def lsh_margin_probe_buckets(
-    vec_col: Column, dim: int, n_planes: int, n_probe: int
+    vec_col: Column,
+    dim: int,
+    n_planes: int,
+    n_probe: int,
+    plane_fn: str = "xxhash64",
 ) -> Column:
     """Margin-aware multi-probe bucket list (array<long>).
 
@@ -127,7 +171,10 @@ def lsh_margin_probe_buckets(
     column-level: array of (|dot|, idx) structs → array_sort → slice →
     XOR."""
     dots = F.array(
-        *[dot(_f64(vec_col), _hyperplane(dim, i)) for i in range(n_planes)]
+        *[
+            _plane_dot(_f64(vec_col), dim, i, plane_fn)
+            for i in range(n_planes)
+        ]
     )
     base = F.aggregate(
         F.zip_with(
@@ -171,6 +218,7 @@ def lsh_topk(
     probe: str = "margin",
     max_bucket_size: int | None = None,
     observation=None,
+    plane_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows sharing the query's
     hyperplane bucket. Equi-join on the bucket key replaces the cross join —
@@ -197,7 +245,9 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, plane_fn).alias(
+            "__bucket"
+        ),
     )
     if max_bucket_size is not None:
         c = c.repartition(F.col("__bucket"))
@@ -214,10 +264,10 @@ def lsh_topk(
         c = c.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     if probe == "margin" and n_probe > 1:
         probe_buckets = lsh_margin_probe_buckets(
-            F.col(vec_col), dim, n_planes, n_probe
+            F.col(vec_col), dim, n_planes, n_probe, plane_fn
         )
     else:
-        base_bucket = lsh_bucket(F.col(vec_col), dim, n_planes)
+        base_bucket = lsh_bucket(F.col(vec_col), dim, n_planes, plane_fn)
         probe_buckets = F.array_distinct(
             F.array(
                 base_bucket,

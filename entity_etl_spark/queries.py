@@ -909,33 +909,81 @@ def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# SF-portable SimHash oracle: the registry query runs simhash with the
+# repo's PORTABLE md5-prefix token hash (two 32-bit halves — integer
+# arithmetic both engines evaluate identically), so the ENTIRE pipeline
+# — tokenize, 64 majority votes, 16-bit pigeonhole blocks, block join,
+# XOR-popcount Hamming — restates relationally at ANY scale factor
+# (replacing the r3 sf0.01 golden pin).
+_SIMHASH_VOTES = ",\n         ".join(
+    "SUM(CASE WHEN ({h} >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}".format(
+        h="hi" if b >= 32 else "lo", s=b % 32, b=b
+    )
+    for b in range(64)
+)
+_SIMHASH_BLOCKS = ",\n         ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << (b % 16)} ELSE 0 END"
+        for b in range(blk * 16, (blk + 1) * 16)
+    )
+    + f") AS blk{blk}"
+    for blk in range(4)
+)
+_SIMHASH_ORACLE = f"""
+    -- full relational SimHash (portable md5-prefix token hash): 64
+    -- majority-vote bits as two 32-bit halves, 4x16-bit pigeonhole
+    -- blocks, pairs agree on >= 1 block, exact Hamming filter
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc,
+             CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) AS lo,
+             CAST(('0x' || substring(md5(t), 9, 8)) AS BIGINT) AS hi
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc,
+         {_SIMHASH_VOTES}
+      FROM h GROUP BY doc
+    ),
+    sig AS (
+      SELECT doc,
+         {_SIMHASH_BLOCKS}
+      FROM votes
+    )
+    SELECT CAST(a.doc AS BIGINT) AS doc_a, CAST(b.doc AS BIGINT) AS doc_b,
+           CAST(bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
+              + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3))
+            AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.doc < b.doc
+     AND (a.blk0 = b.blk0 OR a.blk1 = b.blk1
+          OR a.blk2 = b.blk2 OR a.blk3 = b.blk3)
+    WHERE bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
+        + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3)) <= 3
+    """
+
+
 @register(
     "simhash_near_dups",
-    """
-    -- golden pair set: SimHash signatures are xxhash64-derived (integer
-    -- arithmetic only — bit-for-bit deterministic on fixed data), so the
-    -- sf0.01 output is pinned exactly. Regenerate via
-    -- `python tools/check_parity.py /root/testdata/sf0.01 simhash_near_dups`
-    -- if the testdata generator ever changes.
-    SELECT CAST(c1 AS BIGINT) AS doc_a, CAST(c2 AS BIGINT) AS doc_b,
-           CAST(c3 AS INT) AS hamming
-    FROM (VALUES
-      (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0), (70, 447, 1),
-      (76, 102, 2), (98, 290, 2), (107, 387, 1), (120, 332, 3),
-      (166, 323, 3), (251, 473, 3), (267, 413, 2), (285, 301, 0),
-      (326, 457, 2), (393, 420, 0), (435, 486, 3), (458, 462, 2)
-    ) t(c1, c2, c3)
-    """,
+    _SIMHASH_ORACLE,
     doc="E2 SimHash(64-bit) near-dup pairs within Hamming distance 3, via "
-    "the pigeonhole blocked equi-join. Oracle: the pinned golden pair set "
-    "(integer-deterministic on the fixed sf0.01 corpus).",
+    "the pigeonhole blocked equi-join. Runs the portable md5-prefix token "
+    "hash so the oracle restates the full pipeline relationally at any "
+    "SF (xxhash64 stays the cheaper default for non-replayed use).",
     tags=("ext",),
 )
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.dedup import simhash_near_dups
 
     docs = read_sf_table(spark, sf, "documents")
-    return simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+    return simhash_near_dups(
+        docs, "doc_id", "text", max_hamming=3, hash_fn="md5"
+    )
 
 
 @register(
@@ -969,41 +1017,85 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     return topk(emb, queries, "vec_id", "embedding", k=5, strategy="auto")
 
 
+# SF-portable hyperplane-LSH oracle: the registry query runs lsh_topk
+# with the portable md5-prefix plane family (components exactly
+# representable; plane dots quantized to 9 decimals before sign/margin
+# decisions), so the FULL ANN pipeline — plane generation, sign-pattern
+# buckets, margin-aware multi-probe, bucket join, cosine top-k —
+# restates relationally at ANY scale factor (replacing the r3 sf0.01
+# golden pin). Shared by embedding_lsh_topk and lsh_topk_recall.
+_LSH_TOPK_CTES = """
+    planes AS (
+      SELECT p.p, j.j,
+             CAST(('0x' || substring(md5(p.p || '_' || j.j), 1, 8))
+                  AS BIGINT) / 2147483648.0 - 1.0 AS w
+      FROM (SELECT unnest(range(4)) AS p) p,
+           (SELECT unnest(range(64)) AS j) j
+    ),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             round(SUM(CAST(e.embedding[pl.j + 1] AS DOUBLE) * pl.w), 9)
+               AS d
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    qrank AS (
+      SELECT vec_id AS qid, p,
+             row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), p)
+               AS rk
+      FROM dots WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT DISTINCT qid, bucket FROM (
+        SELECT vec_id AS qid, bucket FROM buckets WHERE vec_id < 10
+        UNION ALL
+        SELECT r.qid, xor(b.bucket, CAST(1 << r.p AS BIGINT)) AS bucket
+        FROM qrank r JOIN buckets b ON b.vec_id = r.qid
+        WHERE r.rk <= 3
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT pr.qid AS query_id, cb.vec_id AS neighbor_id
+      FROM probes pr JOIN buckets cb ON cb.bucket = pr.bucket
+      WHERE cb.vec_id <> pr.qid
+    ),
+    lsh_ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_cosine_similarity(
+                 CAST(ce.embedding AS DOUBLE[]),
+                 CAST(qe.embedding AS DOUBLE[])), 6) AS score
+        FROM cand c
+        JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        JOIN embeddings qe ON qe.vec_id = c.query_id)
+    )
+"""
+
+
 @register(
     "embedding_lsh_topk",
-    """
-    -- golden result set: hyperplanes are xxhash64-derived and scores are
-    -- computed per-row in fixed array order, so the sf0.01 output is
-    -- fully deterministic and pinned exactly (planes=4, margin multi-probe
-    -- n_probe=4 -> 25% of buckets scanned, recall@5 = 0.46 vs brute force
-    -- on these UNIFORM-RANDOM embeddings — near the theoretical ceiling
-    -- for LSH on structureless vectors at that scan fraction).
-    SELECT CAST(c1 AS BIGINT) AS query_id, CAST(c2 AS BIGINT) AS neighbor_id,
-           CAST(c3 AS DOUBLE) AS score, CAST(c4 AS BIGINT) AS rnk
-    FROM (VALUES
-      (0, 131, 0.240641, 4), (0, 344, 0.252487, 3), (0, 365, 0.369994, 1),
-      (0, 423, 0.296934, 2), (0, 478, 0.237283, 5), (1, 27, 0.348208, 2),
-      (1, 195, 0.322744, 3), (1, 203, 0.268155, 4), (1, 363, 0.263306, 5),
-      (1, 386, 0.371485, 1), (2, 109, 0.228351, 4), (2, 112, 0.245311, 3),
-      (2, 145, 0.263494, 1), (2, 188, 0.263272, 2), (2, 198, 0.226855, 5),
-      (3, 192, 0.290803, 4), (3, 207, 0.291702, 3), (3, 231, 0.298788, 2),
-      (3, 343, 0.308472, 1), (3, 363, 0.268615, 5), (4, 89, 0.265964, 5),
-      (4, 249, 0.279631, 4), (4, 280, 0.279826, 3), (4, 408, 0.322753, 1),
-      (4, 482, 0.313897, 2), (5, 225, 0.259515, 3), (5, 359, 0.305821, 2),
-      (5, 419, 0.319237, 1), (5, 433, 0.240255, 5), (5, 453, 0.240669, 4),
-      (6, 53, 0.233706, 4), (6, 252, 0.25563, 3), (6, 268, 0.259942, 2),
-      (6, 381, 0.223811, 5), (6, 430, 0.32252, 1), (7, 156, 0.279233, 5),
-      (7, 209, 0.394463, 2), (7, 302, 0.314524, 3), (7, 332, 0.285446, 4),
-      (7, 340, 0.492766, 1), (8, 39, 0.384696, 1), (8, 138, 0.356671, 2),
-      (8, 207, 0.285675, 5), (8, 380, 0.304526, 4), (8, 497, 0.317798, 3),
-      (9, 198, 0.258676, 3), (9, 259, 0.251484, 4), (9, 319, 0.241903, 5),
-      (9, 414, 0.3323, 2), (9, 489, 0.343538, 1)
-    ) t(c1, c2, c3, c4)
+    f"""
+    -- full relational hyperplane LSH (portable md5 plane family,
+    -- round-9 dot quantization): planes=4, margin multi-probe n_probe=4
+    -- -> 4 of 16 buckets scanned per query
+    WITH {_LSH_TOPK_CTES}
+    SELECT query_id, neighbor_id, score, rnk
+    FROM lsh_ranked WHERE rnk <= 5
     """,
     doc="E3 LSH-bucketed approximate top-k (random-hyperplane signs, "
     "margin-aware multi-probe): equi-join on bucket replaces the cross "
-    "join — the 100 TB ANN path. Oracle: pinned golden result "
-    "(hash-deterministic).",
+    "join — the 100 TB ANN path. Runs the portable md5 plane family so "
+    "the oracle restates the full pipeline relationally at any SF "
+    "(xxhash64 planes stay the cheaper default elsewhere).",
     tags=("ext",),
 )
 def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1014,6 +1106,7 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(
         emb, queries, "vec_id", "embedding",
         k=5, dim=64, n_planes=4, n_probe=4, probe="margin",
+        plane_fn="md5",
     )
 
 
@@ -1883,18 +1976,38 @@ def q_neardup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "lsh_topk_recall",
-    """
-    -- recall is a ratio of integer hit counts (hash-deterministic), pinned
-    -- at the embedding_lsh_topk config's measured value; the truth-pair
-    -- count is relational (k * |queries| — every query has >= 5 neighbors).
-    SELECT CAST(0.46 AS DOUBLE) AS recall_at_5,
-           CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10)
-                AS BIGINT) AS n_truth_pairs
+    f"""
+    -- fully relational recall@5: both the exact brute-force top-k and
+    -- the LSH top-k restate in SQL (portable md5 plane family), so the
+    -- measured recall is oracle-computable at ANY scale factor
+    WITH {_LSH_TOPK_CTES},
+    exact_ranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) DESC, c.vec_id)
+                 AS rnk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM lsh_ranked WHERE rnk <= 5
+    )
+    SELECT round(CAST(count(a.neighbor_id) AS DOUBLE)
+                 / count(*), 4) AS recall_at_5,
+           CAST(count(*) AS BIGINT) AS n_truth_pairs
+    FROM exact_ranked e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     """,
     doc="E3 quality metric: recall@5 of the hyperplane-LSH ANN against the "
     "exact brute-force top-k for the query batch — the number a deployment "
-    "watches when trading n_planes/n_probe for speed. Oracle: pinned "
-    "measured recall + relational truth-pair count.",
+    "watches when trading n_planes/n_probe for speed. Oracle: the full "
+    "relational restatement of both sides (portable md5 planes), valid "
+    "at any SF.",
     tags=("ext",),
 )
 def q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -1908,6 +2021,7 @@ def q_lsh_topk_recall(spark: SparkSession, sf: str) -> DataFrame:
     approx = lsh_topk(
         emb, queries, "vec_id", "embedding",
         k=5, dim=64, n_planes=4, n_probe=4, probe="margin",
+        plane_fn="md5",
     ).select(
         F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
     )
