@@ -71,8 +71,40 @@ def main() -> None:
     timings = run_group(bench_queries)
     timings2 = run_group(bench2_queries)
 
-    total = round(sum(timings.values()), 3)
+    # Heavy-group ratchet (BASELINE.md round-4): per-query ceilings =
+    # 2x the recorded r3-final best + 0.5 s absolute slack (sub-second
+    # queries triple under host contention; the slack keeps a loaded box
+    # from reading as a regression while a real blowup — the 10-100x
+    # class bench2 caught twice in r3 — still goes red). Breaches are
+    # REPORTED in the JSON (and on stderr), never swallowed.
+    heavy_ceilings_sf01 = {
+        "training_data_prep": 8.2,
+        "neardup_keep_best": 5.7,
+        "embedding_pq_topk": 3.9,
+        "dedup_corpus_minhash": 3.3,
+        "semantic_dedup_pairs": 3.0,
+        "bm25_topk": 1.8,
+        "boilerplate_segment_removal": 1.7,
+        "scd2_user_event_history": 1.6,
+        "bpe_encode_tokens": 1.1,
+    }
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    breaches = (
+        {
+            name: {"sec": t, "ceiling": heavy_ceilings_sf01[name]}
+            for name, t in timings2.items()
+            if name in heavy_ceilings_sf01 and t > heavy_ceilings_sf01[name]
+        }
+        if sf == "0.1"
+        else {}
+    )
+    if breaches:
+        print(
+            f"HEAVY CEILING BREACH: {json.dumps(breaches)}",
+            file=sys.stderr,
+        )
+
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
@@ -82,6 +114,7 @@ def main() -> None:
                 "queries": timings,
                 "heavy_total_sec": round(sum(timings2.values()), 3),
                 "heavy_queries": timings2,
+                "heavy_ceiling_breaches": breaches,
                 "sf": sf,
             }
         )

@@ -4596,6 +4596,157 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_neardup_prep",
+    f"""
+    -- Structured-Streaming near-dup prep, restated relationally: the
+    -- corpus splits into 3 contiguous-id micro-batches; a doc is kept
+    -- iff it is not a >=0.5-Jaccard near-dup of (a) any SMALLER-ID doc
+    -- in its own batch or (b) any KEPT doc of an earlier batch — the
+    -- exact greedy policy minhash_dedup_incremental implements with
+    -- persistent signature state (LSH recall is 100% at this config, so
+    -- the exact pair set IS the candidate set). The 3-batch recursion
+    -- unrolls into chained CTEs k0/k1/k2.
+    WITH cleaned AS (
+      SELECT doc_id, source, {_duck_clean_text()} AS text
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             ({" + ".join(_duck_count_occ(w) for w in
+                          ("the", "a", "of", "and", "to", "in", "is", "it"))})
+               AS n_stop
+      FROM cleaned
+    ),
+    gated AS (
+      SELECT * FROM feats
+      WHERE n_tokens >= 20
+        AND round(least(n_tokens / 200.0, 1.0) * 0.5
+                  + least(n_stop / n_tokens * 4.0, 1.0) * 0.5, 4) >= 0.15
+    ),
+    batched AS (
+      SELECT doc_id, source, text, n_tokens,
+             least(2, CAST(floor(doc_id * 3.0 /
+                   (SELECT count(*) FROM documents)) AS INT)) AS b
+      FROM gated
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM batched
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    k0 AS (
+      SELECT d.doc_id FROM batched d WHERE d.b = 0 AND NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN batched a ON a.doc_id = p.doc_a
+        WHERE p.doc_b = d.doc_id AND a.b = 0)
+    ),
+    k1 AS (
+      SELECT d.doc_id FROM batched d WHERE d.b = 1 AND NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN batched a ON a.doc_id = p.doc_a
+        WHERE p.doc_b = d.doc_id
+          AND (a.b = 1 OR a.doc_id IN (SELECT doc_id FROM k0)))
+    ),
+    k2 AS (
+      SELECT d.doc_id FROM batched d WHERE d.b = 2 AND NOT EXISTS (
+        SELECT 1 FROM pairs p JOIN batched a ON a.doc_id = p.doc_a
+        WHERE p.doc_b = d.doc_id
+          AND (a.b = 2 OR a.doc_id IN (SELECT doc_id FROM k0)
+               OR a.doc_id IN (SELECT doc_id FROM k1)))
+    ),
+    kept AS (
+      SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+      UNION ALL SELECT doc_id FROM k2
+    )
+    SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CASE
+             WHEN CAST(('0x' || substring(md5(d.source), 1, 8))::UBIGINT
+                       AS DOUBLE) / 4294967296.0 < 0.1 THEN 'test'
+             WHEN CAST(('0x' || substring(md5(d.source), 1, 8))::UBIGINT
+                       AS DOUBLE) / 4294967296.0 < 0.2 THEN 'val'
+             ELSE 'train'
+           END AS split
+    FROM batched d JOIN kept k ON k.doc_id = d.doc_id
+    """,
+    doc="Continuous near-dup training-data ingest, end to end "
+    "(ext/prep.run_streaming_neardup_prep): the corpus arrives as 3 "
+    "file-source micro-batches; each batch cleans, quality-gates, and "
+    "near-dup-dedups against the PERSISTENT MinHash signature state "
+    "(cross-batch — a paraphrased re-send of any earlier survivor is "
+    "dropped), then appends split-partitioned survivors. The oracle "
+    "unrolls the per-batch greedy policy into chained SQL CTEs over the "
+    "exact Jaccard pair set, pinning the stateful streaming semantics "
+    "relationally — not just a rows-only check. Scale: per batch the "
+    "signature fold is map-side, the band join shuffles (doc, bucket) "
+    "longs, and bodies are read candidate-only; state grows by "
+    "survivors' signatures.",
+    tags=("ext", "bench2"),
+)
+def q_streaming_neardup_prep(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .ext.prep import run_streaming_neardup_prep
+
+    docs = read_sf_table(spark, sf, "documents")
+    n_docs = docs.count()
+    base = tempfile.mkdtemp(prefix="stream_neardup_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    bcol = F.least(
+        F.lit(2), F.floor(F.col("doc_id") * 3.0 / n_docs)
+    ).cast("int")
+    staged = docs.withColumn("__b", bcol)
+    # one file per micro-batch, ascending mtimes so the file source
+    # (maxFilesPerTrigger=1) replays them in id order — the keep-min-id
+    # ordering contract of minhash_dedup_incremental
+    for b in range(3):
+        stage_dir = os.path.join(base, f"stage{b}")
+        (
+            staged.filter(F.col("__b") == b)
+            .drop("__b")
+            .coalesce(1)
+            .write.parquet(stage_dir)
+        )
+        src = next(
+            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        shutil.move(os.path.join(stage_dir, src), dst)
+        os.utime(dst, (time.time() - (3 - b) * 100,) * 2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(base, "out")
+    run_streaming_neardup_prep(
+        spark,
+        stream,
+        out_dir,
+        os.path.join(base, "state"),
+        os.path.join(base, "ckpt"),
+    )
+    return spark.read.parquet(out_dir).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "split"
+    )
+
+
+@register(
     "small_quantity_revenue",
     """
     SELECT p.p_brand,
