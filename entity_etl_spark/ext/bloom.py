@@ -46,9 +46,31 @@ def _bit_positions(col: Column, n_bits: int, k: int) -> Column:
 
 
 def build_bloom(
-    df: DataFrame, key_col: str, n_bits: int = 32768, k: int = 5
+    df: DataFrame,
+    key_col: str,
+    n_bits: int | None = None,
+    k: int | None = None,
+    target_fp: float = 0.01,
 ) -> BloomFilter:
-    """Filter over the keys of ``df`` — n_bits/64 words, broadcastable."""
+    """Filter over the keys of ``df`` — n_bits/64 words, broadcastable.
+
+    By default the filter SIZES ITSELF to the key count (one count job —
+    metadata-cheap after a distinct): ``m = -n ln(p) / (ln 2)^2`` bits
+    and ``k = (m/n) ln 2`` hashes for ``target_fp``. A fixed n_bits that
+    was comfortable at test scale saturates at 10× the keys (fill → 1,
+    FP rate → 1 — the sketch silently stops filtering anything); sizing
+    from n keeps the FP rate flat at every scale. Pass explicit
+    ``n_bits``/``k`` to pin the layout instead."""
+    if n_bits is None:
+        import math
+
+        n = max(df.count(), 1)
+        m = -n * math.log(target_fp) / (math.log(2) ** 2)
+        n_bits = max(64, int(math.ceil(m / 64.0)) * 64)
+        if k is None:
+            k = max(1, round(n_bits / n * math.log(2)))
+    elif k is None:
+        k = 5
     bits = df.select(
         F.explode(_bit_positions(F.col(key_col), n_bits, k)).alias("__bit")
     )

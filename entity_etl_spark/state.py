@@ -139,6 +139,18 @@ def save_state_bucketed(
         old_name, gen = meta["table"], (meta["generation"] + 1) % 2
     new_name = f"{table}_state_g{gen}"
     spark.sql(f"DROP TABLE IF EXISTS {new_name}")  # stale leftover of a crash
+    # an ORPHANED location (directory present, no catalog entry — e.g. a
+    # previous session's in-memory catalog died without cleanup) blocks
+    # saveAsTable with LOCATION_ALREADY_EXISTS; nothing references it, so
+    # clear it rather than failing the run
+    wh = (spark.conf.get("spark.sql.warehouse.dir") or "").removeprefix(
+        "file:"
+    )
+    orphan = os.path.join(wh, new_name.lower())
+    if wh and os.path.isdir(orphan):
+        import shutil
+
+        shutil.rmtree(orphan)
     write_bucketed(state, new_name, [id_field], n_buckets=n_buckets)
     os.makedirs(state_dir, exist_ok=True)
     tmp = meta_path + ".tmp"

@@ -140,6 +140,18 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     assert set(range(500)) <= probable  # no false negatives, ever
     fp = len(probable) - 500
     assert fp <= 0.02 * 4500, fp
+    # auto-sizing (the default): m/k derived from the key count so the
+    # FP target holds at ANY n — the fixed-size form above saturates at
+    # 10x the keys (sf0.1 sweep finding: fill -> 1, FP -> 79%)
+    auto = build_bloom(members, "k", target_fp=0.01)
+    assert auto.n_bits >= 4000 and auto.n_bits % 64 == 0
+    probable2 = {r["k"] for r in probe_bloom(probe, "k", auto).collect()}
+    assert set(range(500)) <= probable2
+    assert (len(probable2) - 500) <= 0.02 * 4500
+    # and it scales: 10x members -> ~10x bits, FP target unchanged
+    big_members = spark.range(0, 5000).withColumnRenamed("id", "k")
+    big = build_bloom(big_members, "k", target_fp=0.01)
+    assert big.n_bits >= 10 * auto.n_bits * 0.9
 
 
 def test_zorder_key_interleaves_bits(spark):
