@@ -9570,3 +9570,540 @@ def q_interarrival_time_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("mean_gap"), 2).alias("avg_mean_gap_s"),
         F.round(F.avg("med_gap"), 2).alias("avg_median_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: TPC-H completion (q2/q4/q12/q17/q20 shapes on the slimmed schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, p.p_name,
+           round(c.unit_cost, 4) AS unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN eu    ON eu.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 5
+      AND c.unit_cost = (
+        SELECT min(c2.unit_cost)
+        FROM cost c2 JOIN eu e2 ON e2.s_suppkey = c2.l_suppkey
+        WHERE c2.l_partkey = p.p_partkey
+      )
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier) adapted to the slimmed "
+    "schema: partsupp's ps_supplycost is derived as the min observed unit "
+    "price per (part, supplier) from lineitem, and the correlated min "
+    "subquery is decorrelated into a per-part regional-min join. Scale "
+    "shape: the (part, supplier) cost table shuffles once on l_partkey + "
+    "l_suppkey; the EU supplier dim (supplier JOIN nation JOIN region) is "
+    "a broadcast; the per-part min is a second map-side-combinable agg "
+    "reusing the cost exchange under AQE; TakeOrderedAndProject caps the "
+    "output. unit_cost equality-joins on the raw double (both engines "
+    "compute the identical IEEE division + min), rounding only at output.",
+    tags=("analytics",),
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = read_sf_table(spark, sf, "supplier")
+    n = read_sf_table(spark, sf, "nation")
+    r = read_sf_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+    part_min = eu_cost.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = read_sf_table(spark, sf, "part").filter(F.col("p_size") <= 5)
+    return (
+        eu_cost.join(part_min, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): the spec's "
+    "commitdate<receiptdate late-line EXISTS becomes shipped-more-than-"
+    "60-days-after-order on the slimmed schema — still a correlated "
+    "EXISTS on both the key and the outer row's date. Scale shape: the "
+    "quarter window pushes to the orders scan, Catalyst decorrelates the "
+    "EXISTS to a left-semi hash join on l_orderkey (the date predicate "
+    "rides the join condition), and the priority rollup is a tiny "
+    "map-side-combined agg.",
+    tags=("analytics",),
+)
+def q_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = read_sf_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp_ntz(F.lit("1997-04-01")))
+    )
+    li = read_sf_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.timestamp_add("DAY", F.lit(60), o.o_orderdate)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_ship_latency_priority",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q12 shape (shipping modes & order priority): l_shipmode "
+    "doesn't exist on the slimmed schema, so the mode dimension becomes "
+    "a derived ship-latency bucket (<=30 days FAST else SLOW) — the "
+    "operator under test is unchanged: conditional two-way CASE-sum "
+    "pivot over a fact-fact join. Scale shape: the year window pushes to "
+    "the lineitem scan, the join shuffles on orderkey only (AQE may "
+    "broadcast the filtered side at small SF), and the 2-row rollup is "
+    "map-side-combined.",
+    tags=("analytics",),
+)
+def q_q12_ship_latency_priority(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    o = read_sf_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.date_diff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "FAST"
+    ).otherwise("SLOW")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q17_small_qty_avg_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < pa.qty_threshold
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue), per-spec form: the "
+    "correlated avg-quantity subquery decorrelated into a per-part "
+    "aggregate joined back to the fact (the sibling "
+    "small_quantity_revenue entry exercises the spark.sql correlated "
+    "surface; this one is the canonical DataFrame decorrelation). Scale "
+    "shape: brand filter broadcasts the part dim; the per-part avg and "
+    "the probe reuse one l_partkey exchange under AQE; single scalar "
+    "output row.",
+    tags=("analytics",),
+)
+def q_q17_small_qty_avg_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    p = read_sf_table(spark, sf, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'large %'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    dominant AS (
+      SELECT DISTINCT l_suppkey FROM shipped s1
+      WHERE s1.supp_qty > 0.5 * (
+        SELECT sum(s2.supp_qty) FROM shipped s2
+        WHERE s2.l_partkey = s1.l_partkey
+      )
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): partsupp's "
+    "ps_availqty>half-of-shipped test becomes supplier-dominates-part "
+    "(supplied >50% of a part's shipped quantity in the year) — the "
+    "nested IN + correlated-sum structure is preserved. Scale shape: "
+    "name-prefix part filter broadcasts; the (supp, part) and per-part "
+    "totals share one l_partkey-keyed exchange (window-sum over the "
+    "grouped table, no second fact scan); the supplier probe is a "
+    "left-semi broadcast of the tiny dominant-supplier set.",
+    tags=("analytics",),
+)
+def q_q20_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    p = read_sf_table(spark, sf, "part").filter(
+        F.col("p_name").like("large %")
+    )
+    li = read_sf_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp_ntz(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp_ntz(F.lit("1998-01-01")))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn(
+            "part_qty", F.sum("supp_qty").over(part_total)
+        )
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = read_sf_table(spark, sf, "supplier")
+    n = read_sf_table(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: statistical tests + keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o) AS ri FROM obs GROUP BY 1),
+    ct AS (SELECT dow, sum(o) AS cj FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT round(tot.n * (sum(obs.o * obs.o / (rt.ri * ct.cj)) - 1), 4)
+             AS chi2,
+           CAST((SELECT count(*) - 1 FROM rt)
+                * (SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof,
+           CAST(tot.n AS BIGINT) AS n
+    FROM obs
+    JOIN rt ON obs.event_type = rt.event_type
+    JOIN ct ON obs.dow = ct.dow
+    CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+    doc="Chi-squared test of independence (event_type x day-of-week): "
+    "uses the identity chi2 = N * (sum o^2/(r_i*c_j) - 1), which needs "
+    "only the OBSERVED cells — absent (zero) cells contribute nothing, "
+    "so no dense grid materialization. Scale shape: one tiny "
+    "(type, dow) contingency agg (map-side combined), row/col totals "
+    "re-aggregate the 35-row cell table, everything after the first agg "
+    "is broadcast-sized. The dow label convention differs across "
+    "engines but chi2 is invariant under relabeling; counts use "
+    "DuckDB's dayofweek for the oracle and Spark's dayofweek for the "
+    "engine, which only permutes columns of the contingency table.",
+    tags=("ext",),
+)
+def q_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("ri"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("cj"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    r_cnt = rt.agg((F.count(F.lit(1)) - 1).alias("r1"))
+    c_cnt = ct.agg((F.count(F.lit(1)) - 1).alias("c1"))
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .join(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.col("n")
+                * (
+                    F.sum(
+                        F.col("o") * F.col("o") / (F.col("ri") * F.col("cj"))
+                    )
+                    - 1
+                ),
+                4,
+            ).alias("chi2")
+        )
+        .join(F.broadcast(r_cnt))
+        .join(F.broadcast(c_cnt))
+        .select(
+            "chi2",
+            (F.col("r1") * F.col("c1")).cast("bigint").alias("dof"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "mann_whitney_u",
+    """
+    WITH vals AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    pv AS (
+      SELECT v, sum(is_a) AS a_cnt, sum(1 - is_a) AS b_cnt,
+             count(*) AS t_cnt
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT v, a_cnt, b_cnt, t_cnt,
+             coalesce(sum(b_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS b_below
+      FROM pv
+    ),
+    agg AS (
+      SELECT sum(a_cnt) AS n1, sum(b_cnt) AS n2,
+             sum(a_cnt * (b_below + 0.5 * b_cnt)) AS u1,
+             sum(t_cnt * t_cnt * t_cnt - t_cnt) AS tie_term
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(u1, 2) AS u1,
+           round((u1 - n1 * n2 / 2.0)
+                 / sqrt((n1 * n2 / 12.0)
+                        * ((n1 + n2 + 1)
+                           - tie_term / ((n1 + n2) * (n1 + n2 - 1.0)))),
+                 4) AS z
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test (click vs error event values), in "
+    "the distributed per-value-count form: instead of globally ranking "
+    "every row (an unbounded single-partition sort), rows collapse to "
+    "per-distinct-value (a_cnt, b_cnt) first, U1 = sum a_cnt * "
+    "(cum_b_below + b_cnt/2) over the ordered DISTINCT values, with the "
+    "normal approximation z tie-corrected. Scale shape: the only "
+    "ordered window runs over distinct values (bounded cardinality for "
+    "fixed-precision metrics), not rows; everything else is map-side "
+    "combinable aggregation.",
+    tags=("ext",),
+)
+def q_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    is_a = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    pv = ev.select(F.col("value").alias("v"), is_a.alias("is_a")).groupBy(
+        "v"
+    ).agg(
+        F.sum("is_a").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).alias("b_cnt"),
+        F.count(F.lit(1)).alias("t_cnt"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = pv.withColumn(
+        "b_below", F.coalesce(F.sum("b_cnt").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("a_cnt").alias("n1"),
+        F.sum("b_cnt").alias("n2"),
+        F.sum(F.col("a_cnt") * (F.col("b_below") + 0.5 * F.col("b_cnt"))).alias(
+            "u1"
+        ),
+        F.sum(
+            F.col("t_cnt") * F.col("t_cnt") * F.col("t_cnt") - F.col("t_cnt")
+        ).alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    sigma = F.sqrt(
+        (n1 * n2 / 12.0)
+        * ((n1 + n2 + 1) - F.col("tie_term") / ((n1 + n2) * (n1 + n2 - 1.0)))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round("u1", 2).alias("u1"),
+        F.round((F.col("u1") - n1 * n2 / 2.0) / sigma, 4).alias("z"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE doc_id % 100 = 0 GROUP BY doc_id, tok
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + df.df)) + 1), 6)
+               AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN nd
+    )
+    SELECT doc_id, tok AS term, score, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, tok) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per document by smoothed "
+    "tf-idf (sklearn's ln((1+N)/(1+df))+1), idf computed over the FULL "
+    "corpus while per-doc tf is computed only for the reported doc "
+    "sample — the standard fit-on-all/report-on-some split. Scale "
+    "shape: df is one map-side-combinable distinct-agg over (tok, "
+    "doc_id); the idf table is vocabulary-sized and broadcasts to the "
+    "tf probe; the per-doc top-3 is a WindowGroupLimit (rank pushdown), "
+    "ranked on the ROUNDED score with a term tie-break so cross-engine "
+    "ulp wobble in ln cannot flip ranks.",
+    tags=("ext",),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    nd = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = (
+        toks.filter(F.col("doc_id") % 100 == 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df")))
+                    + 1
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "score",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
