@@ -184,6 +184,7 @@ def lsh_candidate_pairs(
     *,
     max_bucket_size: int | None = None,
     observation=None,
+    right_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from MinHash signatures (doc_a < doc_b).
 
@@ -203,6 +204,16 @@ def lsh_candidate_pairs(
     Pass an ``Observation`` as ``observation`` to account for what the
     cap dropped: after the first action, ``obs.get`` carries
     ``lsh_rows_in_dropped_buckets`` and ``lsh_max_bucket_size``.
+
+    ``right_ids`` (a one-column DataFrame of doc ids) restricts the
+    GREATER side of every emitted pair to those docs: incremental dedup
+    only ever drops batch docs, so pairing the full bucket membership
+    against batch members only keeps the join fan-out at
+    O(bucket x batch-members) instead of O(bucket^2) — at increment N
+    the buckets contain the whole accumulated corpus, and the unrestricted
+    self-join would regenerate (and then discard) every settled
+    corpus-corpus pair each batch. Bucket-size caps/accounting apply
+    BEFORE the restriction, so capped behavior is identical either way.
 
     ``signatures`` MUST be materialized (cached / checkpointed / read from
     storage): each of the ``bands`` bucket expressions references the sig
@@ -237,8 +248,14 @@ def lsh_candidate_pairs(
                 F.max("__bsz").alias("lsh_max_bucket_size"),
             )
         b = b.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    r = b
+    if right_ids is not None:
+        ids = right_ids.select(
+            F.col(right_ids.columns[0]).alias("doc")
+        )
+        r = b.join(ids, "doc", "left_semi")
     left = b.alias("l")
-    right = b.alias("r")
+    right = r.alias("r")
     return (
         left.join(
             right,
@@ -631,11 +648,17 @@ def minhash_dedup_incremental(
     k: int = 3,
     verify_threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    new_sigs_only: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup: drop batch docs near-duplicate to the
     accumulated corpus (or to a smaller-id batch sibling) — the MinHash
     twin of :func:`exact_dedup_incremental`, completing the incremental
     dedup story for continuously-fed training pipelines.
+
+    With ``new_sigs_only=True`` the second return value is ONLY the
+    survivors' signatures (not old-state ∪ new): pair it with
+    state.append_state so per-batch state persistence costs O(batch)
+    instead of rewriting the accumulated table every increment.
 
     ``corpus_sigs`` is the persisted signature STATE (one (doc, sig) row
     per kept corpus doc; computed from ``corpus`` on the first run).
@@ -656,19 +679,29 @@ def minhash_dedup_incremental(
     """
     rows_per_band = num_hashes // bands
     if corpus_sigs is None:
+        # first run only: fold the corpus once and pin it — every later
+        # increment loads the persisted state instead
         corpus_sigs = minhash_signatures(
             corpus, id_col, text_col, num_hashes, k
-        )
-    batch_sigs = minhash_signatures(batch, id_col, text_col, num_hashes, k)
-    all_sigs = corpus_sigs.unionByName(batch_sigs).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(
-        all_sigs, bands, rows_per_band, max_bucket_size=max_bucket_size
-    )
-    batch_ids = batch.select(F.col(id_col).alias("doc_b")).distinct()
+        ).localCheckpoint(eager=True)
+    # pinned because it has THREE consumers (band buckets, kept_sigs,
+    # and the caller's state persist) — without the barrier each one
+    # re-runs the full shingle fold over the batch lineage, which for a
+    # streaming batch includes the clean/quality-gate scan
+    batch_sigs = minhash_signatures(
+        batch, id_col, text_col, num_hashes, k
+    ).localCheckpoint(eager=True)
+    all_sigs = corpus_sigs.unionByName(batch_sigs)
     # only pairs whose GREATER side is a batch doc can drop anything:
-    # corpus-corpus pairs were settled in earlier increments
-    cand_b = cand.join(batch_ids, "doc_b", "left_semi").localCheckpoint(
-        eager=True
+    # corpus-corpus pairs were settled in earlier increments, so the
+    # bucket join's right side is restricted to batch docs up front
+    # (O(bucket x batch) fan-out, not O(bucket^2))
+    cand_b = lsh_candidate_pairs(
+        all_sigs,
+        bands,
+        rows_per_band,
+        max_bucket_size=max_bucket_size,
+        right_ids=batch_sigs.select("doc"),
     )
     bodies = corpus.select(id_col, text_col).unionByName(
         batch.select(id_col, text_col)
@@ -676,11 +709,19 @@ def minhash_dedup_incremental(
     verified = jaccard_verify(
         cand_b, bodies, id_col, text_col, k, verify_threshold
     )
-    losers = verified.select(F.col("doc_b").alias("__loser")).distinct()
+    # one pinned evaluation of the whole candidate+verify pipeline; the
+    # kept anti-join and kept_sigs semi-join both read this tiny table
+    losers = (
+        verified.select(F.col("doc_b").alias("__loser"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     kept = batch.join(losers, batch[id_col] == losers["__loser"], "left_anti")
     kept_sigs = batch_sigs.join(
         kept.select(F.col(id_col).alias("doc")), "doc", "left_semi"
     )
+    if new_sigs_only:
+        return kept, kept_sigs
     return kept, corpus_sigs.unionByName(kept_sigs)
 
 
@@ -936,12 +977,17 @@ def exact_dedup_incremental(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    new_fps_only: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact dedup: dedup a NEW batch against the accumulated
     corpus without touching corpus bodies — the shape every continuously-fed
     training pipeline needs (and the corpus-scale analogue of the
     reference's changed-row suppression, cache.js:69-85: state is a
     fingerprint table, not the data).
+
+    With ``new_fps_only=True`` the second return value is ONLY the new
+    fingerprints (not old ∪ new) — pair with state.append_state so
+    per-batch persistence is O(batch), not an O(corpus) state rewrite.
 
     ``seen_fps``: one-column ``fp`` DataFrame of every fingerprint already
     kept (or None on the first batch). Returns ``(kept, next_seen_fps)``:
@@ -963,6 +1009,8 @@ def exact_dedup_incremental(
         winners.select("__id"), batch[id_col] == winners["__id"], "left_semi"
     )
     new_fps = winners.select("fp")
+    if new_fps_only:
+        return kept, new_fps
     next_seen = (
         new_fps if seen_fps is None else seen_fps.unionByName(new_fps)
     )

@@ -136,25 +136,39 @@ def run_streaming_prep(
     a generation dir, like state.save_state — at scale, a bucketed-by-fp
     table (sinks.write_bucketed) keeps the anti-join shuffle-free.
     """
-    from ..state import load_state, save_state
+    from ..state import append_state, load_state
     from ..streaming import run_available_now
     from .dedup import exact_dedup_incremental
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # a micro-batch often arrives as ONE input partition (one landed
+        # file / one page); fan out before the per-doc heavy work or all
+        # cores but one sit idle
+        batch_df = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        )
         cleaned = batch_df.withColumn(text_col, clean_text(text_col))
-        gated = quality_features(cleaned, text_col).filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("quality_score") >= min_quality)
+        # pinned: the gated batch has several downstream consumers
+        # (fingerprints, body semi-join, split+write) — without the
+        # barrier each re-runs the clean + quality-feature scan
+        gated = (
+            quality_features(cleaned, text_col)
+            .filter(
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("quality_score") >= min_quality)
+            )
+            .localCheckpoint(eager=True)
         )
         seen = load_state(spark, state_dir, "doc_fps")
-        kept, next_seen = exact_dedup_incremental(
-            seen, gated, id_col=id_col, text_col=text_col
+        kept, new_fps = exact_dedup_incremental(
+            seen, gated, id_col=id_col, text_col=text_col, new_fps_only=True
         )
         out = grouped_split(kept, group_col)
         out.write.mode("append").partitionBy("split").parquet(out_dir)
-        save_state(next_seen, state_dir, "doc_fps")
+        # state grows by O(batch), never rewriting the accumulated table
+        append_state(new_fps, state_dir, "doc_fps")
 
     run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
 
@@ -189,17 +203,28 @@ def run_streaming_neardup_prep(
     verify semi-join. Same two-layer idempotence as run_streaming_prep
     (source offsets + content state).
     """
-    from ..state import load_state, save_state
+    from ..state import append_state, load_state
     from ..streaming import run_available_now
     from .dedup import minhash_dedup_incremental
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # one landed file = one input partition; fan out before the
+        # per-doc heavy work (clean/quality/signature fold)
+        batch_df = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        )
         cleaned = batch_df.withColumn(text_col, clean_text(text_col))
-        gated = quality_features(cleaned, text_col).filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("quality_score") >= min_quality)
+        # pinned: consumed by the signature fold, the verify body union,
+        # and the kept anti-join — one clean+quality scan, not three
+        gated = (
+            quality_features(cleaned, text_col)
+            .filter(
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("quality_score") >= min_quality)
+            )
+            .localCheckpoint(eager=True)
         )
         sigs = load_state(spark, state_dir, "doc_sigs")
         try:
@@ -208,16 +233,19 @@ def run_streaming_neardup_prep(
             corpus = spark.createDataFrame(
                 [], f"{id_col} long, {text_col} string"
             )
-        kept, next_sigs = minhash_dedup_incremental(
+        kept, new_sigs = minhash_dedup_incremental(
             corpus,
             gated,
             id_col=id_col,
             text_col=text_col,
             corpus_sigs=sigs,
             verify_threshold=verify_threshold,
+            new_sigs_only=True,
         )
         out = grouped_split(kept, group_col)
         out.write.mode("append").partitionBy("split").parquet(out_dir)
-        save_state(next_sigs, state_dir, "doc_sigs")
+        # append exactly the survivors' signatures: O(batch) state
+        # growth, never an O(corpus) rewrite of the signature table
+        append_state(new_sigs, state_dir, "doc_sigs")
 
     run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)

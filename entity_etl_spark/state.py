@@ -88,6 +88,27 @@ def save_state(state: DataFrame, state_dir: str, table: str) -> None:
     os.replace(tmp, path)
 
 
+def append_state(new_rows: DataFrame, state_dir: str, table: str) -> None:
+    """Grow state by appending ONLY the new rows (parquet append), leaving
+    the existing state files untouched.
+
+    :func:`save_state` rewrites the whole table every increment — correct,
+    but O(total state) per batch: at corpus scale the fingerprint/signature
+    state dwarfs any one micro-batch, so a continuously-fed pipeline pays
+    O(corpus) per micro-batch forever. Appending keeps the per-batch cost
+    O(batch). It is safe against the FAILED_READ_FILE race save_state's
+    swap exists for, because append never deletes or replaces an existing
+    file — a plan that lazily reads the current state sees its planned-time
+    file snapshot unchanged. Under foreachBatch at-least-once replay a
+    crashed append can leave duplicate state rows; both incremental dedup
+    consumers are duplicate-insensitive (fp anti-join; (doc, sig) band
+    buckets deduped by the pair distinct), the same idempotence contract
+    the output append already relies on. Compact generations offline with
+    sinks.compact_parquet if small state files accumulate."""
+    path = state_path(state_dir, table)
+    new_rows.write.mode("append").parquet(path)
+
+
 def _bucketed_meta_path(state_dir: str, table: str) -> str:
     return os.path.join(state_dir, f"{table}.state.bucketed.json")
 

@@ -253,3 +253,70 @@ def test_streaming_neardup_prep_e2e_sf01(spark):
     assert len(ids) == len(set(ids))          # no doc admitted twice
     assert 0 < len(ids) <= n_docs
     assert {r.split for r in rows} <= {"train", "val", "test"}
+
+
+def test_append_state_grows_without_rewrite(spark, tmp_path):
+    """append_state contract: each append adds ONLY the new rows' files,
+    never touching existing state files — and a lazy reader planned over
+    the pre-append state is unaffected (the FAILED_READ_FILE race
+    save_state's swap guards against cannot occur for pure appends)."""
+    import os
+
+    from entity_etl_spark.state import append_state, load_state, state_path
+
+    d = str(tmp_path)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc bigint, sig string")
+    append_state(df1, d, "sigs")
+    path = state_path(d, "sigs")
+    files_before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    reader = load_state(spark, d, "sigs")  # planned BEFORE second append
+    df2 = spark.createDataFrame([(3, "c")], "doc bigint, sig string")
+    append_state(df2, d, "sigs")
+    files_after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert files_before <= files_after  # originals untouched
+    assert len(files_after) > len(files_before)
+    assert reader.count() in (2, 3)  # pre-append snapshot still readable
+    assert load_state(spark, d, "sigs").count() == 3
+
+
+def test_incremental_dedup_new_only_matches_full_state(spark):
+    """new_sigs_only / new_fps_only return exactly the delta the full
+    union form would have added — append-mode state equals rewrite-mode
+    state for both incremental dedup helpers."""
+    from entity_etl_spark.ext.dedup import (
+        exact_dedup_incremental,
+        minhash_dedup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "an entirely different document about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept_a, full = minhash_dedup_incremental(corpus, batch, k=3)
+    kept_b, delta = minhash_dedup_incremental(
+        corpus, batch, k=3, new_sigs_only=True
+    )
+    assert {r.doc_id for r in kept_a.collect()} == {
+        r.doc_id for r in kept_b.collect()
+    } == {11}
+    corpus_docs = {1}
+    assert {r.doc for r in delta.collect()} == {11}
+    assert {r.doc for r in full.collect()} == corpus_docs | {11}
+
+    seen = spark.createDataFrame([("fp1",)], "fp string")
+    kept_c, new_fps = exact_dedup_incremental(
+        seen, batch, new_fps_only=True
+    )
+    kept_d, next_seen = exact_dedup_incremental(seen, batch)
+    got_new = {r.fp for r in new_fps.collect()}
+    assert {r.fp for r in next_seen.collect()} == got_new | {"fp1"}
+    assert len(got_new) == 2  # both batch docs unseen
