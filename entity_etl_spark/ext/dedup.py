@@ -221,7 +221,7 @@ def lsh_candidate_pairs(
     recompute — the full signature fold once per band, and again for each
     side of the self-join (:func:`minhash_near_dups` handles this). Tune
     bands×rows for the target threshold t ≈ (1/bands)^(1/rows)."""
-    from pyspark.sql import Window
+    from .caps import cap_hot_groups
 
     b = signatures.select(
         "doc",
@@ -235,19 +235,15 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bucket"),
-    ).repartition(F.col("bucket"))
-    if max_bucket_size is not None:
-        bsz = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-        b = b.withColumn("__bsz", bsz)
-        if observation is not None:
-            b = b.observe(
-                observation,
-                F.sum(
-                    (F.col("__bsz") > max_bucket_size).cast("long")
-                ).alias("lsh_rows_in_dropped_buckets"),
-                F.max("__bsz").alias("lsh_max_bucket_size"),
-            )
-        b = b.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    )
+    b = cap_hot_groups(
+        b,
+        ["bucket"],
+        max_bucket_size,
+        observation=observation,
+        dropped_metric="lsh_rows_in_dropped_buckets",
+        max_metric="lsh_max_bucket_size",
+    )
     r = b
     if right_ids is not None:
         ids = right_ids.select(
@@ -503,23 +499,17 @@ def simhash_near_dups(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.blk", "bk.key")
-    if max_block_size is not None:
-        from pyspark.sql import Window
+    from .caps import cap_hot_groups
 
-        blocked = blocked.repartition(F.col("blk"), F.col("key"))
-        bsz = F.count(F.lit(1)).over(Window.partitionBy("blk", "key"))
-        blocked = blocked.withColumn("__bsz", bsz)
-        if observation is not None:
-            blocked = blocked.observe(
-                observation,
-                F.sum(
-                    (F.col("__bsz") > max_block_size).cast("long")
-                ).alias("simhash_rows_in_dropped_blocks"),
-                F.max("__bsz").alias("simhash_max_block_size"),
-            )
-        blocked = blocked.filter(
-            F.col("__bsz") <= max_block_size
-        ).drop("__bsz")
+    blocked = cap_hot_groups(
+        blocked,
+        ["blk", "key"],
+        max_block_size,
+        observation=observation,
+        dropped_metric="simhash_rows_in_dropped_blocks",
+        max_metric="simhash_max_block_size",
+        repartition=max_block_size is not None,
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -696,13 +686,17 @@ def minhash_dedup_incremental(
     # corpus-corpus pairs were settled in earlier increments, so the
     # bucket join's right side is restricted to batch docs up front
     # (O(bucket x batch) fan-out, not O(bucket^2))
+    # pinned: jaccard_verify consumes the pair set three times (both
+    # sides of the cand_docs union + the final pair join), and the
+    # losers checkpoint would re-run the band explode + bucket join for
+    # each without this barrier
     cand_b = lsh_candidate_pairs(
         all_sigs,
         bands,
         rows_per_band,
         max_bucket_size=max_bucket_size,
         right_ids=batch_sigs.select("doc"),
-    )
+    ).localCheckpoint(eager=True)
     bodies = corpus.select(id_col, text_col).unionByName(
         batch.select(id_col, text_col)
     )

@@ -249,19 +249,17 @@ def lsh_topk(
             "__bucket"
         ),
     )
-    if max_bucket_size is not None:
-        c = c.repartition(F.col("__bucket"))
-        bsz = F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
-        c = c.withColumn("__bsz", bsz)
-        if observation is not None:
-            c = c.observe(
-                observation,
-                F.sum(
-                    (F.col("__bsz") > max_bucket_size).cast("long")
-                ).alias("lshtopk_rows_in_dropped_buckets"),
-                F.max("__bsz").alias("lshtopk_max_bucket_size"),
-            )
-        c = c.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    from .caps import cap_hot_groups
+
+    c = cap_hot_groups(
+        c,
+        ["__bucket"],
+        max_bucket_size,
+        observation=observation,
+        dropped_metric="lshtopk_rows_in_dropped_buckets",
+        max_metric="lshtopk_max_bucket_size",
+        repartition=max_bucket_size is not None,
+    )
     if probe == "margin" and n_probe > 1:
         probe_buckets = lsh_margin_probe_buckets(
             F.col(vec_col), dim, n_planes, n_probe, plane_fn

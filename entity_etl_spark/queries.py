@@ -4726,6 +4726,12 @@ def q_streaming_neardup_prep(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
     n_docs = docs.count()
     base = tempfile.mkdtemp(prefix="stream_neardup_")
+    # the returned DataFrame lazily reads out_dir, so the workdir can't
+    # be deleted here — reclaim it at interpreter exit instead of
+    # leaking a corpus copy per invocation (parity sweeps, bench runs)
+    import atexit
+
+    atexit.register(shutil.rmtree, base, True)
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     bcol = F.least(
@@ -9593,9 +9599,13 @@ def q_interarrival_time_stats(spark: SparkSession, sf: str) -> DataFrame:
       JOIN region r ON n.n_regionkey = r.r_regionkey
       WHERE r.r_name = 'EUROPE'
     )
+    -- floor(x*1e4 + 0.5)/1e4, NOT round(): both engines compute the
+    -- identical IEEE quotient+min, but round()-on-double diverges on
+    -- shortest-decimal-repr ties (the conditional_agg 129.10875 case);
+    -- the floor form is pure double arithmetic, bit-identical anywhere
     SELECT eu.s_acctbal, eu.s_name, eu.n_name,
            p.p_partkey, p.p_name,
-           round(c.unit_cost, 4) AS unit_cost
+           floor(c.unit_cost * 10000 + 0.5) / 10000 AS unit_cost
     FROM part p
     JOIN cost c ON c.l_partkey = p.p_partkey
     JOIN eu    ON eu.s_suppkey = c.l_suppkey
@@ -9644,7 +9654,9 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            (F.floor(F.col("unit_cost") * 10000 + 0.5) / 10000).alias(
+                "unit_cost"
+            ),
         )
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -9755,7 +9767,12 @@ def q_q12_ship_latency_priority(spark: SparkSession, sf: str) -> DataFrame:
       SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    -- the money sum rides DECIMAL(38,10) partials (exact and
+    -- order-independent — a distributed double sum's last ulp can cross
+    -- a .005 boundary; the conditional_agg lesson), and the final
+    -- quantization is a DECIMAL(38,2) cast, HALF_UP in both engines
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))) / 7
+                AS DECIMAL(38,2)) AS DOUBLE) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN pa ON pa.l_partkey = l.l_partkey
@@ -9785,7 +9802,10 @@ def q_q17_small_qty_avg_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(pa, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,10)")) / F.lit(7))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("avg_yearly")
         )
     )
 
@@ -9936,9 +9956,13 @@ def q_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
     "mann_whitney_u",
     """
     WITH vals AS (
+      -- NULL observations are excluded outright: they carry no rank, and
+      -- the engines disagree on NULL sort placement (Spark first,
+      -- DuckDB last), which would silently skew b_below
       SELECT value AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
-      FROM events WHERE event_type IN ('click', 'error')
+      FROM events
+      WHERE event_type IN ('click', 'error') AND value IS NOT NULL
     ),
     pv AS (
       SELECT v, sum(is_a) AS a_cnt, sum(1 - is_a) AS b_cnt,
@@ -9981,6 +10005,7 @@ def q_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
 def q_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_sf_table(spark, sf, "events").filter(
         F.col("event_type").isin("click", "error")
+        & F.col("value").isNotNull()
     )
     is_a = F.when(F.col("event_type") == "click", 1).otherwise(0)
     pv = ev.select(F.col("value").alias("v"), is_a.alias("is_a")).groupBy(

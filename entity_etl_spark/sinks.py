@@ -116,7 +116,28 @@ def http_sink(
                 return resp.status
 
     try:
-        takes_key = len(inspect.signature(post).parameters) >= 2
+        # only count parameters the (body, key) positional call can bind:
+        # `def post(body, timeout=30)` must NOT be handed the key (it
+        # would silently bind to timeout), and keyword-only params can't
+        # receive a positional at all
+        params = inspect.signature(post).parameters.values()
+        positional = [
+            p
+            for p in params
+            if p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+        takes_key = (
+            sum(1 for p in positional if p.default is inspect.Parameter.empty)
+            >= 2
+            or any(p.name == "key" for p in positional)
+            or any(
+                p.kind == inspect.Parameter.VAR_POSITIONAL for p in params
+            )
+        )
     except (TypeError, ValueError):  # builtins without signatures
         takes_key = False
     sender, retries, backoff = post, max_retries, backoff_s

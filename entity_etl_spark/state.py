@@ -163,15 +163,17 @@ def save_state_bucketed(
     # an ORPHANED location (directory present, no catalog entry — e.g. a
     # previous session's in-memory catalog died without cleanup) blocks
     # saveAsTable with LOCATION_ALREADY_EXISTS; nothing references it, so
-    # clear it rather than failing the run
-    wh = (spark.conf.get("spark.sql.warehouse.dir") or "").removeprefix(
-        "file:"
-    )
-    orphan = os.path.join(wh, new_name.lower())
-    if wh and os.path.isdir(orphan):
-        import shutil
-
-        shutil.rmtree(orphan)
+    # clear it rather than failing the run. Goes through the session's
+    # Hadoop FileSystem so it works for hdfs://, s3a://, etc. — not just
+    # a local-filesystem warehouse dir
+    wh = spark.conf.get("spark.sql.warehouse.dir") or ""
+    if wh:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        orphan = jvm.org.apache.hadoop.fs.Path(wh, new_name.lower())
+        fs = orphan.getFileSystem(hconf)
+        if fs.exists(orphan):
+            fs.delete(orphan, True)
     write_bucketed(state, new_name, [id_field], n_buckets=n_buckets)
     os.makedirs(state_dir, exist_ok=True)
     tmp = meta_path + ".tmp"

@@ -292,3 +292,50 @@ def test_compact_parquet_crash_reentrancy(spark, tmp_path):
         compact_parquet(spark, path, target_file_bytes=1 << 30)
     # table untouched by the refused run
     assert spark.read.parquet(path).count() == 20
+
+
+def test_http_sink_key_passing_respects_transport_signature(bodies, tmp_path):
+    """Arity detection counts only REQUIRED POSITIONAL params: a transport
+    like post(body, timeout=30) must NOT be handed the idempotency key (it
+    would silently bind to timeout), while post(body, key) and
+    post(body, key=...) positional-or-keyword forms must receive it."""
+    import glob
+    import os
+
+    d1 = str(tmp_path / "no_key")
+    os.makedirs(d1)
+
+    def post_with_default(body: str, timeout: int = 30) -> int:
+        # the key must NOT arrive here: timeout stays an int
+        assert isinstance(timeout, int)
+        with open(os.path.join(d1, f"{abs(hash(body))}.json"), "w") as f:
+            f.write(body)
+        return 200
+
+    http_sink(bodies, post_with_default)
+    assert len(glob.glob(os.path.join(d1, "*.json"))) == 3
+
+    d2 = str(tmp_path / "with_key")
+    os.makedirs(d2)
+
+    def post_with_key(body: str, key: str) -> int:
+        assert isinstance(key, str) and len(key) == 32  # md5 hex
+        with open(os.path.join(d2, f"{key}.json"), "w") as f:
+            f.write(body)
+        return 200
+
+    http_sink(bodies, post_with_key)
+    assert len(glob.glob(os.path.join(d2, "*.json"))) == 3
+
+    d3 = str(tmp_path / "kw_only")
+    os.makedirs(d3)
+
+    def post_kw_only(body: str, *, timeout: int = 5) -> int:
+        # keyword-only param can't take a positional key: must get 1 arg
+        assert isinstance(timeout, int)
+        with open(os.path.join(d3, f"{abs(hash(body))}.json"), "w") as f:
+            f.write(body)
+        return 200
+
+    http_sink(bodies, post_kw_only)
+    assert len(glob.glob(os.path.join(d3, "*.json"))) == 3
