@@ -10132,3 +10132,188 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "triangle_count_copurchase",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           round(3.0 * tri.n_tri /
+                 (SELECT sum(d * (d - 1)) / 2.0 FROM deg), 6)
+             AS clustering_coeff
+    FROM tri
+    """,
+    doc="Distributed triangle counting + global clustering coefficient "
+    "over the co-purchase graph (parts are nodes; an edge = the two "
+    "parts share an order). The compact-forward pattern: edges are "
+    "canonical u<v pairs, triangles close u->v->w wedges with one "
+    "edge-edge hash join probed by a second — never an NLJ, and the "
+    "wedge join's fan-out is bounded by per-node degree (the per-order "
+    "pair explode is C(items-per-order, 2), a small constant here; at "
+    "scale cap hot orders the same way the LSH stages cap hot buckets). "
+    "Degree stats and the wedge denominator reuse the edge table. The "
+    "extension-family recommendation/graph twin of pagerank (E-family, "
+    "SURVEY §2.3).",
+    tags=("ext", "bench2"),
+)
+def q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+        # three self-join consumers (e1/e2/e3) + degrees: pin the edge
+        # table so the per-order pair explode runs once
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2.0).alias("n_wedges")
+    )
+    return (
+        tri.join(F.broadcast(n_nodes))
+        .join(F.broadcast(n_edges))
+        .join(F.broadcast(wedges))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
+
+
+@register(
+    "item_item_cosine_topk",
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    support AS (SELECT p, count(*) AS n FROM cp GROUP BY p),
+    co AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS n_co
+      FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    scored AS (
+      SELECT co.pa, co.pb, co.n_co,
+             round(co.n_co / sqrt(sa.n * sb.n), 6) AS cosine
+      FROM co
+      JOIN support sa ON sa.p = co.pa
+      JOIN support sb ON sb.p = co.pb
+      WHERE co.n_co >= 3
+    )
+    SELECT pa, pb, CAST(n_co AS BIGINT) AS n_co, cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY cosine DESC, pa, pb) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+    doc="Item-item collaborative similarity: parts as binary "
+    "customer-incidence vectors, cosine = co-purchase count / "
+    "sqrt(support_a * support_b), top-20 pairs with a min-support "
+    "floor. The co-occurrence join is keyed by customer, so its fan-out "
+    "is sum over customers of C(basket, 2) — bounded by basket size, "
+    "the same hot-group exposure the LSH caps handle (cap whale "
+    "baskets at scale); supports are a broadcast-sized dim; ranking is "
+    "on the ROUNDED cosine with (pa, pb) tie-break so cross-engine "
+    "sqrt ulp can't flip the top-k; TakeOrderedAndProject caps output.",
+    tags=("ext", "bench2"),
+)
+def q_item_item_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = read_sf_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        # consumed by the self-join's two sides and the support agg
+        .localCheckpoint(eager=True)
+    )
+    support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a, b = cp.alias("a"), cp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    sa = support.select(F.col("p").alias("pa"), F.col("n").alias("na"))
+    sb = support.select(F.col("p").alias("pb"), F.col("n").alias("nb"))
+    scored = (
+        co.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_co",
+            F.round(
+                F.col("n_co") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), "pa", "pb")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "pa",
+            "pb",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            "cosine",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
