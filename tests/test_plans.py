@@ -414,3 +414,34 @@ def test_parquet_aggregate_pushdown_reads_footers_only(spark):
         SF.max("l_quantity").alias("mx"),
     ).first()
     assert (got.n, got.mn, got.mx) == (want.n, want.mn, want.mx)
+
+
+def test_round4_wave_plan_claims(spark):
+    """Pin the physical-plan claims the round-4 query docstrings make:
+    q4's correlated EXISTS decorrelates to a left-semi hash join (never a
+    per-row re-scan), tfidf's per-doc top-3 is a WindowGroupLimit rank
+    pushdown, and the two top-k outputs (q2, item-item) cap with
+    TakeOrderedAndProject instead of a global sort."""
+    from entity_etl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    q4 = plan_of(REGISTRY["q4_order_priority"].fn(spark, sf))
+    assert "LeftSemi" in q4
+    assert "BroadcastNestedLoopJoin" not in q4
+
+    tfidf = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, sf))
+    assert "WindowGroupLimit" in tfidf
+
+    q2 = plan_of(REGISTRY["q2_min_cost_supplier"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in q2
+    assert "BroadcastHashJoin" in q2
+
+    ii = plan_of(REGISTRY["item_item_cosine_topk"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in ii
+
+    # triangle counting: every join is a hash join on edge keys; the only
+    # nested loops are the three 1-row stat broadcasts at the very top
+    tri = plan_of(REGISTRY["triangle_count_copurchase"].fn(spark, sf))
+    assert tri.count("BroadcastNestedLoopJoin") <= 3
+    assert "CartesianProduct" not in tri
