@@ -87,10 +87,11 @@ def main() -> None:
         "boilerplate_segment_removal": 1.7,
         "scd2_user_event_history": 1.6,
         "bpe_encode_tokens": 1.1,
-        # r4 quiet-box best 16.6 s warm after the micro-batch fixes
-        # (repartition + pinned gate/sigs/losers + O(batch) state append
-        # + batch-restricted LSH pair join; was 37.7 s before them)
-        "streaming_neardup_prep": 33.7,
+        # r4-close quiet bests (2x + 0.5 s, same rule): streaming prep
+        # 12.5 s after the micro-batch fixes (was 37.7 s before them)
+        "streaming_neardup_prep": 25.5,
+        "triangle_count_copurchase": 15.3,
+        "item_item_cosine_topk": 10.8,
     }
     sf = sf_dir.rstrip("/").split("sf")[-1]
     breaches = (
