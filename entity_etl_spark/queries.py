@@ -10153,14 +10153,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
       FROM pairs e1
       JOIN pairs e2 ON e2.u = e1.v
       JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    degstats AS (
+      SELECT count(*) AS n_nodes, sum(d * (d - 1)) / 2.0 AS n_wedges
+      FROM deg
     )
-    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+    -- floor form, not round(): both engines hold the identical IEEE
+    -- quotient; round()-on-double diverges on shortest-repr ties
+    SELECT CAST(degstats.n_nodes AS BIGINT) AS n_nodes,
            CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
            CAST(tri.n_tri AS BIGINT) AS n_triangles,
-           round(3.0 * tri.n_tri /
-                 (SELECT sum(d * (d - 1)) / 2.0 FROM deg), 6)
-             AS clustering_coeff
-    FROM tri
+           floor(3.0 * tri.n_tri / degstats.n_wedges * 1000000 + 0.5)
+             / 1000000 AS clustering_coeff
+    FROM tri, degstats
     """,
     doc="Distributed triangle counting + global clustering coefficient "
     "over the co-purchase graph (parts are nodes; an edge = the two "
@@ -10211,22 +10216,28 @@ def q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # one pass over deg yields both stats (two separate aggs would plan
+    # the union+shuffle degree pipeline twice and cost a third scalar
+    # broadcast join)
+    degstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2.0).alias("n_wedges"),
+    )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-    wedges = deg.agg(
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2.0).alias("n_wedges")
+    # floor form, not F.round: both engines hold the identical IEEE
+    # quotient; round()-on-double diverges on shortest-repr ties
+    coeff = (
+        F.floor(3.0 * F.col("n_tri") / F.col("n_wedges") * 1000000 + 0.5)
+        / 1000000
     )
     return (
-        tri.join(F.broadcast(n_nodes))
+        tri.join(F.broadcast(degstats))
         .join(F.broadcast(n_edges))
-        .join(F.broadcast(wedges))
         .select(
             F.col("n_nodes").cast("bigint").alias("n_nodes"),
             F.col("n_edges").cast("bigint").alias("n_edges"),
             F.col("n_tri").cast("bigint").alias("n_triangles"),
-            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias(
-                "clustering_coeff"
-            ),
+            coeff.alias("clustering_coeff"),
         )
     )
 
@@ -10245,8 +10256,12 @@ def q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY a.p, b.p
     ),
     scored AS (
+      -- floor form: n_co/sqrt(na*nb) is the identical IEEE double in
+      -- both engines, but round() diverges on shortest-repr ties (e.g.
+      -- 41/640 = 0.0640625 rounds up in Spark, down in DuckDB)
       SELECT co.pa, co.pb, co.n_co,
-             round(co.n_co / sqrt(sa.n * sb.n), 6) AS cosine
+             floor(co.n_co / sqrt(sa.n * sb.n) * 1000000 + 0.5)
+               / 1000000 AS cosine
       FROM co
       JOIN support sa ON sa.p = co.pa
       JOIN support sb ON sb.p = co.pb
@@ -10300,8 +10315,14 @@ def q_item_item_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
             "pa",
             "pb",
             "n_co",
-            F.round(
-                F.col("n_co") / F.sqrt(F.col("na") * F.col("nb")), 6
+            (
+                F.floor(
+                    F.col("n_co")
+                    / F.sqrt(F.col("na") * F.col("nb"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
             ).alias("cosine"),
         )
     )
