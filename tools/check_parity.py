@@ -74,16 +74,47 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     failures = []
     results = {}
+
+    def run_spark_side(fn, name):
+        """Run one query, retrying ONCE in a fresh session on a Spark
+        failure: after ~1400 jobs in one JVM a full-registry sweep has
+        (rarely) lost an in-flight shuffle file to the context cleaner,
+        crashing the SparkContext and cascading spurious FAILs to every
+        remaining query — a harness flake, not a query defect. The retry
+        rebuilds the session so one flake can't taint the artifact; a
+        query that fails twice in a row is a real failure."""
+        nonlocal spark
+        try:
+            sdf = fn(spark, sf_dir)
+            return sdf.columns, [tuple(r) for r in sdf.collect()], None
+        except Exception as first_err:
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = (
+                SparkSession.builder.master("local[8]")
+                .config("spark.sql.session.timeZone", "UTC")
+                .config("spark.sql.shuffle.partitions", "8")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            print(f"RETRY {name} in a fresh session after: "
+                  f"{type(first_err).__name__}")
+            try:
+                sdf = fn(spark, sf_dir)
+                return sdf.columns, [tuple(r) for r in sdf.collect()], None
+            except Exception as e:
+                return None, None, e
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+        s_cols, s_rows, err = run_spark_side(fn, name)
+        if err is not None:
+            print(f"FAIL  {name}: spark error: {err}")
             failures.append(name)
             results[name] = {"rows": None, "match": False,
                              "seconds": round(time.time() - t0, 2)}
