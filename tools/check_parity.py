@@ -58,6 +58,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", "16g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
@@ -77,12 +78,16 @@ def main() -> int:
 
     def run_spark_side(fn, name):
         """Run one query, retrying ONCE in a fresh session on a Spark
-        failure: after ~1400 jobs in one JVM a full-registry sweep has
-        (rarely) lost an in-flight shuffle file to the context cleaner,
-        crashing the SparkContext and cascading spurious FAILs to every
-        remaining query — a harness flake, not a query defect. The retry
-        rebuilds the session so one flake can't taint the artifact; a
-        query that fails twice in a row is a real failure."""
+        failure. Root cause observed twice before the 16g driver-memory
+        fix above: the default 1g heap OOM'd on the registry's heaviest
+        shuffles at sf0.1 late in a ~1400-job session (first surfacing
+        as a lost in-flight shuffle file, then as an explicit
+        java.lang.OutOfMemoryError), crashing the SparkContext and
+        cascading spurious FAILs to every remaining query. The retry
+        rebuilds the session so one harness crash can't taint the
+        artifact; a query that fails twice in a row is a real failure.
+        (driver.memory in the retry builder is a no-op — the JVM is
+        already up — the real sizing is the first builder's.)"""
         nonlocal spark
         try:
             sdf = fn(spark, sf_dir)
@@ -94,6 +99,7 @@ def main() -> int:
                 pass
             spark = (
                 SparkSession.builder.master("local[8]")
+                .config("spark.driver.memory", "16g")
                 .config("spark.sql.session.timeZone", "UTC")
                 .config("spark.sql.shuffle.partitions", "8")
                 .config("spark.ui.enabled", "false")
