@@ -10338,3 +10338,114 @@ def q_item_item_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "embedding_label_probe_accuracy",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    -- DECIMAL partials: centroid components are averages over many
+    -- doubles, and a double sum's order (Spark partial agg vs DuckDB
+    -- sequential) moves the last ulp; decimal addition is exact and
+    -- order-independent, so both engines hold BIT-IDENTICAL centroids
+    cent AS (
+      SELECT label, t.ord,
+             CAST(sum(CAST(e.v[t.ord] AS DECIMAL(38,12))) / count(*)
+                  AS DOUBLE) AS c
+      FROM e, UNNEST(range(1, len(e.v) + 1)) AS t(ord)
+      GROUP BY label, t.ord
+    ),
+    cvec AS (
+      SELECT label AS clabel, list(c ORDER BY ord) AS cv
+      FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             round(list_cosine_similarity(e.v, c.cv), 6) AS s
+      FROM e, cvec c
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY s DESC, clabel) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS accuracy
+    FROM pred GROUP BY label ORDER BY label
+    """,
+    doc="Embedding-quality probe: nearest-label-centroid classification "
+    "accuracy per label — the standard cheap eval for whether an "
+    "embedding space separates known classes (clustering-quality twin "
+    "of the recall gates in E3). Scale shape: centroids are one "
+    "posexplode + (label, pos) agg with DECIMAL partials (exact and "
+    "order-independent, so both engines hold bit-identical centroids "
+    "— the conditional_agg lesson applied to vector math); the "
+    "n_labels x dim centroid table is a tiny broadcast; scoring is "
+    "map-side zip_with/aggregate cosine (JVM, no UDF) against all "
+    "centroids; argmax is a WindowGroupLimit on the ROUNDED score "
+    "with a label tie-break.",
+    tags=("ext",),
+)
+def q_embedding_label_probe_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(38,12)")) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("c")
+        )
+    )
+    cvec = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = emb.join(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(dot / (norm(F.col("v")) * norm(F.col("cv"))), 6).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "clabel")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            correct.cast("bigint").alias("n_correct"),
+            F.round(correct * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
