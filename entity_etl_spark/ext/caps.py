@@ -33,19 +33,28 @@ def cap_hot_groups(
     the first action records ``dropped_metric`` (rows living in dropped
     groups) and ``max_metric`` (largest group seen) — metric names are
     caller-supplied because each call site's names are pinned API.
+    An ``observation`` is honored even when ``cap`` is None: the caller
+    asked for accounting, so they get a real max-group-size reading and a
+    zero drop count — an Observation left unattached would block forever
+    on ``.get`` instead of reporting nothing was dropped.
     """
     from pyspark.sql import Window
 
     if repartition:
         df = df.repartition(*[F.col(c) for c in key_cols])
-    if cap is None:
+    if cap is None and observation is None:
         return df
     gsz = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
     df = df.withColumn("__gsz", gsz)
     if observation is not None:
+        over = (
+            F.lit(False) if cap is None else (F.col("__gsz") > cap)
+        )
         df = df.observe(
             observation,
-            F.sum((F.col("__gsz") > cap).cast("long")).alias(dropped_metric),
+            F.sum(over.cast("long")).alias(dropped_metric),
             F.max("__gsz").alias(max_metric),
         )
+    if cap is None:
+        return df.drop("__gsz")
     return df.filter(F.col("__gsz") <= cap).drop("__gsz")

@@ -96,6 +96,9 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    *,
+    max_shingle_df: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold).
 
@@ -103,7 +106,16 @@ def jaccard_pairs(
     shuffle, keyed by shingle) → per-pair intersection count → Jaccard from
     per-doc distinct-shingle counts. Ground truth for the LSH variants; at
     100 TB run :func:`lsh_candidate_pairs` first and feed candidates here.
+
+    ``max_shingle_df`` caps the doc-frequency of a shingle before the
+    self-join (ext.graph.within_group_pairs → cap_hot_groups): a
+    stop-shingle shared by B docs contributes C(B, 2) rows to one task's
+    join. Capped runs UNDERESTIMATE Jaccard (dropped shingles still count
+    toward sizes but not intersections) — a stated candidate-recall
+    trade, reported via ``observation``; default None is exact.
     """
+    from .graph import within_group_pairs
+
     sh = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -111,11 +123,19 @@ def jaccard_pairs(
         )
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        within_group_pairs(
+            sh,
+            "sh",
+            "doc",
+            item_a="doc_a",
+            item_b="doc_b",
+            max_group_size=max_shingle_df,
+            observation=observation,
+            dropped_metric="jac_rows_in_dropped_shingles",
+            max_metric="jac_max_shingle_df",
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -626,6 +646,41 @@ def repeated_substring_windows(
     )
 
 
+def candidate_pruned_bodies(
+    corpus: DataFrame,
+    cand_pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pushdown_limit: int | None,
+) -> DataFrame:
+    """Corpus bodies restricted to docs in a candidate pair, as a SCAN
+    predicate, not just a join.
+
+    jaccard_verify's semi-join restricts what *shuffles*; a file-backed
+    corpus would still *scan* every body row per increment. When the
+    candidate-doc count fits ``pushdown_limit``, collect the ids (one
+    cap-guarded single-job probe over the tiny pinned pair set) and push
+    them into the corpus read as ``isin`` literals — parquet row-group
+    stats then prune the read itself (PushedFilters In(id), asserted in
+    tests), so per-increment corpus I/O scales with candidate count, not
+    corpus size. Above the limit (or None) the full projection is
+    returned and the downstream semi-join does the restriction alone."""
+    corpus_bodies = corpus.select(id_col, text_col)
+    if pushdown_limit is None:
+        return corpus_bodies
+    cand_ids = (
+        cand_pairs.select(F.col("doc_a").alias("__cd"))
+        .unionByName(cand_pairs.select(F.col("doc_b").alias("__cd")))
+        .distinct()
+    )
+    # limit+1 bounds the probe: more rows back = candidate set too large
+    # to inline as literals; keep the full-scan + semi-join path
+    probe = [r[0] for r in cand_ids.limit(pushdown_limit + 1).collect()]
+    if len(probe) > pushdown_limit:
+        return corpus_bodies
+    return corpus_bodies.filter(F.col(id_col).isin(probe))
+
+
 def minhash_dedup_incremental(
     corpus: DataFrame,
     batch: DataFrame,
@@ -639,6 +694,7 @@ def minhash_dedup_incremental(
     verify_threshold: float = 0.5,
     max_bucket_size: int | None = None,
     new_sigs_only: bool = False,
+    candidate_pushdown_limit: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup: drop batch docs near-duplicate to the
     accumulated corpus (or to a smaller-id batch sibling) — the MinHash
@@ -646,9 +702,24 @@ def minhash_dedup_incremental(
     dedup story for continuously-fed training pipelines.
 
     With ``new_sigs_only=True`` the second return value is ONLY the
-    survivors' signatures (not old-state ∪ new): pair it with
-    state.append_state so per-batch state persistence costs O(batch)
-    instead of rewriting the accumulated table every increment.
+    state DELTA: batch survivors' signatures, plus — on a first run
+    where ``corpus_sigs`` had to be computed in-call from a non-empty
+    ``corpus`` — those corpus signatures too (they exist nowhere else
+    yet, so omitting them would make later increments silently blind to
+    the original corpus). Pair it with state.append_state so per-batch
+    state persistence costs O(batch) instead of rewriting the
+    accumulated table every increment.
+
+    ``candidate_pushdown_limit``: the verify step needs corpus BODIES
+    only for docs in a candidate pair. The semi-join inside
+    :func:`jaccard_verify` restricts what *shuffles*, but a file-backed
+    ``corpus`` would still *scan* every body row per increment. When the
+    candidate-doc count is within this limit, the ids are collected
+    (one cap-guarded single-job probe over the tiny pinned pair set) and
+    pushed into the corpus scan as an ``isin`` filter — parquet
+    row-group stats then prune the read itself, so per-increment corpus
+    I/O scales with candidate count, not corpus size. Above the limit
+    (or with None) it falls back to the full scan + semi-join.
 
     ``corpus_sigs`` is the persisted signature STATE (one (doc, sig) row
     per kept corpus doc; computed from ``corpus`` on the first run).
@@ -668,12 +739,14 @@ def minhash_dedup_incremental(
     priority column for the id in the pair ordering.
     """
     rows_per_band = num_hashes // bands
+    computed_corpus_sigs = None
     if corpus_sigs is None:
         # first run only: fold the corpus once and pin it — every later
         # increment loads the persisted state instead
         corpus_sigs = minhash_signatures(
             corpus, id_col, text_col, num_hashes, k
         ).localCheckpoint(eager=True)
+        computed_corpus_sigs = corpus_sigs
     # pinned because it has THREE consumers (band buckets, kept_sigs,
     # and the caller's state persist) — without the barrier each one
     # re-runs the full shingle fold over the batch lineage, which for a
@@ -697,9 +770,9 @@ def minhash_dedup_incremental(
         max_bucket_size=max_bucket_size,
         right_ids=batch_sigs.select("doc"),
     ).localCheckpoint(eager=True)
-    bodies = corpus.select(id_col, text_col).unionByName(
-        batch.select(id_col, text_col)
-    )
+    bodies = candidate_pruned_bodies(
+        corpus, cand_b, id_col, text_col, candidate_pushdown_limit
+    ).unionByName(batch.select(id_col, text_col))
     verified = jaccard_verify(
         cand_b, bodies, id_col, text_col, k, verify_threshold
     )
@@ -715,6 +788,12 @@ def minhash_dedup_incremental(
         kept.select(F.col(id_col).alias("doc")), "doc", "left_semi"
     )
     if new_sigs_only:
+        # the delta must include in-call-computed corpus signatures: they
+        # are persisted nowhere else, and a caller pairing this with
+        # append_state would otherwise lose the original corpus from the
+        # state forever (later increments silently stop matching it)
+        if computed_corpus_sigs is not None:
+            return kept, computed_corpus_sigs.unionByName(kept_sigs)
         return kept, kept_sigs
     return kept, corpus_sigs.unionByName(kept_sigs)
 

@@ -5307,16 +5307,24 @@ def q_cdc_apply_tombstones(spark: SparkSession, sf: str) -> DataFrame:
     doc="Co-occurrence / frequent-pair mining over user baskets: collapse "
     "to DISTINCT (user, type) first — the self-join then multiplies only "
     "basket sizes (bounded by the type vocabulary), never raw event "
-    "counts; support and lift from broadcast singletons.",
+    "counts; support and lift from broadcast singletons. The pair "
+    "explode routes through ext.graph.within_group_pairs so "
+    "max_basket_size can cap whale users (registry runs uncapped).",
     tags=("analytics",),
 )
-def q_event_type_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+def q_event_type_cooccurrence(
+    spark: SparkSession,
+    sf: str,
+    *,
+    max_basket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    from .ext.graph import within_group_pairs
+
     ev = read_sf_table(spark, sf, "events")
     ut = ev.select("user_id", "event_type").distinct()
     n_users = ev.select(F.countDistinct("user_id").alias("n"))
     singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
-    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
-    b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
     sa = singles.select(
         F.col("event_type").alias("type_a"), F.col("c").alias("ca")
     )
@@ -5324,8 +5332,17 @@ def q_event_type_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_type").alias("type_b"), F.col("c").alias("cb")
     )
     return (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
+        within_group_pairs(
+            ut,
+            "user_id",
+            "event_type",
+            item_a="type_a",
+            item_b="type_b",
+            max_group_size=max_basket_size,
+            observation=observation,
+            dropped_metric="etc_rows_in_dropped_users",
+            max_metric="etc_max_user_types",
+        )
         .join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
         .crossJoin(F.broadcast(n_users))
@@ -10173,28 +10190,40 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     "canonical u<v pairs, triangles close u->v->w wedges with one "
     "edge-edge hash join probed by a second — never an NLJ, and the "
     "wedge join's fan-out is bounded by per-node degree (the per-order "
-    "pair explode is C(items-per-order, 2), a small constant here; at "
-    "scale cap hot orders the same way the LSH stages cap hot buckets). "
+    "pair explode is C(items-per-order, 2) via ext.graph."
+    "within_group_pairs — max_order_items caps whale orders with "
+    "Observation accounting, the same contract as the LSH bucket caps; "
+    "registry runs uncapped for oracle parity). "
     "Degree stats and the wedge denominator reuse the edge table. The "
     "extension-family recommendation/graph twin of pagerank (E-family, "
     "SURVEY §2.3).",
     tags=("ext", "bench2"),
 )
-def q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+def q_triangle_count_copurchase(
+    spark: SparkSession,
+    sf: str,
+    *,
+    max_order_items: int | None = None,
+    observation=None,
+) -> DataFrame:
+    from .ext.graph import within_group_pairs
+
     li = read_sf_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        within_group_pairs(
+            li,
+            "l_orderkey",
+            "l_partkey",
+            item_a="u",
+            item_b="v",
+            max_group_size=max_order_items,
+            observation=observation,
+            dropped_metric="tri_rows_in_dropped_orders",
+            max_metric="tri_max_order_items",
         )
-        .select(
-            F.least("a.l_partkey", "b.l_partkey").alias("u"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
-        )
+        .select("u", "v")
         .distinct()
         # three self-join consumers (e1/e2/e3) + degrees: pin the edge
         # table so the per-order pair explode runs once
@@ -10225,10 +10254,13 @@ def q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     # floor form, not F.round: both engines hold the identical IEEE
-    # quotient; round()-on-double diverges on shortest-repr ties
-    coeff = (
+    # quotient; round()-on-double diverges on shortest-repr ties.
+    # NULL when the graph has no wedges (degenerate/capped input) —
+    # under ANSI mode an unguarded divide would abort the job
+    coeff = F.when(
+        F.col("n_wedges") > 0,
         F.floor(3.0 * F.col("n_tri") / F.col("n_wedges") * 1000000 + 0.5)
-        / 1000000
+        / 1000000,
     )
     return (
         tri.join(F.broadcast(degstats))
@@ -10278,14 +10310,23 @@ def q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     "customer-incidence vectors, cosine = co-purchase count / "
     "sqrt(support_a * support_b), top-20 pairs with a min-support "
     "floor. The co-occurrence join is keyed by customer, so its fan-out "
-    "is sum over customers of C(basket, 2) — bounded by basket size, "
-    "the same hot-group exposure the LSH caps handle (cap whale "
-    "baskets at scale); supports are a broadcast-sized dim; ranking is "
+    "is sum over customers of C(basket, 2) via ext.graph."
+    "within_group_pairs — max_basket_size caps whale baskets with "
+    "Observation accounting (registry runs uncapped for oracle "
+    "parity); supports are a broadcast-sized dim; ranking is "
     "on the ROUNDED cosine with (pa, pb) tie-break so cross-engine "
     "sqrt ulp can't flip the top-k; TakeOrderedAndProject caps output.",
     tags=("ext", "bench2"),
 )
-def q_item_item_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+def q_item_item_cosine_topk(
+    spark: SparkSession,
+    sf: str,
+    *,
+    max_basket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    from .ext.graph import within_group_pairs
+
     li = read_sf_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     o = read_sf_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     cp = (
@@ -10296,13 +10337,19 @@ def q_item_item_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    a, b = cp.alias("a"), cp.alias("b")
     co = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")),
+        within_group_pairs(
+            cp,
+            "c",
+            "p",
+            item_a="pa",
+            item_b="pb",
+            max_group_size=max_basket_size,
+            observation=observation,
+            dropped_metric="ii_rows_in_dropped_baskets",
+            max_metric="ii_max_basket_size",
         )
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 3)
     )

@@ -103,6 +103,7 @@ def http_sink(
         frozen_method, frozen_url = method, url
 
         def post(body: str, key: str) -> int:  # pragma: no cover - network
+            import urllib.error
             import urllib.request
 
             req = urllib.request.Request(
@@ -111,9 +112,17 @@ def http_sink(
                 headers={**frozen_headers, "Idempotency-Key": key},
                 method=frozen_method,
             )
-            with urllib.request.urlopen(req) as resp:
-                resp.read()
-                return resp.status
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    resp.read()
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                # urlopen RAISES for non-2xx; surfacing the code as a
+                # return lets send_one's transient/permanent split run —
+                # otherwise a permanent 4xx lands in the generic
+                # exception arm and gets retried, violating the
+                # '4xx fails fast' contract
+                return e.code
 
     try:
         # only count parameters the (body, key) positional call can bind:

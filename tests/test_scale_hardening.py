@@ -309,8 +309,22 @@ def test_incremental_dedup_new_only_matches_full_state(spark):
         r.doc_id for r in kept_b.collect()
     } == {11}
     corpus_docs = {1}
-    assert {r.doc for r in delta.collect()} == {11}
+    # corpus_sigs computed IN-CALL from a non-empty corpus: the delta
+    # must carry those corpus signatures too (they are persisted nowhere
+    # else — an append_state caller would otherwise go blind to the
+    # original corpus), so delta == full here
+    assert {r.doc for r in delta.collect()} == corpus_docs | {11}
     assert {r.doc for r in full.collect()} == corpus_docs | {11}
+
+    # with PRE-PERSISTED corpus_sigs (every increment after the first)
+    # the delta is exactly the batch survivors
+    from entity_etl_spark.ext.dedup import minhash_signatures
+
+    pre_sigs = minhash_signatures(corpus, "doc_id", "text", k=3)
+    _, delta2 = minhash_dedup_incremental(
+        corpus, batch, k=3, corpus_sigs=pre_sigs, new_sigs_only=True
+    )
+    assert {r.doc for r in delta2.collect()} == {11}
 
     seen = spark.createDataFrame([("fp1",)], "fp string")
     kept_c, new_fps = exact_dedup_incremental(
@@ -320,3 +334,255 @@ def test_incremental_dedup_new_only_matches_full_state(spark):
     got_new = {r.fp for r in new_fps.collect()}
     assert {r.fp for r in next_seen.collect()} == got_new | {"fp1"}
     assert len(got_new) == 2  # both batch docs unseen
+
+
+# --------------------------------------------------------------- round 5
+# The r4 verdict's residual fan-outs: the graph-family pair explodes were
+# documented-but-uncapped O(group^2); the incremental near-dup verify
+# rescanned every corpus body per micro-batch; connected_components lost
+# executor-memory checkpoint blocks on executor failure. Each fixture
+# below plants the degenerate case and asserts the hardened form.
+
+
+def _whale_baskets(spark, whale_items=60):
+    """Order 1 is a whale (whale_items parts); orders 2-4 are small and
+    share parts 9001/9002 so capped runs still emit those pairs."""
+    rows = [(1, 100 + i) for i in range(whale_items)]
+    for ok in (2, 3, 4):
+        rows += [(ok, 9001), (ok, 9002)]
+    return spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+
+
+def test_within_group_pairs_cap_bounds_whale_group(spark):
+    from entity_etl_spark.ext.graph import within_group_pairs
+
+    df = _whale_baskets(spark)
+    uncapped = within_group_pairs(df, "l_orderkey", "l_partkey")
+    # the whale alone contributes C(60, 2) = 1770 pairs in ONE task
+    assert uncapped.count() == 1770 + 3
+
+    obs = Observation("wgp_cap")
+    capped = within_group_pairs(
+        df,
+        "l_orderkey",
+        "l_partkey",
+        max_group_size=10,
+        observation=obs,
+        dropped_metric="rows_dropped",
+        max_metric="max_group",
+    )
+    got = {(r.l_orderkey, r.item_a, r.item_b) for r in capped.collect()}
+    assert got == {(2, 9001, 9002), (3, 9001, 9002), (4, 9001, 9002)}
+    m = obs.get
+    assert m["rows_dropped"] == 60  # every whale row lives in a dropped group
+    assert m["max_group"] == 60
+
+
+def test_within_group_pairs_loose_cap_changes_nothing(spark):
+    """Parity guard: registry queries run uncapped; a cap above every
+    group must reproduce the exact pair set."""
+    from entity_etl_spark.ext.graph import within_group_pairs
+
+    df = _whale_baskets(spark, whale_items=8)
+    base = {
+        (r.l_orderkey, r.item_a, r.item_b)
+        for r in within_group_pairs(df, "l_orderkey", "l_partkey").collect()
+    }
+    loose = {
+        (r.l_orderkey, r.item_a, r.item_b)
+        for r in within_group_pairs(
+            df, "l_orderkey", "l_partkey", max_group_size=10_000
+        ).collect()
+    }
+    assert base == loose and len(base) == 28 + 3
+
+
+def test_cap_none_with_observation_reports_zero(spark):
+    """An Observation passed with cap=None must still materialize (zero
+    drops, real max group size) — not silently stay unattached and block
+    the caller's obs.get forever."""
+    from entity_etl_spark.ext.caps import cap_hot_groups
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d")], "g bigint, x string"
+    )
+    obs = Observation("cap_none")
+    out = cap_hot_groups(
+        df,
+        ["g"],
+        None,
+        observation=obs,
+        dropped_metric="dropped",
+        max_metric="max_g",
+    )
+    assert out.count() == 4  # no-op on rows
+    m = obs.get
+    assert m["dropped"] == 0
+    assert m["max_g"] == 3
+
+
+def test_graph_query_caps_drop_whale_order(spark, tmp_path):
+    """The wired-in caps on the registry graph queries: a planted whale
+    order is excluded under max_order_items / max_basket_size, with
+    Observation accounting; a loose cap reproduces the uncapped result."""
+    import os
+
+    from entity_etl_spark.queries import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _whale_baskets(spark, whale_items=30).write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    # one order per customer so item-item baskets mirror the orders
+    spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 13), (4, 14)],
+        "o_orderkey bigint, o_custkey bigint",
+    ).write.parquet(f"{sf}/orders.parquet")
+
+    tri = REGISTRY["triangle_count_copurchase"].fn
+    base = tri(spark, sf).collect()[0]
+    loose = tri(spark, sf, max_order_items=10_000).collect()[0]
+    assert base == loose
+    assert base.n_triangles == 30 * 29 * 28 // 6  # K30 from the whale
+
+    obs = Observation("tri_cap")
+    capped = tri(spark, sf, max_order_items=10, observation=obs).collect()[0]
+    # whale dropped entirely: only the 9001-9002 edge remains, no triangle
+    assert capped.n_edges == 1 and capped.n_triangles == 0
+    m = obs.get
+    assert m["tri_rows_in_dropped_orders"] == 30
+    assert m["tri_max_order_items"] == 30
+
+    ii = REGISTRY["item_item_cosine_topk"].fn
+    base_ii = {(r.pa, r.pb) for r in ii(spark, sf).collect()}
+    loose_ii = {
+        (r.pa, r.pb) for r in ii(spark, sf, max_basket_size=10_000).collect()
+    }
+    assert base_ii == loose_ii
+    obs2 = Observation("ii_cap")
+    capped_ii = ii(spark, sf, max_basket_size=10, observation=obs2)
+    capped_ii.collect()
+    assert obs2.get["ii_max_basket_size"] == 30
+
+
+def test_jaccard_pairs_stop_shingle_cap(spark):
+    """max_shingle_df drops a stop-shingle's quadratic pair fan-out
+    before the self-join; a loose cap reproduces the exact pair set."""
+    from entity_etl_spark.ext.dedup import jaccard_pairs
+
+    docs = _mega_corpus(spark, n_clones=12)
+    base = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", max_shingle_df=10_000
+        ).collect()
+    }
+    assert base == loose
+    assert (1001, 1002) in base
+
+    obs = Observation("jac_cap")
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", max_shingle_df=5, observation=obs
+        ).collect()
+    }
+    # clone shingles (df=12 > 5) dropped -> no clone pairs survive the
+    # threshold; the small pair rides shingles with df=2
+    assert not any(a <= 12 and b <= 12 for a, b in capped)
+    assert (1001, 1002) in capped
+    assert obs.get["jac_max_shingle_df"] == 12
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    """Reliable-storage pinning: with checkpoint_dir the iteration state
+    lives in parquet files (executor loss cannot lose label blocks) and
+    the labels match the localCheckpoint default exactly."""
+    import os
+
+    from entity_etl_spark.ext.graph import connected_components
+
+    # a path A-B-C plus an isolated pair D-E: two components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    local = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    ckdir = str(tmp_path / "cc")
+    durable = {
+        (r.node, r.comp)
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert local == durable == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # the iteration state actually went through storage
+    written = os.listdir(ckdir)
+    assert any(d.startswith("cc_labels") for d in written)
+    assert any(d == "cc_edges" for d in written)
+
+
+def test_incremental_neardup_pushdown_prunes_corpus_scan(spark, tmp_path):
+    """The verify body fetch must push candidate doc ids into the
+    file-backed corpus scan (PushedFilters In/EqualTo on the id), so a
+    micro-batch reads candidate row-groups, not the whole corpus — and
+    the result must equal the full-scan fallback."""
+    import re
+
+    from entity_etl_spark.ext.dedup import minhash_dedup_incremental
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated content about alpine meadow flowers"),
+        (3, "spark catalyst plans the shuffle stages for the query"),
+    ]
+    cpath = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        corpus_rows, "doc_id bigint, text string"
+    ).write.parquet(cpath)
+    corpus = spark.read.parquet(cpath)
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "an entirely different document about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    kept, _ = minhash_dedup_incremental(corpus, batch, k=3)
+    assert {r.doc_id for r in kept.collect()} == {11}
+
+    # the pruned body fetch pushes candidate ids into the corpus scan
+    from entity_etl_spark.ext.dedup import (
+        candidate_pruned_bodies,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    all_sigs = minhash_signatures(
+        corpus, "doc_id", "text", k=3
+    ).unionByName(minhash_signatures(batch, "doc_id", "text", k=3))
+    cand = lsh_candidate_pairs(all_sigs, 8, 4).localCheckpoint(eager=True)
+    bodies = candidate_pruned_bodies(corpus, cand, "doc_id", "text", 100_000)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = bodies._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "In(doc_id" in m.group(1) or "EqualTo(doc_id" in m.group(1), plan
+    # the doc in a candidate pair (1, the clone) survives the pruned read
+    assert {r.doc_id for r in bodies.collect()} == {1}
+
+    # above the limit the probe backs off to the full projection
+    full = candidate_pruned_bodies(corpus, cand, "doc_id", "text", 1)
+    assert full.count() == 3
+
+    # fallback parity: pushdown disabled gives the identical survivors
+    kept_full, _ = minhash_dedup_incremental(
+        corpus, batch, k=3, candidate_pushdown_limit=None
+    )
+    assert {r.doc_id for r in kept_full.collect()} == {11}
