@@ -109,3 +109,97 @@ def test_mann_whitney_matches_rank_reference(spark, tmp_path):
     assert (got["n1"], got["n2"]) == (n1, n2)
     assert got["u1"] == pytest.approx(round(want_u1, 2), abs=1e-9)
     assert got["z"] == pytest.approx(round(want_z, 4), abs=1e-4)
+
+
+# --------------------------------------------------------------- round 5
+# Hand-computable fixtures for the round-4 graph/recommendation/embedding
+# analytics (the Benford lesson: shared-formula parity can pass on a
+# shared misunderstanding — each test below states the expected numbers
+# from first principles and drives the ACTUAL registry entries).
+
+
+def test_triangle_count_k4_reference(spark, tmp_path):
+    """One order holding parts {1,2,3,4} is the complete graph K4:
+    6 edges, C(4,3) = 4 triangles, every degree 3 so
+    wedges = 4 * C(3,2) = 12 and clustering = 3*4/12 = 1.0. A pendant
+    edge (order 2: parts {4, 9}) then breaks perfection — expected
+    values derived inline below."""
+    li = [(1, p) for p in (1, 2, 3, 4)] + [(2, 4), (2, 9)]
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = REGISTRY["triangle_count_copurchase"].fn(
+        spark, str(tmp_path)
+    ).first()
+    # K4 + pendant: nodes {1,2,3,4,9}; edges = 6 + 1 = 7; triangles
+    # stay 4 (the pendant closes nothing); degrees 3,3,3,4,1 ->
+    # wedges = (3*2)*3/2 *... sum d(d-1) = 6+6+6+12+0 = 30, /2 = 15;
+    # clustering = 3*4/15 = 0.8
+    assert got["n_nodes"] == 5
+    assert got["n_edges"] == 7
+    assert got["n_triangles"] == 4
+    assert got["clustering_coeff"] == pytest.approx(0.8, abs=1e-6)
+
+
+def test_item_item_cosine_reference(spark, tmp_path):
+    """3 customers: all buy parts 101 and 102; customers 1,2 also buy
+    103. Binary-incidence cosine: support(101)=support(102)=3,
+    support(103)=2; co(101,102)=3 -> 3/sqrt(3*3)=1.0 passes the
+    min-support-3 floor; co(101,103)=co(102,103)=2 are filtered."""
+    orders = [(10 * c, c) for c in (1, 2, 3)]
+    li = []
+    for c in (1, 2, 3):
+        li += [(10 * c, 101), (10 * c, 102)]
+    for c in (1, 2):
+        li.append((10 * c, 103))
+    spark.createDataFrame(
+        orders, "o_orderkey bigint, o_custkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    rows = REGISTRY["item_item_cosine_topk"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.pa, r.pb, r.n_co, r.rank) == (101, 102, 3, 1)
+    assert r.cosine == pytest.approx(1.0, abs=1e-6)
+
+
+def test_embedding_label_probe_reference(spark, tmp_path):
+    """2 separable labels in 2D: label 0 hugs the x-axis, label 1 the
+    y-axis, except vector 5 (label 1 but x-aligned) which must be
+    MISclassified — accuracy 1.0 for label 0, 2/3 for label 1.
+
+    Centroids: label 0 = (0.95, 0.05); label 1 = mean of (0.1,0.9),
+    (0,1),(0.8,0.2) = (0.3, 0.7). Vector 5 = (0.8,0.2):
+    cos(c0) ~ 0.9994 > cos(c1) ~ 0.8137 -> predicted 0."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.1, 0.9], 1),
+        (4, [0.0, 1.0], 1),
+        (5, [0.8, 0.2], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r.label: r
+        for r in REGISTRY["embedding_label_probe_accuracy"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[0].n == 2 and got[0].n_correct == 2
+    assert got[0].accuracy == pytest.approx(1.0, abs=1e-4)
+    assert got[1].n == 3 and got[1].n_correct == 2
+    assert got[1].accuracy == pytest.approx(round(2 / 3, 4), abs=1e-4)
