@@ -92,6 +92,8 @@ def main() -> None:
         "streaming_neardup_prep": 25.5,
         "triangle_count_copurchase": 15.3,
         "item_item_cosine_topk": 10.8,
+        # r5: O12/O13 streaming e2e, 15.7 s quiet at sf0.1 (2x + 0.5 s)
+        "streaming_state_pipeline": 31.9,
     }
     sf = sf_dir.rstrip("/").split("sf")[-1]
     breaches = (

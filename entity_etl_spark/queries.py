@@ -4774,6 +4774,135 @@ def q_streaming_neardup_prep(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_state_pipeline",
+    """
+    -- pipeline.run_streaming (the whole reference program as ONE
+    -- Structured Streaming job) restated relationally: events arrive as
+    -- 3 contiguous-event_id micro-batches of (user_id, ts, event_type)
+    -- entities; per batch the engine keeps the latest row per user
+    -- (O15), emits users whose content CHANGED vs the persisted
+    -- content-hash state (O5 — hash ignores ts), sinks the projected
+    -- batch bodies (O6-O11), then MERGEs all seen users back into state
+    -- with refreshed TTL (O12/O13). Content = (user_id, event_type), so
+    -- state's stored copy for user u before batch b is u's latest type
+    -- in the most recent EARLIER batch containing u — exactly
+    -- lag(event_type) over the user's batch sequence; a user emits when
+    -- that lag is absent (first sight) or differs (real change).
+    WITH ev AS (
+      SELECT user_id, ts, event_type,
+             least(2, CAST(floor(event_id * 3.0 /
+                   (SELECT count(*) FROM events)) AS INT)) AS b
+      FROM events
+    ),
+    latest AS (
+      SELECT b, user_id, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY b, user_id
+                                     ORDER BY ts DESC) AS rn
+        FROM ev)
+      WHERE rn = 1
+    ),
+    seq AS (
+      SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY b)
+               AS prev_type
+      FROM latest
+    )
+    SELECT CAST(b AS INT) AS b, user_id AS id, event_type AS type
+    FROM seq
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    """,
+    doc="O12/O13 state pipeline end-to-end under Structured Streaming "
+    "(pipeline.run_streaming): 3 file-source micro-batches drive "
+    "keep-latest -> changed-rows vs persisted content-hash state -> "
+    "projection/batch-body sink -> MERGE upsert with TTL refresh; the "
+    "emitted bodies are read back and the oracle unrolls the stateful "
+    "per-batch transition with a lag over each user's batch sequence — "
+    "pinning the cross-batch suppression semantics relationally (the "
+    "streaming twin of pipeline_incremental_run, and the second "
+    "oracle-paired streaming e2e after streaming_neardup_prep).",
+    tags=("reference", "bench2"),
+)
+def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .model import EngineConfig, TableSpec
+    from .pipeline import run_streaming
+
+    events = read_sf_table(spark, sf, "events")
+    n_events = events.count()
+    base = tempfile.mkdtemp(prefix="stream_state_")
+    # the returned DataFrame lazily reads emit_dir — reclaim at exit
+    atexit.register(shutil.rmtree, base, True)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    entity = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.least(F.lit(2), F.floor(F.col("event_id") * 3.0 / n_events))
+        .cast("int")
+        .alias("__b"),
+    )
+    # one file per micro-batch, ascending mtimes so the file source
+    # (maxFilesPerTrigger=1) replays them in event-time order
+    for b in range(3):
+        stage_dir = os.path.join(base, f"stage{b}")
+        (
+            entity.filter(F.col("__b") == b)
+            .drop("__b")
+            .coalesce(1)
+            .write.parquet(stage_dir)
+        )
+        src = next(
+            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        shutil.move(os.path.join(stage_dir, src), dst)
+        os.utime(dst, (time.time() - (3 - b) * 100,) * 2)
+    stream = (
+        spark.readStream.schema(entity.drop("__b").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    emit_dir = os.path.join(base, "emit")
+    seq = {"b": 0}
+
+    def sink(bodies: DataFrame) -> None:
+        b = seq["b"]
+        seq["b"] += 1
+        bodies.withColumn("b", F.lit(b)).write.mode("append").parquet(
+            emit_dir
+        )
+
+    run_streaming(
+        spark,
+        TableSpec(name="entities", id_field="user_id", ts_field="ts"),
+        stream,
+        [
+            {"target": "id", "source": "user_id"},
+            {"target": "type", "source": "event_type"},
+        ],
+        EngineConfig(state_dir=os.path.join(base, "state")),
+        sink,
+        os.path.join(base, "ckpt"),
+        now_epoch_ms=1_700_000_000_000,
+    )
+    item = "array<struct<id:bigint,type:string>>"
+    return (
+        spark.read.parquet(emit_dir)
+        .select("b", F.explode(F.from_json("body", item)).alias("e"))
+        .select(
+            F.col("b").cast("int").alias("b"),
+            F.col("e.id").alias("id"),
+            F.col("e.type").alias("type"),
+        )
+    )
+
+
+@register(
     "small_quantity_revenue",
     """
     SELECT p.p_brand,
