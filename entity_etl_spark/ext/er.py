@@ -30,6 +30,8 @@ def resolve_entities(
     clean_name: str,
     max_len_diff: int = 1,
     keep_unmatched: bool = True,
+    max_block_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Best clean match per dirty record: equi-join on ``block_cols``
     (+ a name-length band, a standard cheap filter that prunes most of
@@ -44,7 +46,17 @@ def resolve_entities(
     (dirty_id, NULL, NULL) rather than silently vanishing — accuracy
     reports over the output then count them as misses instead of
     inflating the denominator-free match rate. Pass False for the
-    matched-only inner shape."""
+    matched-only inner shape.
+
+    ``max_block_size`` caps the CLEAN side's rows per blocking key
+    before the join (ext.caps.cap_hot_groups, Observation-accounted):
+    block cost is Σ_b |L_b|·|R_b|, so one degenerate clean block (an
+    empty-string city, a default zip) multiplies against every dirty row
+    sharing it. Dirty rows whose only candidates sat in a dropped block
+    surface as unmatched, never silently — the same reporting path as
+    zero-candidate blocking misses. Default None = exact."""
+    from .caps import cap_hot_groups
+
     d = dirty.select(
         F.col(dirty_id).alias("__did"),
         F.col(dirty_name).alias("__dname"),
@@ -54,6 +66,15 @@ def resolve_entities(
         F.col(clean_id).alias("__cid"),
         F.col(clean_name).alias("__cname"),
         *[F.col(c_) for c_ in block_cols],
+    )
+    c = cap_hot_groups(
+        c,
+        block_cols,
+        max_block_size,
+        observation=observation,
+        dropped_metric="er_rows_in_dropped_blocks",
+        max_metric="er_max_block_size",
+        repartition=max_block_size is not None or observation is not None,
     )
     cand = d.join(c, block_cols).filter(
         F.abs(F.length("__dname") - F.length("__cname")) <= max_len_diff

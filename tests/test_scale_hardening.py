@@ -586,3 +586,55 @@ def test_incremental_neardup_pushdown_prunes_corpus_scan(spark, tmp_path):
         corpus, batch, k=3, candidate_pushdown_limit=None
     )
     assert {r.doc_id for r in kept_full.collect()} == {11}
+
+
+def test_er_block_cap_bounds_hot_block(spark):
+    """A degenerate clean block (default/empty blocking key) multiplies
+    against every dirty row sharing it: max_block_size drops it before
+    the join with accounting; dirty rows that only had candidates there
+    surface as unmatched (NULL), never silently vanish."""
+    from entity_etl_spark.ext.er import resolve_entities
+
+    # block 0 is hot: 40 clean clones; block 1 is healthy
+    clean = spark.createDataFrame(
+        [(i, 0, "acme corp") for i in range(40)] + [(100, 1, "zenith ltd")],
+        "cid long, blk int, name string",
+    )
+    dirty = spark.createDataFrame(
+        [(1, 0, "acme corp"), (2, 1, "zenith ltd")],
+        "did long, blk int, name string",
+    )
+    base = {
+        r.did: r.matched_id
+        for r in resolve_entities(
+            dirty, clean, block_cols=["blk"], dirty_id="did",
+            clean_id="cid", dirty_name="name", clean_name="name",
+        ).collect()
+    }
+    assert base == {1: 0, 2: 100}
+
+    obs = Observation("er_cap")
+    capped = {
+        r.did: r.matched_id
+        for r in resolve_entities(
+            dirty, clean, block_cols=["blk"], dirty_id="did",
+            clean_id="cid", dirty_name="name", clean_name="name",
+            max_block_size=10, observation=obs,
+        ).collect()
+    }
+    # hot block dropped -> did 1 unmatched (reported, not vanished)
+    assert capped == {1: None, 2: 100}
+    m = obs.get
+    assert m["er_rows_in_dropped_blocks"] == 40
+    assert m["er_max_block_size"] == 40
+
+    # loose cap reproduces the exact result (registry parity guard)
+    loose = {
+        r.did: r.matched_id
+        for r in resolve_entities(
+            dirty, clean, block_cols=["blk"], dirty_id="did",
+            clean_id="cid", dirty_name="name", clean_name="name",
+            max_block_size=10_000,
+        ).collect()
+    }
+    assert loose == base
