@@ -75,7 +75,8 @@ def semantic_near_dup_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
+    target_cell_size: int = 256,
     iterations: int = 2,
     threshold: float = 0.4,
     n_probe: int = 1,
@@ -84,7 +85,19 @@ def semantic_near_dup_pairs(
     id_a < id_b. The SemDeDup candidate set: exact cosine, cluster-scoped;
     ``n_probe > 1`` multi-assigns each vector to its nearest cells to
     recover boundary-straddling pairs (distinct-ed below, so a pair sharing
-    two cells still appears once)."""
+    two cells still appears once).
+
+    ``n_clusters=None`` (default) scales k with the corpus:
+    ``ceil(n / target_cell_size)``, so per-cell gram work stays
+    ~target_cell_size² no matter the corpus size. A FIXED k is the
+    quadratic trap this module's header warns about — at 10× the corpus
+    each cell holds 10× the vectors and every reducer does 100× the
+    matmul (caught by the round-5 sf1 rehearsal: 29× cost for 10× data).
+    The count() spent resolving k is one columnar metadata job."""
+    import math
+
+    if n_clusters is None:
+        n_clusters = max(1, math.ceil(emb.count() / target_cell_size))
     cents = train_centroids(emb, id_col, vec_col, n_clusters, iterations)
     if n_probe > 1:
         cells = assign_cells_multi(

@@ -638,3 +638,29 @@ def test_er_block_cap_bounds_hot_block(spark):
         ).collect()
     }
     assert loose == base
+
+
+def test_semdedup_auto_k_scales_with_corpus(spark):
+    """n_clusters=None resolves k = ceil(n / target_cell_size) — per-cell
+    gram work stays ~target² at any corpus size (the sf1 rehearsal's
+    29x-for-10x finding: a FIXED k makes every cell 10x bigger and every
+    reducer 100x slower). Pinned by equality with the explicit-k run
+    (training is deterministic)."""
+    from entity_etl_spark.ext.semdedup import semantic_near_dup_pairs
+
+    rows = [
+        (i, [1.0 + 0.001 * i, 0.02 * (i % 5), float(i % 3), 0.5])
+        for i in range(21)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = semantic_near_dup_pairs(
+        emb, target_cell_size=5, threshold=0.9
+    )
+    explicit = semantic_near_dup_pairs(
+        emb, n_clusters=5, threshold=0.9  # ceil(21 / 5)
+    )
+    a = sorted((r.id_a, r.id_b, round(r.cos_sim, 9)) for r in auto.collect())
+    e = sorted(
+        (r.id_a, r.id_b, round(r.cos_sim, 9)) for r in explicit.collect()
+    )
+    assert a == e and len(a) > 0
