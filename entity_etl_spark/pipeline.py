@@ -202,6 +202,7 @@ def run_streaming(
     *,
     timeout_sec: float = 120.0,
     now_epoch_ms: int | None = None,
+    now_fn: Callable[[int], int] | None = None,
 ) -> None:
     """The whole reference program as ONE Structured Streaming job.
 
@@ -220,12 +221,20 @@ def run_streaming(
 
     foreachBatch is at-least-once; the sink must upsert by id — the same
     contract the reference documents for its target (README.md:161-171).
+
+    TTL clock: ``now_epoch_ms`` pins one deterministic now for every
+    batch (nothing expires mid-run); ``now_fn(batch_id)`` advances it
+    per micro-batch, so state written at batch b' is PURGED at the first
+    merge whose now exceeds its ttl — the streaming-visible form of the
+    reference's expiry-at-update (cache.js:60-67). A continuous
+    deployment passes neither and gets the wall clock.
     """
     from .streaming import run_available_now
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        now_b = now_fn(batch_id) if now_fn is not None else now_epoch_ms
         latest = keep_latest_per_key(batch_df, spec.id_field, spec.ts_field)
         state = state_mod.load_state(spark, config.state_dir, spec.name)
         delta = changed_rows(latest, state, spec.id_field, ignore=(spec.ts_field,))
@@ -239,7 +248,7 @@ def run_streaming(
             ignore=(spec.ts_field,),
             ts_field=spec.ts_field,
             ttl_hours=config.state_ttl_hours,
-            now_epoch_ms=now_epoch_ms,
+            now_epoch_ms=now_b,
         )
         state_mod.save_state(next_state, config.state_dir, spec.name)
 

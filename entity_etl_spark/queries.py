@@ -4903,6 +4903,145 @@ def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_ttl_expiry",
+    """
+    -- run_streaming with an ADVANCING per-batch clock (now_fn): 5
+    -- micro-batches, one simulated hour apart, TTL 1.5 h. A state entry
+    -- written at batch b' is purged by the merge at the first batch m
+    -- with (m - b') > 1.5 — so at batch b the loaded state (saved after
+    -- batch b-1's merge) holds only users last seen at b-1 or b-2. The
+    -- emit rule the engine must reproduce: a user emits when first
+    -- seen, when its content changed, OR when its last sighting is >= 3
+    -- batches back (suppression state EXPIRED — same content re-emits).
+    -- Presence follows the deterministic (user*7 + b*3) % 10 < 4
+    -- pattern so per-user gap lengths of 1..4 all occur in the data.
+    WITH ev AS (
+      SELECT user_id, ts, event_type,
+             least(4, CAST(floor(event_id * 5.0 /
+                   (SELECT count(*) FROM events)) AS INT)) AS b
+      FROM events
+    ),
+    flt AS (
+      SELECT * FROM ev WHERE (user_id * 7 + b * 3) % 10 < 4
+    ),
+    latest AS (
+      SELECT b, user_id, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY b, user_id
+                                     ORDER BY ts DESC) AS rn
+        FROM flt)
+      WHERE rn = 1
+    ),
+    seq AS (
+      SELECT *,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY b)
+               AS prev_type,
+             lag(b) OVER (PARTITION BY user_id ORDER BY b) AS prev_b
+      FROM latest
+    )
+    SELECT CAST(b AS INT) AS b, user_id AS id, event_type AS type
+    FROM seq
+    WHERE prev_b IS NULL OR b - prev_b >= 3 OR event_type <> prev_type
+    """,
+    doc="O13 TTL EXPIRY under Structured Streaming, deterministically: "
+    "run_streaming(now_fn=) advances the merge clock one simulated hour "
+    "per micro-batch against a 1.5 h TTL, so suppression state for a "
+    "user absent >= 3 batches is purged and an unchanged re-send emits "
+    "again — the cross-batch twin of the batch-mode ttl_expiry query. "
+    "The oracle derives the purge horizon relationally from each "
+    "user's batch-sighting lag. Sibling of streaming_state_pipeline "
+    "(which pins the no-expiry upsert semantics with a fixed clock).",
+    tags=("reference",),
+)
+def q_streaming_ttl_expiry(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .model import EngineConfig, TableSpec
+    from .pipeline import run_streaming
+
+    events = read_sf_table(spark, sf, "events")
+    n_events = events.count()
+    base = tempfile.mkdtemp(prefix="stream_ttl_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    n_batches = 5
+    bcol = (
+        F.least(
+            F.lit(n_batches - 1),
+            F.floor(F.col("event_id") * float(n_batches) / n_events),
+        )
+        .cast("int")
+        .alias("__b")
+    )
+    entity = (
+        events.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("__b", bcol)
+        # deterministic sparse presence: users drop in and out so gap
+        # lengths 1..4 (suppression vs expiry regimes) all occur
+        .filter((F.col("user_id") * 7 + F.col("__b") * 3) % 10 < 4)
+        .drop("event_id")
+    )
+    for b in range(n_batches):
+        stage_dir = os.path.join(base, f"stage{b}")
+        (
+            entity.filter(F.col("__b") == b)
+            .drop("__b")
+            .coalesce(1)
+            .write.parquet(stage_dir)
+        )
+        src = next(
+            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        shutil.move(os.path.join(stage_dir, src), dst)
+        os.utime(dst, (time.time() - (n_batches - b) * 100,) * 2)
+    stream = (
+        spark.readStream.schema(entity.drop("__b").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    emit_dir = os.path.join(base, "emit")
+    seq = {"b": 0}
+
+    def sink(bodies: DataFrame) -> None:
+        b = seq["b"]
+        seq["b"] += 1
+        bodies.withColumn("b", F.lit(b)).write.mode("append").parquet(
+            emit_dir
+        )
+
+    hour_ms = 3_600_000
+    run_streaming(
+        spark,
+        TableSpec(name="entities", id_field="user_id", ts_field="ts"),
+        stream,
+        [
+            {"target": "id", "source": "user_id"},
+            {"target": "type", "source": "event_type"},
+        ],
+        EngineConfig(state_dir=os.path.join(base, "state"),
+                     state_ttl_hours=1.5),
+        sink,
+        os.path.join(base, "ckpt"),
+        now_fn=lambda b: 1_700_000_000_000 + b * hour_ms,
+    )
+    item = "array<struct<id:bigint,type:string>>"
+    return (
+        spark.read.parquet(emit_dir)
+        .select("b", F.explode(F.from_json("body", item)).alias("e"))
+        .select(
+            F.col("b").cast("int").alias("b"),
+            F.col("e.id").alias("id"),
+            F.col("e.type").alias("type"),
+        )
+    )
+
+
+@register(
     "small_quantity_revenue",
     """
     SELECT p.p_brand,
