@@ -52,8 +52,12 @@ def cap_hot_groups(
         )
         df = df.observe(
             observation,
-            F.sum(over.cast("long")).alias(dropped_metric),
-            F.max("__gsz").alias(max_metric),
+            # coalesced so an EMPTY frame reports 0/0, not NULLs a
+            # caller's accounting arithmetic would trip over
+            F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias(
+                dropped_metric
+            ),
+            F.coalesce(F.max("__gsz"), F.lit(0)).alias(max_metric),
         )
     if cap is None:
         return df.drop("__gsz")

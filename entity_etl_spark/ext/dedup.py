@@ -664,7 +664,17 @@ def candidate_pruned_bodies(
     stats then prune the read itself (PushedFilters In(id), asserted in
     tests), so per-increment corpus I/O scales with candidate count, not
     corpus size. Above the limit (or None) the full projection is
-    returned and the downstream semi-join does the restriction alone."""
+    returned and the downstream semi-join does the restriction alone.
+
+    Sizing the limit: ParquetFilters only expands an In to per-value
+    row-group predicates up to ``spark.sql.parquet.pushdown.
+    inFilterThreshold`` (default 10); beyond that it degrades to a
+    min/max RANGE filter, which still prunes when ids are clustered
+    (incremental out_dirs append in id order, so recent-candidate ranges
+    skip settled files) but not for scattered ids. Keep the limit small
+    (the 1k default), or raise the threshold conf alongside it — a
+    100k-literal In would bloat every task's serialized plan for a
+    filter parquet can't use."""
     corpus_bodies = corpus.select(id_col, text_col)
     if pushdown_limit is None:
         return corpus_bodies
@@ -694,7 +704,7 @@ def minhash_dedup_incremental(
     verify_threshold: float = 0.5,
     max_bucket_size: int | None = None,
     new_sigs_only: bool = False,
-    candidate_pushdown_limit: int | None = 100_000,
+    candidate_pushdown_limit: int | None = 1_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup: drop batch docs near-duplicate to the
     accumulated corpus (or to a smaller-id batch sibling) — the MinHash

@@ -228,19 +228,59 @@ def run_streaming(
     merge whose now exceeds its ttl — the streaming-visible form of the
     reference's expiry-at-update (cache.js:60-67). A continuous
     deployment passes neither and gets the wall clock.
+
+    An EMPTY micro-batch skips the sink but still purges expired state —
+    the same contract as run_incremental's empty-fetch path (reference
+    cache.js:60-67,101-104): the TTL clock ticks on every batch, so a
+    quiet source cannot preserve suppression state past its ttl.
+
+    ``sink`` may accept ``(bodies)`` or ``(bodies, batch_id)`` — the
+    two-arg form receives the STREAM's batch id, which is the only
+    correct label for per-batch outputs (a caller-side counter
+    desynchronizes the moment an empty batch skips the sink).
     """
+    import inspect
+
     from .streaming import run_available_now
 
+    try:
+        sink_takes_batch_id = (
+            len([
+                p
+                for p in inspect.signature(sink).parameters.values()
+                if p.kind
+                in (
+                    inspect.Parameter.POSITIONAL_ONLY,
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                )
+            ])
+            >= 2
+        )
+    except (TypeError, ValueError):  # builtins without signatures
+        sink_takes_batch_id = False
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         now_b = now_fn(batch_id) if now_fn is not None else now_epoch_ms
+        if batch_df.isEmpty():
+            state = state_mod.load_state(spark, config.state_dir, spec.name)
+            if state is not None:
+                now = state_mod.now_ms() if now_b is None else now_b
+                state_mod.save_state(
+                    state.filter(F.col(state_mod.TTL_COL) >= F.lit(now)),
+                    config.state_dir,
+                    spec.name,
+                )
+            return
         latest = keep_latest_per_key(batch_df, spec.id_field, spec.ts_field)
         state = state_mod.load_state(spark, config.state_dir, spec.name)
         delta = changed_rows(latest, state, spec.id_field, ignore=(spec.ts_field,))
         jsons = _project_to_json(delta, projection)
         batched = batch_mod.assign_batches_distributed(jsons, config.max_batch_size)
-        sink(batch_mod.assemble_bodies(batched))
+        bodies = batch_mod.assemble_bodies(batched)
+        if sink_takes_batch_id:
+            sink(bodies, batch_id)
+        else:
+            sink(bodies)
         next_state = state_mod.merge_state(
             state,
             latest,

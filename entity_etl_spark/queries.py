@@ -4767,6 +4767,10 @@ def q_streaming_neardup_prep(spark: SparkSession, sf: str) -> DataFrame:
         out_dir,
         os.path.join(base, "state"),
         os.path.join(base, "ckpt"),
+        # availableNow terminates on drain; the margin only matters when
+        # a loaded box slows batches (a tight cap truncates the drain
+        # and reads as a parity mismatch)
+        timeout_sec=600.0,
     )
     return spark.read.parquet(out_dir).select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "split"
@@ -4789,16 +4793,26 @@ def q_streaming_neardup_prep(spark: SparkSession, sf: str) -> DataFrame:
     -- lag(event_type) over the user's batch sequence; a user emits when
     -- that lag is absent (first sight) or differs (real change).
     WITH ev AS (
-      SELECT user_id, ts, event_type,
+      SELECT event_id, user_id, ts, event_type,
              least(2, CAST(floor(event_id * 3.0 /
                    (SELECT count(*) FROM events)) AS INT)) AS b
       FROM events
+    ),
+    -- (b, user, ts) collapsed to max-event_id BEFORE keep-latest: the
+    -- engine's keep_latest_per_key is tie-arbitrary on equal ts, so the
+    -- staged stream is de-tied upstream (same dedup both sides)
+    ded AS (
+      SELECT b, user_id, ts, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY b, user_id, ts
+                                     ORDER BY event_id DESC) AS dr
+        FROM ev)
+      WHERE dr = 1
     ),
     latest AS (
       SELECT b, user_id, event_type FROM (
         SELECT *, row_number() OVER (PARTITION BY b, user_id
                                      ORDER BY ts DESC) AS rn
-        FROM ev)
+        FROM ded)
       WHERE rn = 1
     ),
     seq AS (
@@ -4838,13 +4852,27 @@ def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     atexit.register(shutil.rmtree, base, True)
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
+    from pyspark.sql import Window as W
+
     entity = events.select(
+        "event_id",
         "user_id",
         "ts",
         "event_type",
         F.least(F.lit(2), F.floor(F.col("event_id") * 3.0 / n_events))
         .cast("int")
         .alias("__b"),
+    )
+    # de-tie (batch, user, ts) on max event_id before staging: the
+    # engine's keep-latest is tie-arbitrary on equal ts, and both this
+    # staging and the oracle apply the identical collapse
+    dw = W.partitionBy("__b", "user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    entity = (
+        entity.withColumn("__dr", F.row_number().over(dw))
+        .filter(F.col("__dr") == 1)
+        .drop("__dr", "event_id")
     )
     # one file per micro-batch, ascending mtimes so the file source
     # (maxFilesPerTrigger=1) replays them in event-time order
@@ -4868,14 +4896,14 @@ def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(in_dir)
     )
     emit_dir = os.path.join(base, "emit")
-    seq = {"b": 0}
 
-    def sink(bodies: DataFrame) -> None:
-        b = seq["b"]
-        seq["b"] += 1
-        bodies.withColumn("b", F.lit(b)).write.mode("append").parquet(
-            emit_dir
-        )
+    def sink(bodies: DataFrame, batch_id: int) -> None:
+        # labeled with the STREAM's batch id (2-arg sink contract) — a
+        # caller-side counter would desynchronize if an empty micro-batch
+        # ever skipped the sink
+        bodies.withColumn("b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(emit_dir)
 
     run_streaming(
         spark,
@@ -4888,6 +4916,7 @@ def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         EngineConfig(state_dir=os.path.join(base, "state")),
         sink,
         os.path.join(base, "ckpt"),
+        timeout_sec=600.0,  # drain margin under load (availableNow exits early)
         now_epoch_ms=1_700_000_000_000,
     )
     item = "array<struct<id:bigint,type:string>>"
@@ -4916,7 +4945,7 @@ def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     -- Presence follows the deterministic (user*7 + b*3) % 10 < 4
     -- pattern so per-user gap lengths of 1..4 all occur in the data.
     WITH ev AS (
-      SELECT user_id, ts, event_type,
+      SELECT event_id, user_id, ts, event_type,
              least(4, CAST(floor(event_id * 5.0 /
                    (SELECT count(*) FROM events)) AS INT)) AS b
       FROM events
@@ -4924,11 +4953,19 @@ def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     flt AS (
       SELECT * FROM ev WHERE (user_id * 7 + b * 3) % 10 < 4
     ),
+    -- de-tie (b, user, ts) on max event_id (same collapse as staging)
+    ded AS (
+      SELECT b, user_id, ts, event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY b, user_id, ts
+                                     ORDER BY event_id DESC) AS dr
+        FROM flt)
+      WHERE dr = 1
+    ),
     latest AS (
       SELECT b, user_id, event_type FROM (
         SELECT *, row_number() OVER (PARTITION BY b, user_id
                                      ORDER BY ts DESC) AS rn
-        FROM flt)
+        FROM ded)
       WHERE rn = 1
     ),
     seq AS (
@@ -4977,13 +5014,24 @@ def q_streaming_ttl_expiry(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("__b")
     )
+    from pyspark.sql import Window as W
+
     entity = (
         events.select("user_id", "ts", "event_type", "event_id")
         .withColumn("__b", bcol)
         # deterministic sparse presence: users drop in and out so gap
         # lengths 1..4 (suppression vs expiry regimes) all occur
         .filter((F.col("user_id") * 7 + F.col("__b") * 3) % 10 < 4)
-        .drop("event_id")
+    )
+    # de-tie (batch, user, ts) on max event_id before staging (the
+    # engine's keep-latest is tie-arbitrary on equal ts; oracle mirrors)
+    dw = W.partitionBy("__b", "user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    entity = (
+        entity.withColumn("__dr", F.row_number().over(dw))
+        .filter(F.col("__dr") == 1)
+        .drop("__dr", "event_id")
     )
     for b in range(n_batches):
         stage_dir = os.path.join(base, f"stage{b}")
@@ -5005,14 +5053,14 @@ def q_streaming_ttl_expiry(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(in_dir)
     )
     emit_dir = os.path.join(base, "emit")
-    seq = {"b": 0}
 
-    def sink(bodies: DataFrame) -> None:
-        b = seq["b"]
-        seq["b"] += 1
-        bodies.withColumn("b", F.lit(b)).write.mode("append").parquet(
-            emit_dir
-        )
+    def sink(bodies: DataFrame, batch_id: int) -> None:
+        # labeled with the STREAM's batch id (2-arg sink contract) — a
+        # caller-side counter would desynchronize if an empty micro-batch
+        # ever skipped the sink
+        bodies.withColumn("b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(emit_dir)
 
     hour_ms = 3_600_000
     run_streaming(
@@ -5027,6 +5075,7 @@ def q_streaming_ttl_expiry(spark: SparkSession, sf: str) -> DataFrame:
                      state_ttl_hours=1.5),
         sink,
         os.path.join(base, "ckpt"),
+        timeout_sec=600.0,  # drain margin under load (availableNow exits early)
         now_fn=lambda b: 1_700_000_000_000 + b * hour_ms,
     )
     item = "array<struct<id:bigint,type:string>>"

@@ -121,7 +121,13 @@ def http_sink(
                 # return lets send_one's transient/permanent split run —
                 # otherwise a permanent 4xx lands in the generic
                 # exception arm and gets retried, violating the
-                # '4xx fails fast' contract
+                # '4xx fails fast' contract. HTTPError IS the response:
+                # drain and close it, or each failed attempt leaks a
+                # socket until GC (fd exhaustion under long retry loops)
+                try:
+                    e.read()
+                finally:
+                    e.close()
                 return e.code
 
     try:

@@ -172,7 +172,13 @@ def run_available_now(
 ) -> None:
     """Drain everything pending, then stop (reference page loop,
     app.js:48-59, on one cron tick). ``batch_fn(df, batch_id)`` is the sink
-    (foreachBatch = at-least-once; upsert by id for effective idempotence)."""
+    (foreachBatch = at-least-once; upsert by id for effective idempotence).
+
+    A drain still active at ``timeout_sec`` is stopped AND raised: a
+    truncated availableNow run has processed a prefix of the pending
+    batches, and returning normally would hand the caller silently
+    partial output (checkpointed offsets make the next run resume
+    correctly, so the error is retryable)."""
     q = (
         stream_df.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
@@ -180,10 +186,16 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"availableNow drain still running after {timeout_sec}s — "
+            "output is a prefix of the pending batches; re-run resumes "
+            "from the checkpointed offsets (or raise timeout_sec)"
+        )
 
 
 # ---------------------------------------------------------------------------
