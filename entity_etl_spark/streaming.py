@@ -178,15 +178,42 @@ def run_available_now(
     truncated availableNow run has processed a prefix of the pending
     batches, and returning normally would hand the caller silently
     partial output (checkpointed offsets make the next run resume
-    correctly, so the error is retryable)."""
+    correctly, so the error is retryable).
+
+    Completion is detected by *progress*, not only by query termination:
+    a stateful operator with ``ProcessingTimeTimeout`` timers keeps an
+    availableNow query alive indefinitely (timer expiry schedules fresh
+    zero-input micro-batches after the source is drained, so
+    ``awaitTermination`` never returns True). availableNow plans all
+    pending offsets up front and runs them in the earliest batches, so
+    the first completed batch with ``numInputRows == 0`` while the source
+    reports no data available means every pending batch has been
+    delivered to ``batch_fn`` — the drain is complete and the query is
+    stopped gracefully (timer-only batches emit nothing for our
+    append-mode state ops; TTL purge on a later real run re-arms)."""
+    import time as _time
+
     q = (
         stream_df.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    finished = False
     try:
-        finished = q.awaitTermination(timeout_sec)
+        deadline = _time.monotonic() + timeout_sec
+        while _time.monotonic() < deadline:
+            if q.awaitTermination(1.0):
+                finished = True
+                break
+            lp = q.lastProgress
+            if (
+                lp is not None
+                and lp.get("numInputRows", 0) == 0
+                and not q.status.get("isDataAvailable", True)
+            ):
+                finished = True
+                break
     finally:
         if q.isActive:
             q.stop()
