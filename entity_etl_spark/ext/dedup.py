@@ -90,6 +90,18 @@ def shingles(text_col: str | Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Spread the CPU-heavy map side across all cores: a small parquet
+    file arrives as ONE scan partition (maxPartitionBytes) and would
+    serialize per-doc work (shingling, hashing) through a single task.
+    File count proxies partition count plan-side (no RDD conversion); an
+    input already split across >= parallelism files is left alone."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles() or ()) < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,6 +128,7 @@ def jaccard_pairs(
     """
     from .graph import within_group_pairs
 
+    df = _spread_input(df)
     sh = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -311,8 +324,8 @@ def minhash_near_dups(
     id_col: str,
     text_col: str,
     *,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
     k: int = 3,
     verify_threshold: float | None = 0.5,
     max_bucket_size: int | None = None,
@@ -320,6 +333,15 @@ def minhash_near_dups(
     signature_path: str | None = None,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs, optionally exact-verified.
+
+    Default 64 hashes / 16 bands keeps rows-per-band 4 with an S-curve
+    threshold (1/16)^(1/4) ~= 0.50 — aligned with the default
+    ``verify_threshold`` (the r5 default 32/8 put the S-curve at ~0.59,
+    so pairs with Jaccard 0.5-0.6 were majority-missed; sf1 measured 76%
+    recall). Recall is still probabilistic near the threshold — the
+    ``minhash_near_dups`` registry gate measures it against the exact
+    join; use :func:`jaccard_pairs` / :func:`prefix_filter_pairs` when
+    the policy needs the exact pair set.
 
     The scale pipeline: signatures (map-side) → banded buckets (small
     shuffle) → candidates (bucket join) → exact Jaccard only on candidates
@@ -336,14 +358,7 @@ def minhash_near_dups(
     reuse in a later run) scans the file — the deployment-path form of
     "persist the signature table"."""
     rows_per_band = num_hashes // bands
-    # spread the CPU-heavy map-side signature work across all cores: a small
-    # parquet file arrives as one scan partition (maxPartitionBytes) and
-    # would otherwise serialize the whole corpus through one task. File
-    # count proxies partition count plan-side (no RDD conversion); a corpus
-    # already split across >= parallelism files is left alone.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles() or ()) < parallelism:
-        df = df.repartition(parallelism)
+    df = _spread_input(df)
     # materialize signatures: the band expressions and the self-join would
     # otherwise re-inline (and re-run) the signature fold bands×2 times
     sig = materialize_signatures(
@@ -405,6 +420,102 @@ def jaccard_verify(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06) — 100% recall BY
+    CONSTRUCTION, unlike the probabilistic MinHash-LSH path.
+
+    Order every doc's distinct shingles by ascending global document
+    frequency (rarest first); a pair with Jaccard >= t MUST share at least
+    one shingle inside both docs' first ``n - ceil(t*n) + 1`` shingles
+    (the SSJoin prefix lemma, with the length filter ``min >= t*max``).
+    So the inverted index is built over the PREFIXES only — the high-df
+    stop-shingles that make the naive shingle self-join
+    (:func:`jaccard_pairs`) quadratic on word-soup corpora sort to the
+    END of every doc and never enter the index. Candidates are then
+    exact-verified (:func:`jaccard_verify`), so the output equals
+    :func:`jaccard_pairs` exactly at ANY corpus size — this is the
+    deterministic scale path for threshold-pinned dedup policies, while
+    MinHash-LSH remains the tunable recall/cost trade.
+
+    Shape: one groupBy(shingle) for the df table, one doc-partitioned
+    window for the rank (both partial-aggregate/sort map-side), the
+    prefix-only equi-join, then candidate-scoped verification. At 100 TB
+    the df table is a broadcast-sized dictionary of distinct shingles'
+    counts only when the shingle vocabulary is small; otherwise it joins
+    shuffle-side — either way postings lists are bounded by the rare-first
+    ordering, not by a recall-losing cap."""
+    from pyspark.sql import Window
+
+    eps = 1e-9  # float slack: always LENGTHEN the prefix / KEEP the pair
+    df = _spread_input(df)
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("sh")
+    )
+    sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    wdoc = Window.partitionBy("doc")
+    ranked = sh.join(sdf, "sh").select(
+        "doc",
+        "sh",
+        F.row_number().over(wdoc.orderBy("__df", "sh")).alias("__rn"),
+        F.count(F.lit(1)).over(wdoc).alias("__n"),
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n") - eps) + 1
+    )
+    a = prefix.select(
+        F.col("doc").alias("doc_a"),
+        "sh",
+        F.col("__n").alias("__na"),
+        F.col("__rn").alias("__ra"),
+    )
+    b = prefix.select(
+        F.col("doc").alias("doc_b"),
+        F.col("sh").alias("__shb"),
+        F.col("__n").alias("__nb"),
+        F.col("__rn").alias("__rb"),
+    )
+    # PPJoin positional filter: matching at positions (ra, rb) bounds the
+    # total overlap by 1 + min(remaining suffixes); pairs that cannot reach
+    # the minimum overlap ceil(t/(1+t)*(na+nb)) are pruned IN the join
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+        - eps
+    )
+    cand = (
+        a.join(
+            b,
+            (a["sh"] == b["__shb"])
+            & (a["doc_a"] < b["doc_b"])
+            & (
+                F.least("__na", "__nb").cast("double")
+                >= F.lit(threshold) * F.greatest("__na", "__nb") - eps
+            )
+            & (
+                1
+                + F.least(
+                    F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+                )
+                >= min_overlap
+            ),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        # verification consumes the candidate set three times (both sides
+        # of the doc semi-join + the pair join); run the LSH-free candidate
+        # graph once
+        .localCheckpoint(eager=True)
+    )
+    return jaccard_verify(cand, df, id_col, text_col, k, threshold)
 
 
 # ------------------------------------------------------------------- SimHash
@@ -554,30 +665,49 @@ def drop_near_dups(
     id_col: str,
     text_col: str,
     *,
-    num_hashes: int = 32,
-    bands: int = 8,
+    method: str = "exact",
+    num_hashes: int = 64,
+    bands: int = 16,
     k: int = 3,
     verify_threshold: float | None = 0.5,
     max_bucket_size: int | None = None,
     signature_path: str | None = None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: keep one representative per near-dup
-    group (the standard keep-the-smaller-id policy over MinHash pairs, as
+    group (the standard keep-the-smaller-id policy over verified pairs, as
     used by large text-corpus pipelines: every doc that appears as the
     GREATER id of a verified pair is dropped, so each connected group keeps
     at least its minimum-id member).
 
+    ``method='exact'`` (default) takes the pair set from the deterministic
+    shingle equi-join (:func:`jaccard_pairs`) — the kept-set contract is
+    then EXACT at any corpus size, which is what a threshold-pinned dedup
+    policy needs (round-5's sf1 rehearsal showed LSH at default params
+    misses a minority of near-threshold pairs, silently inflating the kept
+    set). ``method='minhash'`` keeps the probabilistic MinHash-LSH
+    candidate path — cheaper on corpora where the exact join's stop-shingle
+    fan-out dominates, at a measured recall trade
+    (``minhash_near_dups``'s recall gate is the meter).
+
     Returns df minus dropped docs — the "switch your corpus to the deduped
-    one" API; :func:`minhash_near_dups` is the pair-level forensic view.
+    one" API; the pair functions are the pair-level forensic view.
     ``max_bucket_size`` / ``signature_path`` thread through to the LSH
     candidate stage (hot-bucket cap; storage-backed signature persist)."""
-    pairs = minhash_near_dups(
-        df, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, k=k,
-        verify_threshold=verify_threshold,
-        max_bucket_size=max_bucket_size,
-        signature_path=signature_path,
-    )
+    if method == "exact":
+        pairs = jaccard_pairs(
+            df, id_col, text_col, k,
+            0.5 if verify_threshold is None else verify_threshold,
+        )
+    elif method == "minhash":
+        pairs = minhash_near_dups(
+            df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, k=k,
+            verify_threshold=verify_threshold,
+            max_bucket_size=max_bucket_size,
+            signature_path=signature_path,
+        )
+    else:
+        raise ValueError(f"unknown near-dup method: {method!r}")
     losers = pairs.select(F.col("doc_b").alias("__loser")).distinct()
     return df.join(losers, df[id_col] == losers["__loser"], "left_anti")
 
@@ -698,8 +828,8 @@ def minhash_dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_sigs: DataFrame | None = None,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
     k: int = 3,
     verify_threshold: float = 0.5,
     max_bucket_size: int | None = None,
@@ -806,6 +936,107 @@ def minhash_dedup_incremental(
             return kept, computed_corpus_sigs.unionByName(kept_sigs)
         return kept, kept_sigs
     return kept, corpus_sigs.unionByName(kept_sigs)
+
+
+def exact_neardup_dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_shingles: DataFrame | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+    new_shingles_only: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup dedup with EXACT recall: drop batch docs whose
+    n-gram Jaccard with the accumulated corpus (or a smaller-id batch
+    sibling) reaches ``threshold`` — same keep-min-id policy as
+    :func:`minhash_dedup_incremental`, but the persistent state is the
+    corpus' SHINGLE INVERTED INDEX (one ``(doc, sh)`` row per distinct
+    shingle per kept doc) instead of MinHash signatures, so the pair set
+    is the exact one: a threshold-pinned dedup policy keeps its contract
+    at any corpus size (the r5 sf1 rehearsal showed LSH signatures
+    silently keep extra near-threshold docs).
+
+    Both sides of the candidate equi-join carry complete shingle sets, so
+    the per-pair match count IS the exact intersection — no verification
+    pass and NO document-body reads at all: per increment the corpus
+    contributes only a columnar scan of the (doc, sh) state. The join's
+    right side is restricted to batch docs (corpus-corpus pairs settled
+    in earlier increments), keeping fan-out at O(shared-shingle x batch).
+
+    Returns ``(kept_batch, next_shingles)``; with ``new_shingles_only``
+    the second value is only the state delta (batch survivors' shingles,
+    plus first-run corpus shingles — see minhash_dedup_incremental's
+    note), pairing with state.append_state for O(batch) state growth.
+    The loaded state is deduped on (doc, sh) first: at-least-once replay
+    of a crashed append may duplicate rows, and duplicated shingles would
+    corrupt the intersection counts. At 100 TB bucket the state by ``sh``
+    (sinks.write_bucketed) so the candidate join is shuffle-free, and
+    store ``xxhash64(sh)`` instead of the shingle text to cut state bytes
+    ~3x (in-doc collisions are ~2^-64-improbable but make the operator
+    no-longer-bitwise-exact; the text form here keeps the contract
+    airtight)."""
+    computed = None
+    if corpus_shingles is None:
+        corpus_shingles = (
+            _spread_input(corpus)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode(shingles(text_col, k)).alias("sh"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        computed = corpus_shingles
+    else:
+        corpus_shingles = corpus_shingles.dropDuplicates(["doc", "sh"])
+    # pinned: consumed by the join's right side, the union'd left side,
+    # sizes, and the survivors' state delta
+    batch_sh = (
+        _spread_input(batch)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(text_col, k)).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    all_sh = corpus_shingles.unionByName(batch_sh)
+    sizes = all_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
+    left = all_sh.select(F.col("doc").alias("doc_a"), "sh")
+    right = batch_sh.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("__shb")
+    )
+    inter = (
+        left.join(
+            right,
+            (left["sh"] == right["__shb"]) & (left["doc_a"] < right["doc_b"]),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("__n").alias("__nb"))
+    losers = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))
+            >= threshold
+        )
+        .select(F.col("doc_b").alias("__loser"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kept = batch.join(losers, batch[id_col] == losers["__loser"], "left_anti")
+    kept_sh = batch_sh.join(
+        kept.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    if new_shingles_only:
+        if computed is not None:
+            return kept, computed.unionByName(kept_sh)
+        return kept, kept_sh
+    return kept, corpus_shingles.unionByName(kept_sh)
 
 
 def repeated_substring_spans(

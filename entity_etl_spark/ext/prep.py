@@ -186,26 +186,35 @@ def run_streaming_neardup_prep(
     min_tokens: int = 20,
     min_quality: float = 0.15,
     verify_threshold: float = 0.5,
+    method: str = "exact",
     timeout_sec: float = 120.0,
 ) -> None:
     """Continuous ingest with NEAR-dup suppression: like
-    :func:`run_streaming_prep` but the persistent state is a MinHash
-    SIGNATURE table, so a paraphrased/near-duplicate re-send of any
+    :func:`run_streaming_prep` but the persistent state carries document
+    CONTENT structure, so a paraphrased/near-duplicate re-send of any
     earlier document is dropped, not just byte-identical ones.
 
-    Per micro-batch: clean → quality gate → incremental MinHash dedup
-    against the persisted (doc, sig) state
-    (:func:`entity_etl_spark.ext.dedup.minhash_dedup_incremental` — batch
-    signatures map-side, LSH band join, bodies fetched only for candidate
-    pairs) → leakage-safe split → append. State grows by exactly the
-    survivors' signatures; corpus bodies for verification come from the
-    already-written output directory, read back candidate-only via the
-    verify semi-join. Same two-layer idempotence as run_streaming_prep
-    (source offsets + content state).
-    """
+    Per micro-batch: clean → quality gate → incremental near-dup dedup
+    against the persistent state → leakage-safe split → append. Same
+    two-layer idempotence as run_streaming_prep (source offsets +
+    content state).
+
+    ``method='exact'`` (default): state = the corpus shingle inverted
+    index (:func:`...dedup.exact_neardup_dedup_incremental`) — the drop
+    decision uses the exact pair set at any scale, and the corpus
+    contributes only a columnar (doc, sh) state scan per batch (document
+    bodies are never re-read). ``method='minhash'``: state = MinHash
+    signatures (:func:`...dedup.minhash_dedup_incremental` — signatures
+    map-side, LSH band join, bodies fetched candidate-only from the
+    written output) — smaller state and cheaper joins at a measured
+    recall trade near the threshold. Both grow state by exactly the
+    survivors' rows (append, never rewrite)."""
     from ..state import append_state, load_state
     from ..streaming import run_available_now
-    from .dedup import minhash_dedup_incremental
+    from .dedup import exact_neardup_dedup_incremental, minhash_dedup_incremental
+
+    if method not in ("exact", "minhash"):
+        raise ValueError(f"unknown near-dup method: {method!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -216,8 +225,8 @@ def run_streaming_neardup_prep(
             spark.sparkContext.defaultParallelism
         )
         cleaned = batch_df.withColumn(text_col, clean_text(text_col))
-        # pinned: consumed by the signature fold, the verify body union,
-        # and the kept anti-join — one clean+quality scan, not three
+        # pinned: consumed by the shingle/signature fold, the verify body
+        # union, and the kept anti-join — one clean+quality scan, not three
         gated = (
             quality_features(cleaned, text_col)
             .filter(
@@ -226,6 +235,25 @@ def run_streaming_neardup_prep(
             )
             .localCheckpoint(eager=True)
         )
+        if method == "exact":
+            state = load_state(spark, state_dir, "doc_shingles")
+            empty = spark.createDataFrame(
+                [], f"{id_col} long, {text_col} string"
+            )
+            kept, new_sh = exact_neardup_dedup_incremental(
+                empty,
+                gated,
+                id_col=id_col,
+                text_col=text_col,
+                corpus_shingles=state,
+                threshold=verify_threshold,
+                new_shingles_only=True,
+            )
+            out = grouped_split(kept, group_col)
+            out.write.mode("append").partitionBy("split").parquet(out_dir)
+            # append exactly the survivors' shingles: O(batch) state growth
+            append_state(new_sh, state_dir, "doc_shingles")
+            return
         sigs = load_state(spark, state_dir, "doc_sigs")
         try:
             corpus = spark.read.parquet(out_dir).select(id_col, text_col)

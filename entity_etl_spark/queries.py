@@ -870,10 +870,92 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "minhash_near_dups",
     r"""
-    -- the exact n-gram-Jaccard pair set: because every emitted pair is
-    -- exact-verified (>= 0.5) the LSH output is a SUBSET of this, and at
-    -- this scale LSH recall is 100% (pinned by tests/test_ext.py), so the
-    -- oracle doubles as a full-recall assertion.
+    -- LSH is probabilistic near its S-curve threshold: r5's sf1 rehearsal
+    -- measured 76% recall at 32 hashes / 8 bands (S-curve ~0.59 vs the 0.5
+    -- verify threshold), so a pair-set-equality oracle only held at small
+    -- SF by luck. The decidable cross-engine claim (embedding_ivf_topk
+    -- precedent) is: every emitted pair is exact (n_false_pos = 0, because
+    -- candidates are exact-Jaccard-verified) and recall vs the exact pair
+    -- set clears a pinned floor at the aligned 64/16 config.
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+           CAST(0 AS BIGINT) AS n_false_pos,
+           true AS recall_ok
+    FROM truth
+    """,
+    doc="E2 MinHash(64) + banded LSH(16x4) candidates, exact-Jaccard "
+    "verified >= 0.5, MEASURED against the exact pair set computed "
+    "in-query (ext/dedup.jaccard_pairs): emits the truth-pair count, the "
+    "false-positive count (0 — every candidate is exact-verified), and a "
+    "recall >= 0.75 gate. 100 TB shape: signatures map-side, bucket join, "
+    "verify candidates only; recall near the threshold is the stated "
+    "probabilistic trade, measured rather than assumed (r5 sf1 finding).",
+    tags=("ext", "bench"),
+)
+def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import jaccard_pairs, minhash_near_dups
+
+    docs = read_sf_table(spark, sf, "documents")
+    truth = jaccard_pairs(docs, "doc_id", "text", 3, 0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("__t")
+    )
+    approx = minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=64, bands=16, verify_threshold=0.5
+    ).select(
+        F.col("doc_a").alias("__qa"),
+        F.col("doc_b").alias("__qb"),
+        F.lit(1).alias("__a"),
+    )
+    both = truth.join(
+        approx,
+        (truth["doc_a"] == approx["__qa"]) & (truth["doc_b"] == approx["__qb"]),
+        "full_outer",
+    )
+    return both.agg(
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint").alias(
+            "n_truth_pairs"
+        ),
+        F.count(F.when(F.col("__t").isNull(), 1)).cast("bigint").alias(
+            "n_false_pos"
+        ),
+        F.coalesce(  # an empty truth set is vacuously full recall
+            F.count(
+                F.when(F.col("__t").isNotNull() & F.col("__a").isNotNull(), 1)
+            )
+            / F.sum("__t")
+            >= 0.75,
+            F.lit(True),
+        ).alias("recall_ok"),
+    )
+
+
+@register(
+    "prefix_filter_pairs",
+    r"""
+    -- the exact n-gram-Jaccard pair set at t = 0.7: prefix filtering is
+    -- deterministic (100% recall by the SSJoin prefix lemma) and every
+    -- candidate is exact-verified, so the output EQUALS the exact set —
+    -- a full-strength oracle at any SF, unlike the probabilistic LSH path
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
       FROM documents
@@ -894,21 +976,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.7
     """,
-    doc="E2 MinHash(32) + banded LSH(8x4) candidates, exact-Jaccard "
-    "verified >= 0.5. The 100 TB near-dup path: signatures map-side, "
-    "bucket join, verify only candidates. Oracle: the exact Jaccard pair "
-    "set — asserts both verification correctness and 100% LSH recall.",
-    tags=("ext", "bench"),
+    doc="E2 AllPairs/PPJoin prefix-filtered exact Jaccard join at t=0.7 "
+    "(ext/dedup.prefix_filter_pairs): shingles ranked rarest-first by "
+    "global df, the inverted index built over per-doc PREFIXES only "
+    "(length n - ceil(t*n) + 1), candidates pruned by length + PPJoin "
+    "positional filters, then exact-verified. 100% recall by "
+    "construction — the deterministic high-threshold scale path: at "
+    "t=0.7 the index holds ~30% of shingles and the quadratic "
+    "stop-shingle postings never enter it.",
+    tags=("ext",),
 )
-def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    from .ext.dedup import minhash_near_dups
+def q_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import prefix_filter_pairs
 
     docs = read_sf_table(spark, sf, "documents")
-    return minhash_near_dups(
-        docs, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.5
-    )
+    return prefix_filter_pairs(docs, "doc_id", "text", k=3, threshold=0.7)
 
 
 # SF-portable SimHash oracle: the registry query runs simhash with the
@@ -1771,9 +1855,11 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_corpus_minhash",
     r"""
-    -- keep-min-id policy over the EXACT Jaccard pair set: every verified
-    -- MinHash pair is an exact pair, and LSH recall is 100% here, so the
-    -- surviving corpus is documents minus the greater id of each pair.
+    -- keep-min-id policy over the EXACT Jaccard pair set. The engine's
+    -- pair source is the deterministic shingle equi-join (r6: was
+    -- MinHash-LSH, whose sub-100% recall near the threshold silently
+    -- inflated the kept set at sf1), so the surviving corpus is exactly
+    -- documents minus the greater id of each exact pair, at any SF.
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
       FROM documents
@@ -1798,9 +1884,11 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     WHERE doc_id NOT IN (SELECT doc_b FROM losers)
     """,
     doc="E2 corpus-level near-dup removal: docs surviving the "
-    "keep-min-id-per-pair policy over verified MinHash pairs — the "
-    "'deduplicated training corpus' output surface. Oracle: the same "
-    "policy over the exact Jaccard pair set.",
+    "keep-min-id-per-pair policy over the exact Jaccard pair set "
+    "(drop_near_dups method='exact'; the name's MinHash path remains as "
+    "method='minhash', its recall measured by minhash_near_dups' gate) — "
+    "the 'deduplicated training corpus' output surface. Oracle: the same "
+    "policy over the same exact pair set.",
     tags=("ext", "bench2"),
 )
 def q_dedup_corpus_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -4623,10 +4711,12 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
     -- corpus splits into 3 contiguous-id micro-batches; a doc is kept
     -- iff it is not a >=0.5-Jaccard near-dup of (a) any SMALLER-ID doc
     -- in its own batch or (b) any KEPT doc of an earlier batch — the
-    -- exact greedy policy minhash_dedup_incremental implements with
-    -- persistent signature state (LSH recall is 100% at this config, so
-    -- the exact pair set IS the candidate set). The 3-batch recursion
-    -- unrolls into chained CTEs k0/k1/k2.
+    -- exact greedy policy exact_neardup_dedup_incremental implements
+    -- with persistent shingle-index state (EXACT pair recall by
+    -- construction, so this equality holds at any SF — r6; the LSH
+    -- signature state is the method='minhash' alternative, recall-gated
+    -- by minhash_near_dups). The 3-batch recursion unrolls into chained
+    -- CTEs k0/k1/k2.
     WITH cleaned AS (
       SELECT doc_id, source, {_duck_clean_text()} AS text
       FROM documents
@@ -4702,17 +4792,18 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
     FROM batched d JOIN kept k ON k.doc_id = d.doc_id
     """,
     doc="Continuous near-dup training-data ingest, end to end "
-    "(ext/prep.run_streaming_neardup_prep): the corpus arrives as 3 "
-    "file-source micro-batches; each batch cleans, quality-gates, and "
-    "near-dup-dedups against the PERSISTENT MinHash signature state "
-    "(cross-batch — a paraphrased re-send of any earlier survivor is "
-    "dropped), then appends split-partitioned survivors. The oracle "
-    "unrolls the per-batch greedy policy into chained SQL CTEs over the "
-    "exact Jaccard pair set, pinning the stateful streaming semantics "
+    "(ext/prep.run_streaming_neardup_prep, method='exact'): the corpus "
+    "arrives as 3 file-source micro-batches; each batch cleans, "
+    "quality-gates, and near-dup-dedups against the PERSISTENT shingle "
+    "inverted-index state (cross-batch — a paraphrased re-send of any "
+    "earlier survivor is dropped; exact pair recall at any SF, r6), then "
+    "appends split-partitioned survivors. The oracle unrolls the "
+    "per-batch greedy policy into chained SQL CTEs over the exact "
+    "Jaccard pair set, pinning the stateful streaming semantics "
     "relationally — not just a rows-only check. Scale: per batch the "
-    "signature fold is map-side, the band join shuffles (doc, bucket) "
-    "longs, and bodies are read candidate-only; state grows by "
-    "survivors' signatures.",
+    "shingle fold is map-side, the candidate join's right side is the "
+    "batch, document bodies are never re-read (the corpus contributes a "
+    "columnar (doc, sh) state scan); state grows by survivors' shingles.",
     tags=("ext", "bench2"),
 )
 def q_streaming_neardup_prep(spark: SparkSession, sf: str) -> DataFrame:
@@ -7581,8 +7672,11 @@ def q_media_file_ingest(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     -- exact-Jaccard restatement of the incremental policy: a batch doc
     -- (id >= 250) drops iff it has an exact pair (J >= 0.5) with ANY
-    -- smaller-id doc; LSH recall is 100% on this corpus (pinned by
-    -- minhash_near_dups), so the operator's survivors equal the exact set
+    -- smaller-id doc. LSH recall near the threshold is probabilistic
+    -- (r5 sf1 finding), so the decidable claims are: the engine NEVER
+    -- wrongly drops (every drop is exact-verified — n_wrong_drops = 0),
+    -- and its extra keeps (missed near-threshold pairs) stay within a
+    -- pinned fraction of the exact drop count.
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
       FROM documents
@@ -7604,24 +7698,64 @@ def q_media_file_ingest(spark: SparkSession, sf: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
     )
-    SELECT doc_id FROM documents
-    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_b FROM losers)
+    SELECT CAST((SELECT count(*) FROM documents WHERE doc_id >= 250)
+                AS BIGINT) AS n_batch,
+           CAST((SELECT count(*) FROM documents WHERE doc_id >= 250)
+                - (SELECT count(*) FROM losers) AS BIGINT) AS n_exact_kept,
+           CAST(0 AS BIGINT) AS n_wrong_drops,
+           true AS extra_keeps_ok
     """,
     doc="E2 incremental MinHash near-dup dedup "
     "(ext/dedup.minhash_dedup_incremental): dedup a new batch against "
     "the accumulated corpus via persisted SIGNATURE state — batch "
     "signatures map-side, LSH band join on longs, bodies fetched only "
-    "for candidate docs. The near-dup twin of dedup_exact_incremental.",
+    "for candidate docs. The near-dup twin of dedup_exact_incremental. "
+    "Contract (r6, embedding_ivf_topk precedent): survivors are compared "
+    "in-query against the exact-pair policy — wrong drops are impossible "
+    "(0), extra keeps (LSH misses near the threshold) gated at <= "
+    "max(2, 0.4 x exact drop count). The exact-recall incremental twin "
+    "is exact_neardup_dedup_incremental (streaming_neardup_prep).",
     tags=("ext",),
 )
 def q_minhash_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
-    from .ext.dedup import minhash_dedup_incremental
+    from .ext.dedup import jaccard_pairs, minhash_dedup_incremental
 
     docs = read_sf_table(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
     kept, _sigs = minhash_dedup_incremental(corpus, batch)
-    return kept.select("doc_id")
+    exact_losers = (
+        jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+        .filter(F.col("doc_b") >= 250)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    e = batch.select("doc_id").join(exact_losers, "doc_id", "left_anti")
+    flags = (
+        batch.select("doc_id")
+        .join(e.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(
+            kept.select("doc_id").withColumn("__k", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.count("__e").cast("bigint").alias("n_exact_kept"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__k").isNull(), 1))
+        .cast("bigint")
+        .alias("n_wrong_drops"),
+        (
+            F.count(
+                F.when(F.col("__k").isNotNull() & F.col("__e").isNull(), 1)
+            )
+            <= F.greatest(
+                F.lit(2),
+                0.4 * (F.count(F.lit(1)) - F.count("__e")),
+            )
+        ).alias("extra_keeps_ok"),
+    )
 
 
 @register(
@@ -8266,19 +8400,16 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     tags=("ext", "bench2"),
 )
 def q_neardup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
-    from .ext.dedup import minhash_near_dups
+    from .ext.dedup import jaccard_pairs
     from .ext.graph import keep_best_per_group, near_dup_groups
 
     docs = read_sf_table(spark, sf, "documents")
-    # the 100 TB pair path: LSH-bucketed candidates, exact-verified at
-    # threshold 0.5 — same pair set as all-pairs jaccard_pairs here
-    # (the minhash_near_dups oracle pins 100% recall at this config; the
-    # word-soup corpus' high-df shingles make the exact self-join
-    # quadratic, which bench2 exposed at 10 s vs ~2 s for this form)
-    pairs = minhash_near_dups(
-        docs, "doc_id", "text", num_hashes=32, bands=8, k=3,
-        verify_threshold=0.5,
-    )
+    # exact pair source (r6: was LSH — its sub-100% recall near the
+    # threshold broke kept-flag parity at sf1; a canonical-selection
+    # policy pinned to a threshold needs the exact pair set). The join
+    # partial-aggregates pair counts map-side; with input spread across
+    # cores it runs ~2 s at sf0.1 / ~30 s at sf1.
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
     grouped = near_dup_groups(pairs)
     d = docs.select("doc_id", "n_chars")
     g = grouped.join(d, grouped["doc"] == d["doc_id"]).select(
@@ -9712,8 +9843,8 @@ def q_ks_two_sample_test(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="Cross-split near-dup LEAKAGE audit (the eval-integrity check "
     "fuzzy decontamination exists for: a test doc whose near-duplicate "
-    "sits in train inflates eval): near-dup pairs from the LSH pair "
-    "path join each side's deterministic split assignment; pairs "
+    "sits in train inflates eval): exact near-dup pairs "
+    "join each side's deterministic split assignment; pairs "
     "straddling splits are leakage, reported per split pair. This is "
     "the diagnostic that motivates grouped_split (assign by CONTENT "
     "group, and leakage pairs become structurally impossible). Oracle "
@@ -9721,14 +9852,14 @@ def q_ks_two_sample_test(spark: SparkSession, sf: str) -> DataFrame:
     tags=("ext",),
 )
 def q_split_leakage_neardups(spark: SparkSession, sf: str) -> DataFrame:
-    from .ext.dedup import minhash_near_dups
+    from .ext.dedup import jaccard_pairs
     from .ext.sampling import train_val_test_split
 
     docs = read_sf_table(spark, sf, "documents")
-    pairs = minhash_near_dups(
-        docs, "doc_id", "text", num_hashes=32, bands=8, k=3,
-        verify_threshold=0.5,
-    )
+    # exact pair source (r6): the leakage COUNTS are oracle-compared
+    # exactly, so the pair set must be the exact one at any SF — LSH
+    # misses near the threshold undercount leakage pairs
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
     splits = train_val_test_split(docs.select("doc_id"), "doc_id").select(
         "doc_id", "split"
     )

@@ -394,3 +394,130 @@ def test_lsh_margin_probe_beats_or_ties_fixed(spark):
     r_margin, r_fixed = recall("margin", 3), recall("fixed", 3)
     assert r_margin >= r_fixed
     assert r_margin >= recall("margin", 1)
+
+
+# --------------------------------------------------- prefix filter (r6)
+def test_prefix_filter_pairs_equals_exact_join(spark, docs):
+    from entity_etl_spark.ext.dedup import prefix_filter_pairs
+
+    for t in (0.5, 0.7):
+        exact = {tuple(r) for r in
+                 jaccard_pairs(docs, "doc_id", "text", 3, t).collect()}
+        pf = {tuple(r) for r in
+              prefix_filter_pairs(docs, "doc_id", "text", 3, t).collect()}
+        assert pf == exact
+
+
+def test_prefix_filter_pairs_near_threshold_recall(spark):
+    # pairs sitting EXACTLY on the threshold boundary — the regime where
+    # LSH misses (r5 sf1 finding) and where prefix-length float slop
+    # would bite. J(1,2) = 3/6 = 0.5 exactly with k=1 token shingles.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingle-1 set {a,b,c,d} (k=1 tokens)
+            (2, "a b e f"),
+            (3, "x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    from entity_etl_spark.ext.dedup import prefix_filter_pairs
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             jaccard_pairs(df, "doc_id", "text", 1, 0.5).collect()}
+    pf = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+          prefix_filter_pairs(df, "doc_id", "text", 1, 0.5).collect()}
+    assert exact == pf
+    # J(1,2) = |{a,b}| / |{a,b,c,d,e,f}| = 2/6 = 0.333 < 0.5: neither
+    assert (1, 2) not in pf or pf[(1, 2)] >= 0.5
+
+
+def test_prefix_filter_pairs_sf_corpus_equality(spark):
+    from entity_etl_spark.ext.dedup import prefix_filter_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {tuple(r) for r in
+             jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
+    pf = {tuple(r) for r in
+          prefix_filter_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
+    assert pf == exact and len(exact) > 0
+
+
+# ------------------------------------- exact incremental near-dup (r6)
+def test_exact_neardup_incremental_policy_and_state(spark):
+    from entity_etl_spark.ext.dedup import exact_neardup_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the bank")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 -> dropped
+            (10, "the quick brown fox jumps over the lazy dog near the bend"),
+            # novel -> kept
+            (11, "completely different content about spark query engines ok"),
+            # in-batch near-dup of 11 (smaller id wins) -> dropped
+            (12, "completely different content about spark query engines no"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept, state = exact_neardup_dedup_incremental(corpus, batch)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11]
+    # state = corpus shingles + survivors' shingles only
+    state_docs = sorted(
+        r["doc"] for r in state.select("doc").distinct().collect()
+    )
+    assert state_docs == [1, 11]
+
+    # increment 2 against the PERSISTED state, duplicated rows simulating
+    # an at-least-once replayed append — dedup on load must keep counts
+    # exact (duplicated shingles would corrupt the intersection math)
+    state2 = state.unionByName(state)  # worst-case full duplication
+    batch2 = spark.createDataFrame(
+        [
+            # near-dup of KEPT doc 11 -> dropped via state, not bodies
+            (20, "completely different content about spark query engines yes"),
+            (21, "a wholly novel sentence with nothing shared at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    kept2, state3 = exact_neardup_dedup_incremental(
+        empty, batch2, corpus_shingles=state2, new_shingles_only=True
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [21]
+    assert sorted(
+        r["doc"] for r in state3.select("doc").distinct().collect()
+    ) == [21]
+
+
+def test_exact_neardup_incremental_matches_batch_policy_on_sf(spark):
+    """Chained increments over the sf0.001 corpus reproduce the batch
+    keep-min-id policy (the contract the streaming prep query's oracle
+    unrolls). NOTE the two policies coincide only when dropped docs don't
+    chain (incremental dedups later batches against KEPT docs only; batch
+    mode drops the greater side of every pair) — true on this corpus's
+    planted-dup structure, which is what this regression pins."""
+    from entity_etl_spark.ext.dedup import (
+        drop_near_dups,
+        exact_neardup_dedup_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    empty = docs.limit(0).select("doc_id", "text")
+    state = None
+    kept_all = []
+    for b in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") * 3 / n >= b) & (F.col("doc_id") * 3 / n < b + 1)
+        ).select("doc_id", "text")
+        kept, state = exact_neardup_dedup_incremental(
+            empty, batch, corpus_shingles=state
+        )
+        kept_all += [r["doc_id"] for r in kept.collect()]
+    batch_kept = [
+        r["doc_id"]
+        for r in drop_near_dups(docs, "doc_id", "text").select("doc_id").collect()
+    ]
+    assert sorted(kept_all) == sorted(batch_kept)
