@@ -111,6 +111,50 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # sf1 factor ratchet (round 6, BASELINE.md): at 10x the data every
+    # query must stay under a LOOSE 15x of its recorded sf0.1 quiet best
+    # (+2 s absolute slack for sub-second queries) — the superlinear class
+    # (semantic_dedup_pairs read 22x at r5's rehearsal) goes red here
+    # instead of relying on someone eyeballing the factors. Reference
+    # bests are the r6-close quiet sf0.1 run; update them when a query's
+    # implementation legitimately changes.
+    sf01_ref_bests = {
+        "incremental_scan": 0.35, "changed_rows": 0.9,
+        "keep_latest_per_key": 0.42, "state_merge_upsert": 0.51,
+        "q1_pricing_summary": 0.36, "top_orders_revenue": 0.81,
+        "region_nation_revenue": 0.98, "top_customers_per_nation": 0.62,
+        "sessionize": 0.24, "dedup_exact": 0.24,
+        "minhash_near_dups": 4.5, "embedding_topk": 0.53,
+        "text_quality": 0.28, "asof_join": 0.28, "range_join": 0.51,
+        "session_window_agg": 0.48, "embedding_topk_heap": 0.43,
+        "chunk_documents_builtin": 0.33, "variant_shred": 0.17,
+        "dedup_corpus_minhash": 2.4, "embedding_pq_topk": 2.6,
+        "scd2_user_event_history": 0.69, "semantic_dedup_pairs": 1.5,
+        "training_data_prep": 4.2, "streaming_neardup_prep": 14.0,
+        "streaming_state_pipeline": 4.2, "bm25_topk": 0.76,
+        "bpe_encode_tokens": 0.62, "neardup_keep_best": 2.6,
+        "boilerplate_segment_removal": 0.53,
+        "triangle_count_copurchase": 6.4, "item_item_cosine_topk": 4.5,
+    }
+    sf1_breaches = (
+        {
+            name: {
+                "sec": t,
+                "factor_ceiling": round(15.0 * sf01_ref_bests[name] + 2.0, 1),
+            }
+            for name, t in {**timings, **timings2}.items()
+            if name in sf01_ref_bests
+            and t > 15.0 * sf01_ref_bests[name] + 2.0
+        }
+        if sf == "1"
+        else {}
+    )
+    if sf1_breaches:
+        print(
+            f"SF1 FACTOR BREACH: {json.dumps(sf1_breaches)}",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -122,6 +166,7 @@ def main() -> None:
                 "heavy_total_sec": round(sum(timings2.values()), 3),
                 "heavy_queries": timings2,
                 "heavy_ceiling_breaches": breaches,
+                "sf1_factor_breaches": sf1_breaches,
                 "sf": sf,
             }
         )

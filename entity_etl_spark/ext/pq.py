@@ -278,14 +278,24 @@ def pq_topk_reranked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    shortlist: int = 50,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """The production PQ shape: ADC over codes produces a cheap shortlist
-    (``shortlist`` candidates/query, ~1% of a real corpus), then ONLY the
-    shortlisted vectors are fetched and scored exactly — recall recovers
-    to near-exact while the scan still touches codes, not floats."""
+    (``shortlist`` candidates/query), then ONLY the shortlisted vectors are
+    fetched and scored exactly — recall recovers to near-exact while the
+    scan still touches codes, not floats.
+
+    ``shortlist=None`` auto-scales it to ``max(50, 1% of the corpus)``:
+    ADC ranking error grows with corpus size (more distractors inside one
+    quantization cell), so a FIXED shortlist silently loses recall as the
+    corpus grows — the r5 sf1 rehearsal watched the recall gate flip false
+    at 10x data with shortlist=50 (same lesson as SemDeDup's auto-k). The
+    one count job is against the slim codes table; pass an explicit int
+    to pin cost when the corpus size is known."""
     from .similarity import cosine
 
+    if shortlist is None:
+        shortlist = max(50, -(-codes.count() // 100))
     cand = pq_topk(
         codes, queries, books, id_col, vec_col, k=shortlist
     ).select("query_id", "neighbor_id")

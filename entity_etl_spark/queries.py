@@ -4088,8 +4088,9 @@ def q_json_corrupt_records(spark: SparkSession, sf: str) -> DataFrame:
     """
     -- float k-means codebooks forbid pinning the result set (summation
     -- order wobbles cluster boundaries); the decidable claim is the
-    -- recall floor of the full PQ pipeline: ADC shortlist (50) + exact
-    -- rerank observed at 0.96 recall@5, gated with margin at 0.8.
+    -- recall floor of the full PQ pipeline: auto-scaled ADC shortlist
+    -- (max(50, 1% of corpus) — fixed 50 lost the floor at sf1, r5) +
+    -- exact rerank observed at 0.96 recall@5, gated with margin at 0.8.
     SELECT CAST(5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10)
                 AS BIGINT) AS n_truth_pairs,
            true AS recall_ok
@@ -4098,8 +4099,8 @@ def q_json_corrupt_records(spark: SparkSession, sf: str) -> DataFrame:
     doc="E3 scale path #3 — product quantization (memory-bound ANN): "
     "per-subspace k-means codebooks (m=16, k=32), 16-byte codes replace "
     "64-dim float vectors at scan time, ADC lookup-table scoring, exact "
-    "rerank of a 50-candidate shortlist (ext/pq.py). Stated decidably as "
-    "a recall floor vs brute force.",
+    "rerank of an auto-scaled shortlist (max(50, 1% of corpus) — "
+    "ext/pq.py). Stated decidably as a recall floor vs brute force.",
     tags=("ext", "bench2"),
 )
 def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -4111,7 +4112,7 @@ def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     books = train_pq_codebooks(emb, m=16, k=32, iterations=2)
     codes = encode_pq(emb, books)
     approx = pq_topk_reranked(
-        emb, codes, queries, books, k=5, shortlist=50
+        emb, codes, queries, books, k=5, shortlist=None
     ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
     exact = topk_brute_force(emb, queries, "vec_id", "embedding", k=5).select(
         "query_id", "neighbor_id"
@@ -4716,7 +4717,11 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
     -- construction, so this equality holds at any SF — r6; the LSH
     -- signature state is the method='minhash' alternative, recall-gated
     -- by minhash_near_dups). The 3-batch recursion unrolls into chained
-    -- CTEs k0/k1/k2.
+    -- CTEs k0/k1/k2. MATERIALIZED hints keep the oracle itself
+    -- scale-bounded: without them DuckDB re-inlines the shingle
+    -- self-join into every consumer and the sf1 run exhausted 4 GB of
+    -- temp (r5 close); materialized once, the pair set is tiny and the
+    -- chained keeps are cheap semi-joins.
     WITH cleaned AS (
       SELECT doc_id, source, {_duck_clean_text()} AS text
       FROM documents
@@ -4729,13 +4734,13 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
                AS n_stop
       FROM cleaned
     ),
-    gated AS (
+    gated AS MATERIALIZED (
       SELECT * FROM feats
       WHERE n_tokens >= 20
         AND round(least(n_tokens / 200.0, 1.0) * 0.5
                   + least(n_stop / n_tokens * 4.0, 1.0) * 0.5, 4) >= 0.15
     ),
-    batched AS (
+    batched AS MATERIALIZED (
       SELECT doc_id, source, text, n_tokens,
              least(2, CAST(floor(doc_id * 3.0 /
                    (SELECT count(*) FROM documents)) AS INT)) AS b
@@ -4745,12 +4750,12 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
       FROM batched
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
       FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -4759,12 +4764,12 @@ def q_training_data_prep(spark: SparkSession, sf: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
     ),
-    k0 AS (
+    k0 AS MATERIALIZED (
       SELECT d.doc_id FROM batched d WHERE d.b = 0 AND NOT EXISTS (
         SELECT 1 FROM pairs p JOIN batched a ON a.doc_id = p.doc_a
         WHERE p.doc_b = d.doc_id AND a.b = 0)
     ),
-    k1 AS (
+    k1 AS MATERIALIZED (
       SELECT d.doc_id FROM batched d WHERE d.b = 1 AND NOT EXISTS (
         SELECT 1 FROM pairs p JOIN batched a ON a.doc_id = p.doc_a
         WHERE p.doc_b = d.doc_id
@@ -8350,12 +8355,12 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
       FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
       FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -8364,7 +8369,7 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
     ),
@@ -8373,11 +8378,11 @@ def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     ),
-    groups AS (
+    groups AS MATERIALIZED (
       SELECT u AS doc, CAST(least(u, min(v)) AS BIGINT) AS group_rep
       FROM reach GROUP BY u
     ),
-    gk AS (
+    gk AS MATERIALIZED (
       SELECT g.doc AS doc_id, g.group_rep,
              row_number() OVER (PARTITION BY g.group_rep
                                 ORDER BY d.n_chars DESC, g.doc) = 1 AS kept

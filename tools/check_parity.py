@@ -66,6 +66,12 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # keep oracle spill OUT of the repo (r5 committed 4.6 GB of
+    # .tmp/duckdb_temp_storage-* into history) and bound it: an oracle
+    # that needs more than 4 GB of temp at these SFs is itself a scale
+    # bug we want surfaced as an error, not absorbed by the disk
+    con.execute("SET temp_directory='/tmp/duckdb_parity_spill'")
+    con.execute("SET max_temp_directory_size='4GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
