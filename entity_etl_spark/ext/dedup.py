@@ -452,13 +452,29 @@ def prefix_filter_pairs(
     the df table is a broadcast-sized dictionary of distinct shingles'
     counts only when the shingle vocabulary is small; otherwise it joins
     shuffle-side — either way postings lists are bounded by the rare-first
-    ordering, not by a recall-losing cap."""
+    ordering, not by a recall-losing cap.
+
+    The index pipeline runs on ``xxhash64(shingle)`` longs, not shingle
+    strings (8-byte shuffle/join keys). This is recall-safe
+    DETERMINISTICALLY, not just probabilistically: a hash collision can
+    only MERGE set elements, so hashed-set Jaccard >= true Jaccard for
+    every pair — any pair at or above the threshold on true shingles is
+    also at or above it on hashed shingles and therefore surfaces from
+    the hashed-prefix join; the string-exact verification then scores the
+    true shingle sets, removing collision-born false positives."""
     from pyspark.sql import Window
 
     eps = 1e-9  # float slack: always LENGTHEN the prefix / KEEP the pair
     df = _spread_input(df)
     sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("sh")
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(text_col, k), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("sh"),
     )
     sdf = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     wdoc = Window.partitionBy("doc")
