@@ -119,22 +119,22 @@ def main() -> None:
     # bests are the r6-close quiet sf0.1 run; update them when a query's
     # implementation legitimately changes.
     sf01_ref_bests = {
-        "incremental_scan": 0.35, "changed_rows": 0.9,
-        "keep_latest_per_key": 0.42, "state_merge_upsert": 0.51,
-        "q1_pricing_summary": 0.36, "top_orders_revenue": 0.81,
-        "region_nation_revenue": 0.98, "top_customers_per_nation": 0.62,
-        "sessionize": 0.24, "dedup_exact": 0.24,
-        "minhash_near_dups": 4.5, "embedding_topk": 0.53,
-        "text_quality": 0.28, "asof_join": 0.28, "range_join": 0.51,
-        "session_window_agg": 0.48, "embedding_topk_heap": 0.43,
-        "chunk_documents_builtin": 0.33, "variant_shred": 0.17,
-        "dedup_corpus_minhash": 2.4, "embedding_pq_topk": 2.6,
-        "scd2_user_event_history": 0.69, "semantic_dedup_pairs": 1.5,
-        "training_data_prep": 4.2, "streaming_neardup_prep": 14.0,
-        "streaming_state_pipeline": 4.2, "bm25_topk": 0.76,
-        "bpe_encode_tokens": 0.62, "neardup_keep_best": 2.6,
-        "boilerplate_segment_removal": 0.53,
-        "triangle_count_copurchase": 6.4, "item_item_cosine_topk": 4.5,
+        "incremental_scan": 0.30, "changed_rows": 1.11,
+        "keep_latest_per_key": 0.41, "state_merge_upsert": 0.46,
+        "q1_pricing_summary": 0.37, "top_orders_revenue": 0.86,
+        "region_nation_revenue": 0.99, "top_customers_per_nation": 0.71,
+        "sessionize": 0.25, "dedup_exact": 0.24,
+        "minhash_near_dups": 4.0, "embedding_topk": 0.51,
+        "text_quality": 0.25, "asof_join": 0.32, "range_join": 0.48,
+        "session_window_agg": 0.35, "embedding_topk_heap": 0.39,
+        "chunk_documents_builtin": 0.28, "variant_shred": 0.15,
+        "dedup_corpus_minhash": 1.91, "embedding_pq_topk": 2.38,
+        "scd2_user_event_history": 0.68, "semantic_dedup_pairs": 1.70,
+        "training_data_prep": 4.41, "streaming_neardup_prep": 11.93,
+        "streaming_state_pipeline": 4.53, "bm25_topk": 0.90,
+        "bpe_encode_tokens": 0.70, "neardup_keep_best": 3.73,
+        "boilerplate_segment_removal": 0.62,
+        "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 5.40,
     }
     sf1_breaches = (
         {
@@ -156,12 +156,18 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # minhash_near_dups changed semantics in round 6 (measured recall gate:
+    # it now ALSO computes the exact truth pair set in-query, ~2.5x the r1
+    # work under the same name) — the 18-query subtotal is the
+    # like-for-like comparison against the r1 baseline's other entries
+    frozen18 = round(total - timings.get("minhash_near_dups", 0.0), 3)
     print(
         json.dumps(
             {
                 "metric": "headline-queries-total-sec",
                 "value": total,
                 "unit": "sec",
+                "frozen18_subtotal_sec": frozen18,
                 "queries": timings,
                 "heavy_total_sec": round(sum(timings2.values()), 3),
                 "heavy_queries": timings2,

@@ -700,7 +700,10 @@ def drop_near_dups(
     then EXACT at any corpus size, which is what a threshold-pinned dedup
     policy needs (round-5's sf1 rehearsal showed LSH at default params
     misses a minority of near-threshold pairs, silently inflating the kept
-    set). ``method='minhash'`` keeps the probabilistic MinHash-LSH
+    set). ``method='prefix'`` is equally exact via the prefix-filter
+    join (:func:`prefix_filter_pairs`) — prefer it at thresholds >~0.6,
+    where prefixes shrink and the counting join's fan-out doesn't.
+    ``method='minhash'`` keeps the probabilistic MinHash-LSH
     candidate path — cheaper on corpora where the exact join's stop-shingle
     fan-out dominates, at a measured recall trade
     (``minhash_near_dups``'s recall gate is the meter).
@@ -711,6 +714,14 @@ def drop_near_dups(
     candidate stage (hot-bucket cap; storage-backed signature persist)."""
     if method == "exact":
         pairs = jaccard_pairs(
+            df, id_col, text_col, k,
+            0.5 if verify_threshold is None else verify_threshold,
+        )
+    elif method == "prefix":
+        # also exact (AllPairs prefix filtering): wins over the counting
+        # join at higher thresholds, where prefixes shrink to (1-t) of
+        # each doc and the stop-shingle postings never enter the index
+        pairs = prefix_filter_pairs(
             df, id_col, text_col, k,
             0.5 if verify_threshold is None else verify_threshold,
         )

@@ -159,16 +159,25 @@ def cell_pairs_gram(
             )
         ids = pdf[id_col].to_numpy()
         mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-        sims = mat @ mat.T
-        ii, jj = np.where(sims >= threshold)
-        keep = ids[ii] < ids[jj]  # upper triangle, no self-pairs
-        return pd.DataFrame(
-            {
-                "id_a": ids[ii][keep],
-                "id_b": ids[jj][keep],
-                "cos_sim": sims[ii, jj][keep],
-            }
-        )
+        # row-chunked gram: peak sims block is 1024 x N_c doubles instead
+        # of N_c x N_c — an oversized cell (fixed small k on a big corpus)
+        # degrades to more chunks, not a multi-GB allocation in one worker
+        frames = []
+        for lo in range(0, len(ids), 1024):
+            sims = mat[lo : lo + 1024] @ mat.T
+            ii, jj = np.where(sims >= threshold)
+            ids_blk = ids[lo : lo + 1024]
+            keep = ids_blk[ii] < ids[jj]  # upper triangle, no self-pairs
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids_blk[ii][keep],
+                        "id_b": ids[jj][keep],
+                        "cos_sim": sims[ii, jj][keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return cells.groupBy("cell").applyInPandas(gram, schema)
 

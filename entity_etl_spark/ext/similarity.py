@@ -376,14 +376,31 @@ def exact_cosine_pairs(
     |batch| x |corpus| BLAS matmul and emits its surviving pairs. That
     parallelizes the quadratic work across executors with zero shuffle —
     versus a BroadcastNestedLoopJoin evaluating an expression-tree cosine
-    per pair (~100x slower at sf0.1)."""
+    per pair (~100x slower at sf0.1).
+
+    Two partition-shape guards keep the quadratic work bounded AND spread:
+
+    - the left side is explicitly repartitioned to the cluster's
+      parallelism — a small parquet corpus (one file under
+      maxPartitionBytes) otherwise arrives as ONE input split and the
+      whole n² gram runs in a single Python worker (measured 19.7 s vs
+      ~2 s spread at n=20k on local[32]);
+    - inside each task the gram is computed in row chunks of
+      ``block_rows`` so the peak sims block is block_rows × n doubles
+      (~160 MB at n=20k) instead of an entire Arrow batch × n (~1.6 GB
+      at the default 10k-row batch) — allocator pressure there was the
+      2.7× run-to-run variance on a quiet box."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    from .ivf import _normalize as _nrm
+
     all_ids, all_mat = _collect_matrix(emb, id_col, vec_col, "all-pairs corpus")
-    bc = emb.sparkSession.sparkContext.broadcast((all_ids, all_mat))
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((all_ids, all_mat))
+    block_rows = 1024
 
     out_schema = T.StructType(
         [
@@ -398,22 +415,26 @@ def exact_cosine_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            from .ivf import _normalize as _nrm
-
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            sims = _nrm(mat) @ mat_all.T
-            ii, jj = np.where(sims >= threshold)
-            keep = ids[ii] < ids_all[jj]  # upper triangle only, no self
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[ii][keep],
-                    "id_b": ids_all[jj][keep],
-                    "cos_sim": sims[ii, jj][keep],
-                }
-            )
+            mat = _nrm(np.array(list(pdf[vec_col]), dtype=np.float64))
+            for lo in range(0, len(ids), block_rows):
+                sims = mat[lo : lo + block_rows] @ mat_all.T
+                ii, jj = np.where(sims >= threshold)
+                ids_blk = ids[lo : lo + block_rows]
+                keep = ids_blk[ii] < ids_all[jj]  # upper triangle, no self
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids_blk[ii][keep],
+                        "id_b": ids_all[jj][keep],
+                        "cos_sim": sims[ii, jj][keep],
+                    }
+                )
 
-    return emb.select(id_col, vec_col).mapInPandas(block, out_schema)
+    return (
+        emb.select(id_col, vec_col)
+        .repartition(sc.defaultParallelism)
+        .mapInPandas(block, out_schema)
+    )
 
 
 def topk_partition_heap(

@@ -10640,9 +10640,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     doc="Distributed triangle counting + global clustering coefficient "
     "over the co-purchase graph (parts are nodes; an edge = the two "
     "parts share an order). The compact-forward pattern: edges are "
-    "canonical u<v pairs, triangles close u->v->w wedges with one "
-    "edge-edge hash join probed by a second — never an NLJ, and the "
-    "wedge join's fan-out is bounded by per-node degree (the per-order "
+    "oriented toward their higher-degree endpoint, wedges form by a "
+    "same-source self-join (fan-out sum C(outdeg,2), outdeg O(sqrt(m)) "
+    "under degree orientation — hub-proof) and close with one hash-join "
+    "probe — never an NLJ (the per-order "
     "pair explode is C(items-per-order, 2) via ext.graph."
     "within_group_pairs — max_order_items caps whale orders with "
     "Observation accounting, the same contract as the LSH bucket caps; "
@@ -10687,14 +10688,51 @@ def q_triangle_count_copurchase(
         .unionByName(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        # consumed by the orientation join AND degstats: pin the (node, d)
+        # table (|V| rows) so the union+shuffle degree pipeline runs once
+        .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    # Degree-ordered orientation (compact-forward; cf. Suri &
+    # Vassilvitskii, "Counting triangles and the curse of the last
+    # reducer"): orient every edge toward its higher-(degree, id)
+    # endpoint. The wedge self-join below fans out as sum C(outdeg, 2),
+    # and under degree orientation outdeg is O(sqrt(m)) — id-ordering
+    # behaves like a random orientation, whose hub wedges (popular parts
+    # co-purchased with thousands of others) dominate the join at scale.
+    # The triangle COUNT is orientation-invariant, so the oracle is
+    # untouched: each triangle's nodes have a unique rank order r1<r2<r3
+    # and exactly one wedge (r1->r2, r1->r3) closed by r2->r3.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e_dir = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
+        )
+        # three self-join consumers (a/b/c): pin so the orientation joins
+        # run once
+        .localCheckpoint(eager=True)
+    )
+    dst_rank_lt = (F.col("a.dst_d") < F.col("b.dst_d")) | (
+        (F.col("a.dst_d") == F.col("b.dst_d"))
+        & (F.col("a.dst") < F.col("b.dst"))
+    )
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e_dir.alias("a")
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u"))
-            & (F.col("e3.v") == F.col("e2.v")),
+            e_dir.alias("b"),
+            (F.col("a.src") == F.col("b.src")) & dst_rank_lt,
+        )
+        .join(
+            e_dir.alias("c"),
+            (F.col("c.src") == F.col("a.dst"))
+            & (F.col("c.dst") == F.col("b.dst")),
         )
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )

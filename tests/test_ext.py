@@ -521,3 +521,18 @@ def test_exact_neardup_incremental_matches_batch_policy_on_sf(spark):
         for r in drop_near_dups(docs, "doc_id", "text").select("doc_id").collect()
     ]
     assert sorted(kept_all) == sorted(batch_kept)
+
+
+def test_drop_near_dups_methods_agree(spark, docs):
+    from entity_etl_spark.ext.dedup import drop_near_dups
+
+    base = sorted(
+        r["doc_id"]
+        for r in drop_near_dups(docs, "doc_id", "text").collect()
+    )
+    for m in ("prefix", "minhash"):
+        got = sorted(
+            r["doc_id"]
+            for r in drop_near_dups(docs, "doc_id", "text", method=m).collect()
+        )
+        assert got == base, m
