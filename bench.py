@@ -26,6 +26,14 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # local[N] shares ONE heap across all N executor threads; at sf1 the
+    # exact-join working set exceeds 16g's execution-memory fraction and
+    # the run pays GC + shuffle spill (measured 18-20 s steady vs 11-15 s
+    # at 48g for dedup_corpus_minhash). A real cluster sizes per-executor
+    # heaps; this is the local-mode equivalent, not engine tuning.
+    default_mem = "48g" if sf == "1" else "16g"
 
     spark = (
         SparkSession.builder.appName("entity-etl-spark-bench")
@@ -38,7 +46,10 @@ def main() -> None:
         # small test-scale files must still split across all cores; at real
         # scale files exceed this and the default behavior is identical
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", default_mem),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -95,7 +106,6 @@ def main() -> None:
         # r5: O12/O13 streaming e2e, 15.7 s quiet at sf0.1 (2x + 0.5 s)
         "streaming_state_pipeline": 31.9,
     }
-    sf = sf_dir.rstrip("/").split("sf")[-1]
     breaches = (
         {
             name: {"sec": t, "ceiling": heavy_ceilings_sf01[name]}
