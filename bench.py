@@ -159,9 +159,23 @@ def main() -> None:
         if sf == "1"
         else {}
     )
+    # a timed query missing from the reference dict is UNGATED, which
+    # silently defeats the ratchet for queries added after the dict was
+    # recorded — always surface the uncovered list so a zero-breach run
+    # can't hide an unratcheted regression
+    sf1_ungated = (
+        sorted(set({**timings, **timings2}) - set(sf01_ref_bests))
+        if sf == "1"
+        else []
+    )
     if sf1_breaches:
         print(
             f"SF1 FACTOR BREACH: {json.dumps(sf1_breaches)}",
+            file=sys.stderr,
+        )
+    if sf1_ungated:
+        print(
+            f"SF1 RATCHET GAP (no sf0.1 reference best): {sf1_ungated}",
             file=sys.stderr,
         )
 
@@ -183,6 +197,7 @@ def main() -> None:
                 "heavy_queries": timings2,
                 "heavy_ceiling_breaches": breaches,
                 "sf1_factor_breaches": sf1_breaches,
+                "sf1_ratchet_ungated": sf1_ungated,
                 "sf": sf,
             }
         )

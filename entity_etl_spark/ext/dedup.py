@@ -430,8 +430,9 @@ def prefix_filter_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin,
-    Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06) — 100% recall BY
-    CONSTRUCTION, unlike the probabilistic MinHash-LSH path.
+    Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06) — 100% recall by the
+    prefix lemma (modulo the 2^-64 hash-collision fine print below),
+    versus the MinHash-LSH path's tunable-S-curve recall.
 
     Order every doc's distinct shingles by ascending global document
     frequency (rarest first); a pair with Jaccard >= t MUST share at least
@@ -455,13 +456,17 @@ def prefix_filter_pairs(
     ordering, not by a recall-losing cap.
 
     The index pipeline runs on ``xxhash64(shingle)`` longs, not shingle
-    strings (8-byte shuffle/join keys). This is recall-safe
-    DETERMINISTICALLY, not just probabilistically: a hash collision can
-    only MERGE set elements, so hashed-set Jaccard >= true Jaccard for
-    every pair — any pair at or above the threshold on true shingles is
-    also at or above it on hashed shingles and therefore surfaces from
-    the hashed-prefix join; the string-exact verification then scores the
-    true shingle sets, removing collision-born false positives."""
+    strings (8-byte shuffle/join keys). Collision fine print: a 64-bit
+    collision can merge two set elements, and merging two SHARED shingles
+    LOWERS hashed Jaccard ((i-1)/(u-1) < i/u), so candidate recall is
+    probabilistic at the 2^-64 scale, not absolute — a pair sitting
+    exactly at the threshold could in principle fail the hashed prefix or
+    length filter (expected colliding vocabulary pairs ~= |vocab|^2 /
+    2^65; ~3e-9 even at a billion distinct shingles). Verification
+    re-scores surviving candidates on the TRUE string shingle sets, so
+    false positives are removed exactly; callers needing the output
+    bitwise-equal to :func:`jaccard_pairs` under an adversarial
+    (collision-crafting) input should index the strings instead."""
     from pyspark.sql import Window
 
     eps = 1e-9  # float slack: always LENGTHEN the prefix / KEEP the pair
@@ -711,7 +716,21 @@ def drop_near_dups(
     Returns df minus dropped docs — the "switch your corpus to the deduped
     one" API; the pair functions are the pair-level forensic view.
     ``max_bucket_size`` / ``signature_path`` thread through to the LSH
-    candidate stage (hot-bucket cap; storage-backed signature persist)."""
+    candidate stage (hot-bucket cap; storage-backed signature persist) and
+    are REJECTED with the exact methods: a caller that tuned the r5-default
+    MinHash path (this became ``method='exact'`` in r6) must not silently
+    lose its signature persist or hot-bucket cap."""
+    if method != "minhash":
+        lsh_only = {
+            "max_bucket_size": max_bucket_size,
+            "signature_path": signature_path,
+        }
+        passed = [name for name, v in lsh_only.items() if v is not None]
+        if passed:
+            raise ValueError(
+                f"{passed} apply only to method='minhash' "
+                f"(got method={method!r})"
+            )
     if method == "exact":
         pairs = jaccard_pairs(
             df, id_col, text_col, k,
@@ -1017,7 +1036,23 @@ def exact_neardup_dedup_incremental(
         )
         computed = corpus_shingles
     else:
-        corpus_shingles = corpus_shingles.dropDuplicates(["doc", "sh"])
+        # Loaded state is sanitized for at-least-once replay BEFORE it can
+        # touch the intersection counts, which are plain row counts here
+        # (unlike the MinHash twin, whose verify recomputes Jaccard from
+        # bodies per-row and merely dedups candidate pairs):
+        # - dropDuplicates: a crashed append may have persisted duplicate
+        #   (doc, sh) rows;
+        # - anti-join on batch ids: a REPLAYED batch's docs may already be
+        #   in the state wholesale — keeping both copies would double those
+        #   docs' shingles in all_sh, doubling sizes AND intersections and
+        #   shifting every affected Jaccard (2i/(2na+nb-2i) != i/(na+nb-i)),
+        #   i.e. wrong drops/keeps. Excluding the state copy re-evaluates
+        #   the doc as a batch doc; the batch-ids side is tiny → broadcast.
+        corpus_shingles = corpus_shingles.dropDuplicates(["doc", "sh"]).join(
+            F.broadcast(batch.select(F.col(id_col).alias("doc")).distinct()),
+            "doc",
+            "left_anti",
+        )
     # pinned: consumed by the join's right side, the union'd left side,
     # sizes, and the survivors' state delta
     batch_sh = (

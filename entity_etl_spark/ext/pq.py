@@ -290,12 +290,14 @@ def pq_topk_reranked(
     quantization cell), so a FIXED shortlist silently loses recall as the
     corpus grows — the r5 sf1 rehearsal watched the recall gate flip false
     at 10x data with shortlist=50 (same lesson as SemDeDup's auto-k). The
-    one count job is against the slim codes table; pass an explicit int
-    to pin cost when the corpus size is known."""
+    one count job runs against ``corpus`` — the same row count as codes
+    (encode_pq is 1:1) WITHOUT executing the encode lineage a second
+    time (a parquet-backed corpus answers from footer stats); pass an
+    explicit int to pin cost when the corpus size is known."""
     from .similarity import cosine
 
     if shortlist is None:
-        shortlist = max(50, -(-codes.count() // 100))
+        shortlist = max(50, -(-corpus.count() // 100))
     cand = pq_topk(
         codes, queries, books, id_col, vec_col, k=shortlist
     ).select("query_id", "neighbor_id")

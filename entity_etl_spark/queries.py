@@ -1219,6 +1219,39 @@ def q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_random_projection",
+    """
+    SELECT vec_id, CAST(j AS INT) AS dim,
+           floor(reduce(
+                   list_transform(range(64), i ->
+                     CASE WHEN substring(md5('rp7_' || j || '_' || i), 1, 1)
+                               < '8'
+                          THEN  CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                          ELSE -CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                     END),
+                   (x, y) -> x + y)
+                 * 0.25 * 1e6 + 0.5) / 1e6 AS value
+    FROM embeddings, range(16) t(j)
+    """,
+    doc="E3 dimensionality reduction: Johnson-Lindenstrauss signed "
+    "random projection 64 -> 16 dims (Achlioptas database-friendly "
+    "+-1 matrix), the standard pre-ANN shrink — a map-side zero-shuffle "
+    "codegen transform whose sign matrix both engines derive "
+    "independently from md5('rp{seed}_{j}_{i}'); a pinned-order "
+    "left-associative double fold + floor-quantization make the values "
+    "hash-identical cross-engine.",
+    tags=("ext",),
+)
+def q_embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.projection import random_project
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return random_project(
+        emb, "vec_id", "embedding", in_dim=64, out_dim=16, seed=7
+    )
+
+
 def _duck_count_occ(word: str) -> str:
     """DuckDB twin of ext.text._count_occurrences (padded replace-count)."""
     needle = f" {word} "

@@ -186,11 +186,26 @@ def run_available_now(
     zero-input micro-batches after the source is drained, so
     ``awaitTermination`` never returns True). availableNow plans all
     pending offsets up front and runs them in the earliest batches, so
-    the first completed batch with ``numInputRows == 0`` while the source
+    a completed batch with ``numInputRows == 0`` while the source
     reports no data available means every pending batch has been
     delivered to ``batch_fn`` — the drain is complete and the query is
     stopped gracefully (timer-only batches emit nothing for our
-    append-mode state ops; TTL purge on a later real run re-arms)."""
+    append-mode state ops; TTL purge on a later real run re-arms).
+
+    Two refinements close races in that detection:
+
+    - when the progress's per-source offsets carry ``latestOffset`` (the
+      availableNow wrapper latches the planned end there), drained means
+      ``endOffset == latestOffset`` on EVERY source — immune to a
+      zero-row planned batch (an empty file in a one-file micro-batch
+      source) completing before ``isDataAvailable`` refreshes for the
+      next planned batch, which could otherwise read as done with
+      planned data still pending; timer-only churn never advances
+      endOffset, so the signal is also stable under 50-batch timer loops;
+    - the zero-input fallback (sources without latestOffset) is confirmed
+      on two polls >= 1 s apart with UNCHANGED source end-offsets — a
+      pending planned batch starts well inside that window and resets
+      the probe."""
     import time as _time
 
     q = (
@@ -200,18 +215,55 @@ def run_available_now(
         .start()
     )
     finished = False
+
+    def _drained_now() -> tuple[bool, bool, Any]:
+        """(drained, strong, key): strong = offsets prove it (progress is
+        published only after the batch's foreachBatch completed, so
+        endOffset == latestOffset everywhere means every planned row was
+        delivered); weak = zero-input heuristic needing confirmation."""
+        lp = q.lastProgress
+        if lp is None:
+            return False, False, None
+        srcs = lp.get("sources") or []
+        key = tuple(repr(s.get("endOffset")) for s in srcs)
+
+        def _off(s: dict, name: str) -> Any:
+            v = s.get(name)
+            # PySpark STRINGIFIES progress values: an unreported offset
+            # arrives as the string "None" (FileStreamSource never fills
+            # latestOffset), not JSON null
+            return None if v in (None, "None", "null", "") else v
+
+        if srcs and all(_off(s, "latestOffset") is not None for s in srcs):
+            drained = all(
+                _off(s, "endOffset") == _off(s, "latestOffset") for s in srcs
+            )
+            return drained, True, key
+        st = q.status
+        return (
+            lp.get("numInputRows", 0) == 0
+            and not st.get("isDataAvailable", True),
+            False,
+            key,
+        )
+
     try:
         deadline = _time.monotonic() + timeout_sec
+        candidate_key: Any = None
+        candidate_at = 0.0
         while _time.monotonic() < deadline:
             if q.awaitTermination(1.0):
                 finished = True
                 break
-            lp = q.lastProgress
-            if (
-                lp is not None
-                and lp.get("numInputRows", 0) == 0
-                and not q.status.get("isDataAvailable", True)
-            ):
+            ok, strong, key = _drained_now()
+            now = _time.monotonic()
+            if ok and strong:
+                finished = True
+                break
+            if not ok or candidate_key != key:
+                candidate_key = key if ok else None
+                candidate_at = now
+            elif now - candidate_at >= 1.0:
                 finished = True
                 break
     finally:

@@ -410,13 +410,20 @@ def test_prefix_filter_pairs_equals_exact_join(spark, docs):
 
 def test_prefix_filter_pairs_near_threshold_recall(spark):
     # pairs sitting EXACTLY on the threshold boundary — the regime where
-    # LSH misses (r5 sf1 finding) and where prefix-length float slop
-    # would bite. J(1,2) = 3/6 = 0.5 exactly with k=1 token shingles.
+    # LSH misses (r5 sf1 finding) and where prefix-length / length-filter
+    # float slop would bite. With k=1 token shingles:
+    #   J(1,2) = |{a,b}| / |{a,b,c,d}|     = 2/4 = 0.5 exactly, and the
+    #     pair also sits ON the length-filter boundary (min=2 == t*max);
+    #   J(3,4) = |{a,c}| / |{a,c,e,f}|     = 2/4 = 0.5 exactly at equal
+    #     sizes (prefix length n - ceil(t*n) + 1 = 2 of 3: t*n landing
+    #     between integers).
     df = spark.createDataFrame(
         [
-            (1, "a b c d"),          # shingle-1 set {a,b,c,d} (k=1 tokens)
-            (2, "a b e f"),
-            (3, "x y z w"),
+            (1, "a b c d"),  # shingle-1 set {a,b,c,d} (k=1 tokens)
+            (2, "a b"),
+            (3, "a c e"),
+            (4, "a c f"),
+            (5, "x y z w"),
         ],
         ["doc_id", "text"],
     )
@@ -426,9 +433,10 @@ def test_prefix_filter_pairs_near_threshold_recall(spark):
              jaccard_pairs(df, "doc_id", "text", 1, 0.5).collect()}
     pf = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
           prefix_filter_pairs(df, "doc_id", "text", 1, 0.5).collect()}
+    # the exactly-at-threshold pairs MUST be found by both paths: a
+    # regression in the ceil/eps prefix or length math shows up here
     assert exact == pf
-    # J(1,2) = |{a,b}| / |{a,b,c,d,e,f}| = 2/6 = 0.333 < 0.5: neither
-    assert (1, 2) not in pf or pf[(1, 2)] >= 0.5
+    assert pf[(1, 2)] == 0.5 and pf[(3, 4)] == 0.5
 
 
 def test_prefix_filter_pairs_sf_corpus_equality(spark):
@@ -536,3 +544,61 @@ def test_drop_near_dups_methods_agree(spark, docs):
             for r in drop_near_dups(docs, "doc_id", "text", method=m).collect()
         )
         assert got == base, m
+
+
+# ------------------------------------------------- random projection (r6)
+def test_random_projection_matrix_deterministic_and_balanced():
+    from entity_etl_spark.ext.projection import signed_projection_matrix
+
+    m1 = signed_projection_matrix(7, 16, 64)
+    m2 = signed_projection_matrix(7, 16, 64)
+    assert m1 == m2
+    assert signed_projection_matrix(8, 16, 64) != m1  # seed matters
+    flat = [v for row in m1 for v in row]
+    assert set(flat) == {1, -1}
+    # md5 bits are balanced: the +1 fraction should be near 1/2
+    assert 0.4 < flat.count(1) / len(flat) < 0.6
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL contract: squared pairwise distances preserved in expectation.
+    # 10 deterministic 64-dim vectors; after projecting to 16 dims the
+    # distance RATIO distribution must center near 1 (tolerances wide:
+    # variance is O(1/out_dim) per pair).
+    import math
+    import random
+
+    from entity_etl_spark.ext.projection import random_project
+
+    rng = random.Random(13)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(10)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    proj = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in random_project(
+            df, "vec_id", "embedding", in_dim=64, out_dim=16, seed=7
+        ).collect()
+    }
+    assert len(proj) == 160
+    ratios = []
+    for a in range(10):
+        for b in range(a + 1, 10):
+            d_orig = math.dist(vecs[a][1], vecs[b][1])
+            d_proj = math.dist(
+                [proj[(a, j)] for j in range(16)],
+                [proj[(b, j)] for j in range(16)],
+            )
+            ratios.append((d_proj / d_orig) ** 2)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3
+    assert all(0.2 < r < 2.5 for r in ratios)
+
+
+def test_random_projection_rejects_non_power_of_two_scale(spark):
+    import pytest as _pytest
+
+    from entity_etl_spark.ext.projection import random_project
+
+    df = spark.createDataFrame([(1, [0.0] * 64)], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError):
+        random_project(df, out_dim=9)
