@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import hashlib
 import math
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,19 +48,28 @@ def signed_projection_matrix(
 
 
 def _signed_sum(vec: Column, signs: list[int]) -> Column:
-    """Left-associative double fold of +-vec[i], i ascending:
-    (((t0+t1)+t2)+...). float -> double is exact and the fold ORDER is
-    pinned syntactically, so any engine folding the same order (DuckDB:
-    ``reduce(list, (x,y) -> x+y)``) produces the bit-identical double.
-    DECIMAL partials were tried and rejected: Spark quantizes
-    double -> decimal(38,10) by correctly rounding the exact binary
-    expansion (BigDecimal), DuckDB by double arithmetic — off-by-1-ulp
-    partials that cross the final 1e-6 floor boundary."""
-    terms = []
-    for i, s in enumerate(signs):
-        t = F.element_at(vec, i + 1).cast("double")
-        terms.append(t if s > 0 else -t)
-    return reduce(lambda a, b: a + b, terms)
+    """Left-associative double fold of +-vec[i], i ascending, as a
+    higher-order ``aggregate(zip_with(...))`` loop. Three properties make
+    it cross-engine bit-identical: float -> double is exact, multiplying
+    by the +-1.0 literal is exact, and the fold ORDER is pinned (DuckDB's
+    ``reduce(list, (x,y) -> x+y)`` folds the same order; the 0.0 init
+    only differs on a -0.0 leading term, which the final floor
+    quantization collapses anyway).
+
+    Two rejected alternatives, for the record: DECIMAL(38,10) partials
+    (Spark quantizes double -> decimal by correctly rounding the exact
+    binary expansion, DuckDB via double arithmetic — off-by-1-ulp
+    partials cross the final 1e-6 floor boundary), and an unrolled
+    64-term Add chain (64 terms x 16 output dims in one Generate consume
+    method exceeds the JVM's 64KB method limit — whole-stage codegen
+    fails to compile and the operator silently drops to interpreted
+    eval; the higher-order fold is a tight generated loop instead)."""
+    signs_lit = F.array(*[F.lit(float(s)) for s in signs])
+    return F.aggregate(
+        F.zip_with(vec, signs_lit, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
 
 
 def random_project(
@@ -83,6 +91,23 @@ def random_project(
     multiply, keeping the whole pipeline a sequence of operations every
     IEEE-754 engine computes bit-identically (see :func:`_signed_sum`
     for why decimal partials were rejected)."""
+    rows = [
+        F.struct(
+            F.lit(j).cast("int").alias("dim"),
+            v.alias("value"),
+        )
+        for j, v in enumerate(
+            _project_values(vec_col, in_dim, out_dim, seed)
+        )
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("__p")
+    ).select(id_col, F.col("__p.dim").alias("dim"), F.col("__p.value").alias("value"))
+
+
+def _project_values(
+    vec_col: str, in_dim: int, out_dim: int, seed: int
+) -> list[Column]:
     scale = 1.0 / (out_dim**0.5)
     if scale != 2.0 ** round(math.log2(scale)):
         raise ValueError(
@@ -90,21 +115,120 @@ def random_project(
             "(use out_dim in 4, 16, 64, 256)"
         )
     mat = signed_projection_matrix(seed, out_dim, in_dim)
-    rows = [
-        F.struct(
-            F.lit(j).cast("int").alias("dim"),
-            (
-                F.floor(
-                    _signed_sum(F.col(vec_col), mat[j]).cast("double")
-                    * F.lit(scale)
-                    * 1e6
-                    + F.lit(0.5)
-                )
-                / 1e6
-            ).alias("value"),
+    return [
+        F.floor(
+            _signed_sum(F.col(vec_col), mat[j]).cast("double")
+            * F.lit(scale)
+            * 1e6
+            + F.lit(0.5)
         )
+        / 1e6
         for j in range(out_dim)
     ]
+
+
+def random_project_vec(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """:func:`random_project` in WIDE form: ``(id, proj array<double>)``
+    — same values, one row per input vector (the shape for pairwise
+    distance math and for re-feeding the reduced vectors to the ANN
+    operators)."""
     return df.select(
-        F.col(id_col), F.explode(F.array(*rows)).alias("__p")
-    ).select(id_col, F.col("__p.dim").alias("dim"), F.col("__p.value").alias("value"))
+        F.col(id_col),
+        F.array(*_project_values(vec_col, in_dim, out_dim, seed)).alias(
+            "proj"
+        ),
+    )
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+    in_dim: int = 64,
+    n_bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k through the projected space: signed-random-projection
+    LSH (Charikar SRP — two vectors agree on bit b with probability
+    1 - angle/pi) where the hyperplanes ARE the first ``n_bits`` rows of
+    the JL sign matrix, so the whole index derives from the same
+    deterministic md5 matrix as :func:`random_project`.
+
+    Shape: one map-side projection per side (zero shuffle), bucket =
+    the n_bits sign bits packed into a long; queries multi-probe the
+    exact bucket plus all Hamming-1 neighbors (n_bits+1 probes — the
+    standard recall knob); candidates join on the bucket long, dedupe,
+    and rerank EXACTLY in the original space (cosine over the full
+    vectors, top-k window). Candidate volume ~ (n_bits+1) * n/2^n_bits
+    per query — at 100 TB raise n_bits so buckets stay ~constant-sized
+    and the rerank join carries (bucket, id) longs, never vectors,
+    until the final candidate fetch.
+
+    Exactness contract: DETERMINISTIC (no floats in the bucketing — the
+    projection is floor-quantized) but approximate; recall is measured
+    by the ``embedding_rp_ann_topk`` gate, never assumed."""
+    from .similarity import cosine
+
+    def buckets(df: DataFrame) -> DataFrame:
+        proj = random_project(
+            df, id_col, vec_col, in_dim=in_dim, out_dim=16, seed=seed
+        ).filter(F.col("dim") < n_bits)
+        return proj.groupBy(id_col).agg(
+            F.sum(
+                F.when(
+                    F.col("value") >= 0, F.expr("shiftleft(1L, dim)")
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("__bucket")
+        )
+
+    cb = buckets(corpus)
+    qb = buckets(queries)
+    probes = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                F.col("__bucket"),
+                *[
+                    F.col("__bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(n_bits)
+                ],
+            )
+        ).alias("__bucket"),
+    )
+    cand = (
+        probes.join(cb.select(F.col(id_col).alias("neighbor_id"), "__bucket"),
+                    "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id")
+    )
+    return (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("score", F.round(cosine(F.col("__cv"), F.col("__qv")), 6))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "score", "rnk")
+    )

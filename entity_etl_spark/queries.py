@@ -1252,6 +1252,99 @@ def q_embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_rp_distance_preservation",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             list_transform(range(16), j ->
+               floor(reduce(list_transform(range(64), i ->
+                 CASE WHEN substring(md5('rp7_' || j || '_' || i), 1, 1)
+                           < '8'
+                      THEN  CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                      ELSE -CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                 END),
+                 (x, y) -> x + y) * 0.25 * 1e6 + 0.5) / 1e6
+             ) AS proj
+      FROM embeddings WHERE vec_id < 50
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             reduce(list_transform(range(16), t ->
+               (a.proj[CAST(t AS INT) + 1] - b.proj[CAST(t AS INT) + 1])
+               * (a.proj[CAST(t AS INT) + 1] - b.proj[CAST(t AS INT) + 1])),
+               (x, y) -> x + y) AS d2p,
+             reduce(list_transform(range(64), t ->
+               (CAST(a.embedding[CAST(t AS INT) + 1] AS DOUBLE)
+                - CAST(b.embedding[CAST(t AS INT) + 1] AS DOUBLE))
+               * (CAST(a.embedding[CAST(t AS INT) + 1] AS DOUBLE)
+                  - CAST(b.embedding[CAST(t AS INT) + 1] AS DOUBLE))),
+               (x, y) -> x + y) AS d2o
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           floor(d2p / d2o * 1e6 + 0.5) / 1e6 AS d2_ratio
+    FROM pairs WHERE d2o > 0
+    """,
+    doc="E3 JL distance-preservation audit: per-pair squared-distance "
+    "ratio projected/original over the first 50 vectors (1,225 pairs) — "
+    "the measurable statement of the Johnson-Lindenstrauss contract the "
+    "projection is deployed for. EXACT cross-engine oracle (not a "
+    "recall gate): both engines build the same md5 sign matrix, fold in "
+    "the same pinned order, and quantize identically, so every ratio "
+    "matches bit-for-bit. The tiny a.id < b.id pair join is an "
+    "intentional 50-row NLJ (documented exact-oracle class); the "
+    "aggregate JL bound itself (mean ratio ~ 1 +- O(1/sqrt(out_dim))) "
+    "is asserted in tests/test_ext.py, not here, to keep the query "
+    "deterministic.",
+    tags=("ext",),
+)
+def q_embedding_rp_distance_preservation(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from .ext.projection import random_project_vec
+
+    emb = read_sf_table(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    pv = random_project_vec(emb, "vec_id", "embedding", out_dim=16, seed=7)
+    sides = emb.join(pv, "vec_id")
+    a = sides.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__ea"),
+        F.col("proj").alias("__pa"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__eb"),
+        F.col("proj").alias("__pb"),
+    )
+
+    def sq_dist(x, y, cast):
+        pair = F.zip_with(
+            x,
+            y,
+            (lambda u, v: (u.cast("double") - v.cast("double"))
+             * (u.cast("double") - v.cast("double")))
+            if cast
+            else (lambda u, v: (u - v) * (u - v)),
+        )
+        return F.aggregate(pair, F.lit(0.0), lambda acc, t: acc + t)
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__d2p", sq_dist(F.col("__pa"), F.col("__pb"), False))
+        .withColumn("__d2o", sq_dist(F.col("__ea"), F.col("__eb"), True))
+        .filter(F.col("__d2o") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(F.col("__d2p") / F.col("__d2o") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("d2_ratio"),
+        )
+    )
+
+
 def _duck_count_occ(word: str) -> str:
     """DuckDB twin of ext.text._count_occurrences (padded replace-count)."""
     needle = f" {word} "

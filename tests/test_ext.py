@@ -602,3 +602,48 @@ def test_random_projection_rejects_non_power_of_two_scale(spark):
     df = spark.createDataFrame([(1, [0.0] * 64)], ["vec_id", "embedding"])
     with _pytest.raises(ValueError):
         random_project(df, out_dim=9)
+
+
+def test_rp_lsh_topk_recalls_clustered_neighbors(spark):
+    # SRP-LSH earns its keep on CLUSTERED data (tight angular clusters
+    # agree on every sign bit; near-uniform corpora are the documented
+    # weak regime — the registry's distance-preservation query is the
+    # JL contract, not ANN). 3 tight clusters of 30 vectors: each
+    # query's true top-5 live in its own cluster, which shares the
+    # exact bucket, so recall should be ~1.
+    import random
+
+    from entity_etl_spark.ext.projection import rp_lsh_topk
+    from entity_etl_spark.ext.similarity import topk_brute_force
+
+    rng = random.Random(5)
+    centers = [
+        [10.0 if d % 3 == c else 0.1 for d in range(64)] for c in range(3)
+    ]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in c]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)  # one query per cluster
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             topk_brute_force(emb, q, "vec_id", "embedding", k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              rp_lsh_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_rp_distance_preservation_jl_bound(spark):
+    # the aggregate JL statement over the registry query's own output:
+    # mean squared-distance ratio ~ 1, spread bounded (var ~ 2/out_dim)
+    from entity_etl_spark.queries import REGISTRY
+
+    rows = REGISTRY["embedding_rp_distance_preservation"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ratios = [r["d2_ratio"] for r in rows]
+    assert len(ratios) > 1000
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
+    # individual pairs stay within loose multiplicative JL bounds
+    assert sum(1 for r in ratios if 0.3 < r < 2.2) / len(ratios) > 0.98
