@@ -647,3 +647,31 @@ def test_rp_distance_preservation_jl_bound(spark):
     assert 0.85 < mean < 1.15
     # individual pairs stay within loose multiplicative JL bounds
     assert sum(1 for r in ratios if 0.3 < r < 2.2) / len(ratios) > 0.98
+
+
+def test_exact_neardup_incremental_replayed_batch_docs_in_state(spark):
+    # Source-level redelivery: doc 5 was appended to the shingle state by
+    # increment 1, and increment 2's batch REDELIVERS doc 5 alongside the
+    # genuinely-new doc 6. Without excluding the state copy of batch
+    # docs, doc 5's shingles appear twice in all_sh while doc 6's appear
+    # once — the ASYMMETRIC doubling that corrupts the pair: with
+    # na=nb=6 and i=3 shared shingles, J(5,6) = 3/9 = 0.333 (keep 6)
+    # but the corrupted count reads 2i/(2na+nb-2i) = 6/12 = 0.5 (wrong
+    # drop). A symmetric replay (both docs doubled) cancels out, which
+    # is why this fixture pins the asymmetric case.
+    from entity_etl_spark.ext.dedup import exact_neardup_dedup_incremental
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    doc5 = (5, "a b c d e f g h")       # shingles: abc bcd cde def efg fgh
+    doc6 = (6, "d e f g h p q r")       # shares exactly {def, efg, fgh}
+    inc1 = spark.createDataFrame([doc5], ["doc_id", "text"])
+    kept1, state = exact_neardup_dedup_incremental(empty, inc1)
+    assert [r["doc_id"] for r in kept1.collect()] == [5]
+
+    inc2 = spark.createDataFrame([doc5, doc6], ["doc_id", "text"])
+    kept2, _ = exact_neardup_dedup_incremental(
+        empty, inc2, corpus_shingles=state
+    )
+    # doc 6 is NOT a near-dup of doc 5 (J = 0.333 < 0.5): it must be
+    # kept, redelivery of doc 5 notwithstanding
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [5, 6]
