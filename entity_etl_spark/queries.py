@@ -5312,6 +5312,516 @@ def q_streaming_ttl_expiry(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stage_ts_ordered_batches(
+    spark: SparkSession,
+    df: DataFrame,
+    base: str,
+    n_batches: int,
+    extra_files: list[tuple[str, DataFrame]] | None = None,
+):
+    """Write ``df`` as ``n_batches`` event-time-CONTIGUOUS parquet files
+    with ascending mtimes (one file = one micro-batch under
+    ``maxFilesPerTrigger=1``), returning (in_dir, schema).
+
+    Harness-only arrival simulation: batch k holds the k-th tercile of
+    the [min ts, max ts] span, so a later batch never carries an earlier
+    event time — files replay the way a real time-ordered feed arrives,
+    and a watermark delay exceeding zero drops nothing. The min/max
+    comes from one aggregate (no global sort; the real deployment reads
+    an already-arriving stream and stages nothing). ``extra_files``
+    appends sentinel batches after the real ones (e.g. a far-future
+    watermark flush for outer-join null completion)."""
+    import os
+    import shutil
+    import time
+
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    # ts may be TIMESTAMP_NTZ (the testdata's type), which Spark 4 refuses
+    # to cast straight to double; route through timestamp_ltz — any
+    # monotonic numeric image of ts works for tercile bucketing.
+    ts_num = F.col("ts").cast("timestamp_ltz").cast("double")
+    mn, mx = df.agg(F.min(ts_num), F.max(ts_num)).first()
+    span = (mx - mn) + 1e-6
+    staged = df.withColumn(
+        "__b",
+        F.least(
+            F.lit(n_batches - 1),
+            F.floor((ts_num - mn) * n_batches / span),
+        ).cast("int"),
+    )
+    parts = [
+        (f"b{b}.parquet", staged.filter(F.col("__b") == b).drop("__b"))
+        for b in range(n_batches)
+    ]
+    parts += list(extra_files or [])
+    for i, (fname, part_df) in enumerate(parts):
+        stage_dir = os.path.join(base, f"stage_{fname}")
+        part_df.coalesce(1).write.parquet(stage_dir)
+        src = next(
+            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, fname)
+        shutil.move(os.path.join(stage_dir, src), dst)
+        os.utime(dst, (time.time() - (len(parts) - i) * 100,) * 2)
+    return in_dir, df.schema
+
+
+@register(
+    "streaming_stream_join",
+    """
+    -- Stream-stream INNER interval join (purchase attribution): each
+    -- purchase joined to every view by the same user within the 30
+    -- minutes before it. Inner-join emission under append mode is
+    -- micro-batch-invariant (a match emits in the batch that completes
+    -- it), and the staged batches are event-time-contiguous with a 2 h
+    -- watermark, so state eviction can never race a qualifying match:
+    -- a view is evicted only once the watermark passes view_ts + 30
+    -- min, and every event in later batches is >= 2 h past that
+    -- watermark. The streamed result therefore equals this plain join.
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream inner join with watermarks on BOTH sides and a "
+    "time-interval condition (SURVEY 2.2 streaming row), end-to-end "
+    "under Structured Streaming: view/purchase events arrive as 3 "
+    "event-time-ordered file micro-batches; one file source is consumed "
+    "by both join legs; join state is watermark-bounded exactly the way "
+    "a 100 TB deployment would bound it (state per key ~ events in the "
+    "last 2.5 h, independent of total history). Oracle = the equivalent "
+    "batch interval join.",
+    tags=("streaming",),
+)
+def q_streaming_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import run_available_now
+
+    events = read_sf_table(spark, sf, "events")
+    # Watermarks demand TIMESTAMP (ltz); the testdata's ts is NTZ. Cast
+    # on the way in, cast back at the output so values hash-match the
+    # oracle's naive timestamps (ntz->ltz->ntz is identity at fixed
+    # session tz).
+    sides = events.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    base = tempfile.mkdtemp(prefix="stream_join_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir, schema = _stage_ts_ordered_batches(spark, sides, base, 3)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    emit_dir = os.path.join(base, "emit")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emit_dir)
+
+    run_available_now(
+        joined, os.path.join(base, "ckpt"), sink, timeout_sec=600.0
+    )
+    out_schema = (
+        "view_id bigint, purchase_id bigint, user_id bigint, "
+        "view_ts timestamp, purchase_ts timestamp"
+    )
+    return spark.read.schema(out_schema).parquet(emit_dir).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+
+
+@register(
+    "streaming_stream_join_outer",
+    """
+    -- Stream-stream LEFT OUTER interval join: every view, with its
+    -- attributed purchase(s) within the following 30 minutes, or NULLs
+    -- if none. Under append mode the NULL completion for an unmatched
+    -- view emits only once the global watermark passes view_ts + 30
+    -- min; the staged feed appends two far-future sentinel batches
+    -- (one view-typed + one purchase-typed, so BOTH legs' watermarks
+    -- advance past every real window under the min policy) to flush
+    -- the tail, then the sentinels are filtered out of the result.
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream LEFT OUTER join with watermarks on both sides "
+    "(SURVEY 2.2 streaming row, outer-emission semantics): matched rows "
+    "emit in the completing batch exactly like the inner join; "
+    "unmatched views emit with NULLs only after state eviction, which "
+    "the harness forces deterministically with far-future sentinel "
+    "batches on BOTH legs (multipleWatermarkPolicy=min takes the "
+    "minimum across inputs). At 100 TB the same plan holds: outer-join "
+    "state is bounded by the watermark horizon, and the sentinel trick "
+    "is exactly a production heartbeat topic. Oracle = the equivalent "
+    "batch left interval join.",
+    tags=("streaming",),
+)
+def q_streaming_stream_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import run_available_now
+
+    events = read_sf_table(spark, sf, "events")
+    sides = events.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    base = tempfile.mkdtemp(prefix="stream_join_outer_")
+    atexit.register(shutil.rmtree, base, True)
+
+    # Two sentinel batches: the first advances both legs' watermarks
+    # past every real view's 30-min window; the second triggers one
+    # more micro-batch so the null completions evicted under the new
+    # watermark actually emit (no reliance on a trailing no-data
+    # batch). Distinct users and 100-day separation keep the sentinels
+    # from joining each other; negative ids filter them out below.
+    def sentinel(day_offset: int, eid: int, uid: int, etype: str):
+        return events.agg(
+            F.lit(eid).cast("long").alias("event_id"),
+            F.lit(uid).cast("long").alias("user_id"),
+            (
+                F.max(F.col("ts").cast("timestamp"))
+                + F.expr(f"INTERVAL {day_offset} DAYS")
+            ).alias("ts"),
+            F.lit(etype).alias("event_type"),
+        )
+
+    extra = [
+        (
+            "sentinel_a.parquet",
+            sentinel(100, -1, -1, "view").unionByName(
+                sentinel(100, -2, -2, "purchase")
+            ),
+        ),
+        (
+            "sentinel_b.parquet",
+            sentinel(200, -3, -3, "view").unionByName(
+                sentinel(200, -4, -4, "purchase")
+            ),
+        ),
+    ]
+    in_dir, schema = _stage_ts_ordered_batches(
+        spark, sides, base, 3, extra_files=extra
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    emit_dir = os.path.join(base, "emit")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emit_dir)
+
+    run_available_now(
+        joined, os.path.join(base, "ckpt"), sink, timeout_sec=600.0
+    )
+    out_schema = (
+        "view_id bigint, purchase_id bigint, user_id bigint, "
+        "view_ts timestamp, purchase_ts timestamp"
+    )
+    return (
+        spark.read.schema(out_schema)
+        .parquet(emit_dir)
+        .filter(F.col("view_id") >= 0)
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+    )
+
+
+@register(
+    "streaming_window_agg",
+    """
+    -- Tumbling 1-hour event-time windows per event_type, finalized
+    -- under append mode: a window emits exactly once, when the
+    -- watermark passes its end. The staged feed is event-time-ordered
+    -- with a 2 h watermark delay, so no window can finalize before all
+    -- its events arrive; two far-future sentinel batches flush the
+    -- tail windows (watermark advances in the first, the second runs
+    -- the batch that emits the evictions).
+    SELECT strftime(date_trunc('hour', ts), '{fmt}') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """.format(fmt="%Y-%m-%d %H:%M:%S.%f"),
+    doc="Watermarked tumbling-window aggregation under Structured "
+    "Streaming, append mode (SURVEY 2.2 streaming row) — the canonical "
+    "finalized-window rollup a 100 TB event pipeline runs: state per "
+    "(window, type) cell, bounded by the watermark horizon, emitted "
+    "exactly once. Oracle = the equivalent batch GROUP BY "
+    "date_trunc('hour').",
+    tags=("streaming",),
+)
+def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import run_available_now
+
+    events = read_sf_table(spark, sf, "events")
+    sides = events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+
+    def sentinel(day_offset: int):
+        return events.agg(
+            (
+                F.max(F.col("ts").cast("timestamp"))
+                + F.expr(f"INTERVAL {day_offset} DAYS")
+            ).alias("ts"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_winagg_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir, schema = _stage_ts_ordered_batches(
+        spark,
+        sides,
+        base,
+        3,
+        extra_files=[
+            ("sentinel_a.parquet", sentinel(100)),
+            ("sentinel_b.parquet", sentinel(200)),
+        ],
+    )
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            _ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    emit_dir = os.path.join(base, "emit")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emit_dir)
+
+    run_available_now(agg, os.path.join(base, "ckpt"), sink, timeout_sec=600.0)
+    out_schema = (
+        "window_start string, event_type string, "
+        "n_events bigint, total_value double"
+    )
+    return (
+        spark.read.schema(out_schema)
+        .parquet(emit_dir)
+        .filter(F.col("event_type") != "__sentinel__")
+    )
+
+
+@register(
+    "streaming_session_window",
+    """
+    -- Event-time session windows (30-min gap) per user under append
+    -- mode: a session emits once, when the watermark passes its end
+    -- (last event + gap). Same staged time-ordered feed + sentinel
+    -- flush as streaming_window_agg; oracle reconstructs sessions with
+    -- the lag/cumsum islands technique (twin of the batch
+    -- session_window_agg oracle).
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{fmt}') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """.format(fmt="%Y-%m-%d %H:%M:%S.%f"),
+    doc="Streaming session-window aggregation with watermark (SURVEY "
+    "2.2 streaming row): Spark's dynamic session merge runs in the "
+    "state store, sessions finalize exactly once in append mode. Must "
+    "produce byte-identical sessions to the batch session_window_agg "
+    "path — one semantics, two execution modes. Sessions spanning "
+    "micro-batch boundaries merge correctly because the feed is "
+    "event-time-ordered and the 2 h watermark far exceeds the 30-min "
+    "gap.",
+    tags=("streaming",),
+)
+def q_streaming_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import run_available_now
+
+    events = read_sf_table(spark, sf, "events")
+    sides = events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+
+    def sentinel(day_offset: int, uid: int):
+        return events.agg(
+            (
+                F.max(F.col("ts").cast("timestamp"))
+                + F.expr(f"INTERVAL {day_offset} DAYS")
+            ).alias("ts"),
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+        )
+
+    base = tempfile.mkdtemp(prefix="stream_sesswin_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir, schema = _stage_ts_ordered_batches(
+        spark,
+        sides,
+        base,
+        3,
+        extra_files=[
+            ("sentinel_a.parquet", sentinel(100, -1)),
+            ("sentinel_b.parquet", sentinel(200, -2)),
+        ],
+    )
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            _ts_str(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    emit_dir = os.path.join(base, "emit")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emit_dir)
+
+    run_available_now(agg, os.path.join(base, "ckpt"), sink, timeout_sec=600.0)
+    out_schema = (
+        "user_id bigint, session_start string, "
+        "n_events bigint, total_value double"
+    )
+    return (
+        spark.read.schema(out_schema)
+        .parquet(emit_dir)
+        .filter(F.col("user_id") >= 0)
+    )
+
+
 @register(
     "small_quantity_revenue",
     """
