@@ -27,7 +27,7 @@ prefix scores ln(1/(c(prefix)+V)); a wholly unseen prefix scores ln(1/V).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,4 +149,113 @@ def source_kl_divergence(
                 round_to,
             ).alias("kl_vs_corpus"),
         )
+    )
+
+
+def dsir_importance_sample(
+    docs: DataFrame,
+    *,
+    target_lang: str = "en",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = ("source",),
+    n_buckets: int = 256,
+    k: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every candidate document by the hashed-unigram
+    log-likelihood ratio of a target domain vs the raw corpus, then draw a
+    weighted sample without replacement via the Gumbel-top-k trick.
+
+    Engine shape (SURVEY.md §2.3 E4; no reference citation — additive):
+
+    - tokens hash into ``n_buckets`` buckets (md5-derived, engine-portable),
+      so both "language models" are O(n_buckets) count tables regardless of
+      corpus size — broadcastable forever, the entire point of DSIR's
+      hashed features at scale;
+    - one tokenize-explode scan builds a per-(doc, bucket) histogram
+      (map-side combined: shuffle carries ≤ n_buckets rows per doc, not one
+      per token), pinned once and reused by the raw counts, the target
+      counts, and the scoring join;
+    - per-bucket log-ratio ``ln((c_t+1)/(N_t+B)) - ln((c_r+1)/(N_r+B))``
+      (add-one smoothing) lives in a B-row broadcast table;
+    - candidate docs (lang != target) get a length-normalized score
+      ``avg over tokens of lr(bucket)``, then a deterministic Gumbel key
+      ``score - ln(-ln(u(doc_id)))`` with the md5-uniform — no RNG state,
+      identical selection on any cluster layout (same portability contract
+      as sampling.weighted_sample_per_group);
+    - top-k is orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+      never a global sort).
+
+    Returns the k selected docs: (rnk, id, lang, carry..., n_tokens,
+    dsir_logratio), rnk 1..k by descending Gumbel key.
+    """
+    toks = docs.select(
+        id_col,
+        lang_col,
+        *carry_cols,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("bkt")
+    hist = (
+        toks.select(id_col, lang_col, *carry_cols, bkt)
+        .groupBy(id_col, lang_col, *carry_cols, "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers (raw counts, target counts, scoring join): pin
+        .localCheckpoint(eager=True)
+    )
+    raw = hist.groupBy("bkt").agg(F.sum("c").alias("c_r"))
+    tgt = (
+        hist.filter(F.col(lang_col) == target_lang)
+        .groupBy("bkt")
+        .agg(F.sum("c").alias("c_t"))
+    )
+    n_r = raw.agg(F.sum("c_r").alias("n_r"))
+    n_t = tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+    b = float(n_buckets)
+    lr = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "bkt",
+            (
+                F.log((F.coalesce("c_t", F.lit(0)) + F.lit(1.0)) / (F.col("n_t") + b))
+                - F.log((F.col("c_r") + F.lit(1.0)) / (F.col("n_r") + b))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        hist.filter(F.col(lang_col) != target_lang)
+        .join(F.broadcast(lr), "bkt")
+        .groupBy(id_col, lang_col, *carry_cols)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("c") * F.col("lr")) / F.sum("c")).alias("__score"),
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    keyed = scored.withColumn("__key", F.col("__score") - F.log(-F.log(u)))
+    top = keyed.orderBy(F.desc("__key"), id_col).limit(k)
+    w = Window.orderBy(F.desc("__key"), id_col)  # k rows: single task is fine
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        id_col,
+        lang_col,
+        *carry_cols,
+        "n_tokens",
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0)
+        (F.round("__score", round_to) + F.lit(0.0)).alias("dsir_logratio"),
     )

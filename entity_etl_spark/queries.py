@@ -11623,3 +11623,70 @@ def q_embedding_label_probe_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "dsir_importance_sample",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, t.tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    hist AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substring(md5(tok), 1, 8))::UBIGINT % 256
+                  AS BIGINT) AS bkt,
+             count(*) AS c
+      FROM toks GROUP BY 1, 2, 3, 4
+    ),
+    raw AS (SELECT bkt, sum(c) AS c_r FROM hist GROUP BY 1),
+    tgt AS (SELECT bkt, sum(c) AS c_t FROM hist WHERE lang = 'en' GROUP BY 1),
+    n_r AS (SELECT sum(c_r) AS n_r FROM raw),
+    n_t AS (SELECT coalesce(sum(c_t), 0) AS n_t FROM tgt),
+    lr AS (
+      SELECT raw.bkt,
+             ln((coalesce(c_t, 0) + 1.0) / (n_t + 256.0))
+             - ln((c_r + 1.0) / (n_r + 256.0)) AS lr
+      FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN n_r CROSS JOIN n_t
+    ),
+    scored AS (
+      SELECT h.doc_id, h.lang, h.source,
+             CAST(sum(h.c) AS BIGINT) AS n_tokens,
+             sum(h.c * lr.lr) / sum(h.c) AS score
+      FROM hist h JOIN lr ON lr.bkt = h.bkt
+      WHERE h.lang <> 'en'
+      GROUP BY 1, 2, 3
+    ),
+    keyed AS (
+      SELECT *,
+             score - ln(-ln(CAST(('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                 / 4294967296.0)) AS key
+      FROM scored
+    )
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+             AS rnk,
+           doc_id, lang, source, n_tokens,
+           round(score, 4) + 0.0 AS dsir_logratio
+    FROM keyed
+    ORDER BY key DESC, doc_id LIMIT 100
+    """,
+    doc="DSIR data selection (Xie et al. 2023, arXiv:2302.03169): "
+    "hashed-unigram importance weights ln p_target/p_raw (target = "
+    "lang='en' docs, add-one smoothing over 256 md5 buckets) score every "
+    "non-target doc; Gumbel-top-k with the md5-derived uniform draws a "
+    "deterministic weighted sample without replacement "
+    "(ext/lm.dsir_importance_sample). Scale: both 'LMs' are 256-row "
+    "broadcast tables at ANY corpus size (the point of DSIR's hashed "
+    "features); one explode scan pinned into a map-side-combined "
+    "(doc, bucket) histogram feeds counts and scoring; top-k is "
+    "TakeOrderedAndProject, never a global sort.",
+    tags=("ext",),
+)
+def q_dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.lm import dsir_importance_sample
+
+    docs = read_sf_table(spark, sf, "documents")
+    return dsir_importance_sample(docs, target_lang="en", n_buckets=256, k=100)

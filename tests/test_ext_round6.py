@@ -1,0 +1,89 @@
+"""Round-6 extension operators: DSIR importance sampling, count-min
+heavy hitters, streaming watermark dedup — hand-computed fixtures
+(the parity harness checks the registry form; these pin the math)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _bkt(tok: str, n: int = 256) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+
+
+def _u(doc_id: int) -> float:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0
+
+
+def test_dsir_importance_sample_hand_fixture(spark):
+    """4 docs, 2 target (en) / 2 candidates: replay the hashed-unigram
+    log-ratio and the Gumbel keys in pure Python and assert the engine's
+    ranking and scores match exactly."""
+    from entity_etl_spark.ext.lm import dsir_importance_sample
+
+    rows = [
+        (1, "alpha alpha beta", "en", "s1"),
+        (2, "beta gamma", "en", "s1"),
+        (3, "alpha beta beta", "fr", "s2"),
+        (4, "delta delta gamma", "de", "s2"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r.doc_id: r
+        for r in dsir_importance_sample(
+            docs, target_lang="en", n_buckets=256, k=10
+        ).collect()
+    }
+    assert set(got) == {3, 4}
+
+    # python replay
+    B = 256
+    toks = []
+    for doc_id, text, lang, _src in rows:
+        for t in text.split():
+            toks.append((doc_id, lang, _bkt(t)))
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _d, lang, b in toks:
+        raw[b] = raw.get(b, 0) + 1
+        if lang == "en":
+            tgt[b] = tgt.get(b, 0) + 1
+    n_r, n_t = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.log((tgt.get(b, 0) + 1.0) / (n_t + B))
+        - math.log((c + 1.0) / (n_r + B))
+        for b, c in raw.items()
+    }
+    keys = {}
+    for doc_id, text, lang, _src in rows:
+        if lang == "en":
+            continue
+        bs = [_bkt(t) for t in text.split()]
+        score = sum(lr[b] for b in bs) / len(bs)
+        keys[doc_id] = (score, score - math.log(-math.log(_u(doc_id))))
+        assert abs(got[doc_id].dsir_logratio - round(score, 4)) < 1e-12
+        assert got[doc_id].n_tokens == len(bs)
+    want_order = sorted(keys, key=lambda d: (-keys[d][1], d))
+    got_order = sorted(got, key=lambda d: got[d].rnk)
+    assert got_order == want_order
+
+
+def test_dsir_topk_plan_is_take_ordered(spark):
+    """The k-selection must be TakeOrderedAndProject (per-partition
+    heaps), never a global Exchange+Sort."""
+    from entity_etl_spark.ext.lm import dsir_importance_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 7}", "en" if i % 3 == 0 else "fr", "s")
+         for i in range(60)],
+        "doc_id long, text string, lang string, source string",
+    )
+    df = dsir_importance_sample(docs, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
