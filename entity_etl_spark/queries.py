@@ -11690,3 +11690,74 @@ def q_dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     return dsir_importance_sample(docs, target_lang="en", n_buckets=256, k=100)
+
+
+@register(
+    "countmin_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT t.tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    exact AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    top AS (SELECT tok, c FROM exact ORDER BY c DESC, tok LIMIT 20),
+    cells AS (
+      SELECT d.j,
+             CAST(('0x' || substring(md5(CAST(d.j AS VARCHAR) || ':' || tok),
+                                     1, 8))::UBIGINT % 512 AS BIGINT) AS bkt,
+             count(*) AS c
+      FROM toks CROSS JOIN UNNEST([0, 1, 2, 3]) AS d(j)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t.tok, min(cells.c) AS est
+      FROM top t
+      CROSS JOIN UNNEST([0, 1, 2, 3]) AS d(j)
+      JOIN cells
+        ON cells.j = d.j
+       AND cells.bkt = CAST(('0x' || substring(
+             md5(CAST(d.j AS VARCHAR) || ':' || t.tok), 1, 8))::UBIGINT % 512
+             AS BIGINT)
+      GROUP BY 1
+    )
+    SELECT t.tok, CAST(t.c AS BIGINT) AS exact_c,
+           CAST(e.est AS BIGINT) AS cm_est,
+           e.est >= t.c AS is_overestimate
+    FROM top t JOIN est e USING (tok)
+    """,
+    doc="Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005; "
+    "ext/sketches.build_countmin): a 4x512 counter grid whose map-side "
+    "partial aggregates ARE per-partition sketches (the combining shuffle "
+    "is the count-min merge, <= 2048 rows per executor), probed for the "
+    "exact top-20 tokens. md5-salted rows make the sketch bit-identical "
+    "in DuckDB, so estimates compare EXACTLY, and the min-of-rows "
+    "overestimate invariant is asserted per token. The exact side is the "
+    "verification harness; at 100 TB only the sketch path runs.",
+    tags=("ext",),
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.sketches import build_countmin, estimate_countmin
+
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    # one token scan feeds the exact counts AND the sketch build
+    toks = toks.localCheckpoint(eager=True)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = exact.orderBy(F.desc("c"), "tok").limit(20)
+    sketch = build_countmin(toks, "tok", depth=4, width=512)
+    est = estimate_countmin(top, "tok", sketch, depth=4, width=512)
+    return est.select(
+        "tok",
+        F.col("c").cast("bigint").alias("exact_c"),
+        F.col("cm_est").alias("cm_est"),
+        (F.col("cm_est") >= F.col("c")).alias("is_overestimate"),
+    )

@@ -87,3 +87,71 @@ def test_dsir_topk_plan_is_take_ordered(spark):
     df = dsir_importance_sample(docs, k=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _cm_bkt(tok: str, j: int, width: int) -> int:
+    h = hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:8]
+    return int(h, 16) % width
+
+
+def test_countmin_sketch_exact_replay_with_collisions(spark):
+    """width=8 forces collisions; estimates must equal the Python-replayed
+    sketch exactly, and every estimate must upper-bound the true count."""
+    from entity_etl_spark.ext.sketches import build_countmin, estimate_countmin
+
+    stream = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + list("defghij")
+    df = spark.createDataFrame([(t,) for t in stream], "tok string")
+    depth, width = 3, 8
+    sketch = build_countmin(df, "tok", depth=depth, width=width)
+
+    cells: dict[tuple[int, int], int] = {}
+    for t in stream:
+        for j in range(depth):
+            k = (j, _cm_bkt(t, j, width))
+            cells[k] = cells.get(k, 0) + 1
+    got_cells = {(r.j, r.bkt): r.c for r in sketch.collect()}
+    assert got_cells == cells
+
+    keys = spark.createDataFrame(
+        [(t,) for t in sorted(set(stream))], "tok string"
+    )
+    est = {
+        r.tok: r.cm_est
+        for r in estimate_countmin(
+            keys, "tok", sketch, depth=depth, width=width
+        ).collect()
+    }
+    true = {t: stream.count(t) for t in set(stream)}
+    for t, c in true.items():
+        want = min(cells[(j, _cm_bkt(t, j, width))] for j in range(depth))
+        assert est[t] == want
+        assert est[t] >= c  # count-min never underestimates
+
+    # a never-seen key estimates 0 only if some row has an empty cell
+    unseen = spark.createDataFrame([("zzz-unseen",)], "tok string")
+    e0 = estimate_countmin(
+        unseen, "tok", sketch, depth=depth, width=width
+    ).first()["cm_est"]
+    want0 = min(
+        cells.get((j, _cm_bkt("zzz-unseen", j, width)), 0)
+        for j in range(depth)
+    )
+    assert e0 == want0
+
+
+def test_countmin_weighted_build(spark):
+    """weight_col aggregates weighted frequency, not occurrence count."""
+    from entity_etl_spark.ext.sketches import build_countmin, estimate_countmin
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 2)], "tok string, w long"
+    )
+    sketch = build_countmin(df, "tok", depth=2, width=64, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], "tok string")
+    est = {
+        r.tok: r.cm_est
+        for r in estimate_countmin(
+            keys, "tok", sketch, depth=2, width=64
+        ).collect()
+    }
+    assert est["a"] >= 15 and est["b"] >= 2
