@@ -11761,3 +11761,64 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cm_est").alias("cm_est"),
         (F.col("cm_est") >= F.col("c")).alias("is_overestimate"),
     )
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    -- dropDuplicatesWithinWatermark with a horizon exceeding the data
+    -- span: every (user_id, event_type) key emits EXACTLY once across
+    -- all micro-batches. The oracle pins that contract literally —
+    -- n_emitted must be 1 per key; any cross-batch re-emission (state
+    -- lost between batches) or missed suppression hash-mismatches.
+    SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_emitted
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="Streaming dedup within the watermark horizon "
+    "(dropDuplicatesWithinWatermark, SURVEY 2.2 streaming-stateful row; "
+    "the reference's at-least-once redelivery suppression cache.js:75-80 "
+    "restated as the built-in operator): keyed state bounded by the "
+    "watermark — at 100 TB the horizon caps state size, and keys recur "
+    "after expiry without unbounded growth. The feed replays "
+    "time-ordered micro-batches (maxFilesPerTrigger=1); emitted rows are "
+    "re-aggregated to assert the exactly-once-per-key contract.",
+    tags=("streaming",),
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import run_available_now
+
+    events = read_sf_table(spark, sf, "events")
+    sides = events.select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedupwm_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir, schema = _stage_ts_ordered_batches(spark, sides, base, 3)
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    emit_dir = os.path.join(base, "emit")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(emit_dir)
+
+    run_available_now(
+        deduped, os.path.join(base, "ckpt"), sink, timeout_sec=600.0
+    )
+    out_schema = "ts timestamp, user_id bigint, event_type string"
+    return (
+        spark.read.schema(out_schema)
+        .parquet(emit_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted"))
+    )

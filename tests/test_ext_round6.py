@@ -155,3 +155,58 @@ def test_countmin_weighted_build(spark):
         ).collect()
     }
     assert est["a"] >= 15 and est["b"] >= 2
+
+
+def test_drop_duplicates_within_watermark_cross_batch(spark, tmp_path):
+    """An explicit redelivery: batch 1 re-sends key (7, 'click') from
+    batch 0 with a later ts. Within the watermark horizon the duplicate
+    must be suppressed; a fresh key in batch 1 must still emit."""
+    import os
+
+    from entity_etl_spark.streaming import run_available_now
+
+    b0 = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 7, "click"),
+         ("2024-01-01 10:05:00", 8, "view")],
+        "ts string, user_id long, event_type string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    b1 = spark.createDataFrame(
+        [("2024-01-01 11:00:00", 7, "click"),   # redelivery -> suppressed
+         ("2024-01-01 11:10:00", 9, "click")],  # fresh -> emitted
+        "ts string, user_id long, event_type string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    import shutil
+    import time
+    for i, part in enumerate((b0, b1)):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        src = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copyfile(
+            os.path.join(stage, src), os.path.join(in_dir, f"b{i}.parquet")
+        )
+        t = time.time() + i
+        os.utime(os.path.join(in_dir, f"b{i}.parquet"), (t, t))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    emit_dir = str(tmp_path / "emit")
+
+    def sink(df, _bid):
+        df.write.mode("append").parquet(emit_dir)
+
+    run_available_now(stream, str(tmp_path / "ckpt"), sink, timeout_sec=300.0)
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(emit_dir).collect()
+    )
+    assert got == [(7, "click"), (8, "view"), (9, "click")]
