@@ -105,6 +105,8 @@ def main() -> None:
         "item_item_cosine_topk": 10.8,
         # r5: O12/O13 streaming e2e, 15.7 s quiet at sf0.1 (2x + 0.5 s)
         "streaming_state_pipeline": 31.9,
+        # r6: watermark-dedup streaming e2e, 5.9 s quiet (2x + 0.5 s)
+        "streaming_dedup_watermark": 12.3,
     }
     breaches = (
         {
@@ -145,6 +147,7 @@ def main() -> None:
         "bpe_encode_tokens": 0.70, "neardup_keep_best": 3.73,
         "boilerplate_segment_removal": 0.62,
         "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 5.40,
+        "streaming_dedup_watermark": 5.92,
     }
     sf1_breaches = (
         {

@@ -11783,7 +11783,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     "after expiry without unbounded growth. The feed replays "
     "time-ordered micro-batches (maxFilesPerTrigger=1); emitted rows are "
     "re-aggregated to assert the exactly-once-per-key contract.",
-    tags=("streaming",),
+    tags=("streaming", "bench2"),
 )
 def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     import atexit
