@@ -102,3 +102,63 @@ def estimate_countmin(
             F.min(F.coalesce("__cmc", F.lit(0))).cast("bigint").alias(est_col)
         )
     )
+
+
+def merge_countmin(sketches: list[DataFrame]) -> DataFrame:
+    """Cell-wise sum — count-min's merge is EXACT: the merged sketch is
+    bit-identical to one built over the concatenated streams, which is
+    what makes per-partition / per-batch / per-day sketches composable."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("j", "bkt").agg(F.sum("c").cast("bigint").alias("c"))
+
+
+CM_STATE_SCHEMA = "j int, bkt bigint, c bigint"
+
+
+def run_streaming_countmin(
+    spark,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    batch_to_keys,
+    key_col: str = "tok",
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+    timeout_sec: float = 300.0,
+) -> None:
+    """Maintain a count-min sketch incrementally over a stream: each
+    micro-batch appends ITS OWN ≤ depth×width cell table to the state dir
+    (O(sketch) per batch — never rewriting accumulated state, the
+    append_state pattern); reading the state merges cells by sum. Because
+    the merge is exact, the incrementally-maintained sketch equals the
+    one-shot batch sketch bit-for-bit — the registry query's oracle pins
+    that equivalence. ``batch_to_keys`` maps a raw micro-batch to the key
+    rows to sketch (e.g. tokenize)."""
+    from ..streaming import run_available_now
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # a landed file arrives as ONE partition; spread the tokenize
+        batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
+        keys = batch_to_keys(batch_df)
+        sk = build_countmin(
+            keys, key_col, depth=depth, width=width, weight_col=weight_col
+        )
+        sk.write.mode("append").parquet(state_dir)
+
+    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+
+
+def read_countmin_state(spark, state_dir: str) -> DataFrame:
+    """Merged view of the per-batch sketches in ``state_dir``."""
+    return (
+        spark.read.schema(CM_STATE_SCHEMA)
+        .parquet(state_dir)
+        .groupBy("j", "bkt")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )

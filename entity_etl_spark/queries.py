@@ -11822,3 +11822,121 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_emitted"))
     )
+
+
+@register(
+    "streaming_countmin_state",
+    r"""
+    -- the INCREMENTALLY maintained sketch (3 micro-batches, per-batch
+    -- cell tables appended then merged) must equal the one-shot sketch
+    -- over the whole corpus bit-for-bit, because count-min merge is an
+    -- exact cell-wise sum. The oracle replays the one-shot sketch.
+    WITH toks AS (
+      SELECT t.tok
+      FROM documents,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    exact AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    top AS (SELECT tok, c FROM exact ORDER BY c DESC, tok LIMIT 20),
+    cells AS (
+      SELECT d.j,
+             CAST(('0x' || substring(md5(CAST(d.j AS VARCHAR) || ':' || tok),
+                                     1, 8))::UBIGINT % 512 AS BIGINT) AS bkt,
+             count(*) AS c
+      FROM toks CROSS JOIN UNNEST([0, 1, 2, 3]) AS d(j)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT t.tok, min(cells.c) AS est
+      FROM top t
+      CROSS JOIN UNNEST([0, 1, 2, 3]) AS d(j)
+      JOIN cells
+        ON cells.j = d.j
+       AND cells.bkt = CAST(('0x' || substring(
+             md5(CAST(d.j AS VARCHAR) || ':' || t.tok), 1, 8))::UBIGINT % 512
+             AS BIGINT)
+      GROUP BY 1
+    )
+    SELECT t.tok, CAST(t.c AS BIGINT) AS exact_c,
+           CAST(e.est AS BIGINT) AS cm_est
+    FROM top t JOIN est e USING (tok)
+    """,
+    doc="Incremental count-min maintenance under Structured Streaming "
+    "(ext/sketches.run_streaming_countmin): each micro-batch appends its "
+    "own <= 4x512 cell table to parquet state (O(sketch) per batch, the "
+    "append_state pattern); reading merges cells by sum. Count-min merge "
+    "is exact, so the streamed state's estimates must equal the one-shot "
+    "corpus sketch the oracle replays — any lost batch, double-applied "
+    "batch, or merge bug hash-mismatches. The 100 TB shape: per-day "
+    "sketches compose into arbitrary windows without touching raw data.",
+    tags=("streaming",),
+)
+def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .ext.sketches import read_countmin_state, run_streaming_countmin
+
+    docs = read_sf_table(spark, sf, "documents")
+    n_docs = docs.count()
+    base = tempfile.mkdtemp(prefix="stream_cm_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    bcol = F.least(F.lit(2), F.floor(F.col("doc_id") * 3.0 / n_docs)).cast(
+        "int"
+    )
+    staged = docs.withColumn("__b", bcol)
+    for b in range(3):
+        stage_dir = os.path.join(base, f"stage{b}")
+        staged.filter(F.col("__b") == b).drop("__b").coalesce(1).write.parquet(
+            stage_dir
+        )
+        src = next(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        shutil.move(os.path.join(stage_dir, src), dst)
+        os.utime(dst, (time.time() - (3 - b) * 100,) * 2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def batch_to_keys(batch_df: DataFrame) -> DataFrame:
+        return batch_df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("tok")
+        )
+
+    state_dir = os.path.join(base, "state")
+    run_streaming_countmin(
+        spark,
+        stream,
+        state_dir,
+        os.path.join(base, "ckpt"),
+        batch_to_keys=batch_to_keys,
+        depth=4,
+        width=512,
+        timeout_sec=600.0,
+    )
+    sketch = read_countmin_state(spark, state_dir)
+
+    from .ext.sketches import estimate_countmin
+
+    toks = batch_to_keys(docs)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = exact.orderBy(F.desc("c"), "tok").limit(20)
+    est = estimate_countmin(top, "tok", sketch, depth=4, width=512)
+    return est.select(
+        "tok",
+        F.col("c").cast("bigint").alias("exact_c"),
+        F.col("cm_est").alias("cm_est"),
+    )

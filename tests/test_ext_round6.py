@@ -210,3 +210,28 @@ def test_drop_duplicates_within_watermark_cross_batch(spark, tmp_path):
         for r in spark.read.parquet(emit_dir).collect()
     )
     assert got == [(7, "click"), (8, "view"), (9, "click")]
+
+
+def test_countmin_merge_equals_oneshot(spark):
+    """Merging split-stream sketches must equal the one-shot sketch
+    cell-for-cell (the exactness that makes per-batch maintenance sound)."""
+    from entity_etl_spark.ext.sketches import build_countmin, merge_countmin
+
+    stream = [f"t{i % 11}" for i in range(200)]
+    full = spark.createDataFrame([(t,) for t in stream], "tok string")
+    part1 = spark.createDataFrame([(t,) for t in stream[:80]], "tok string")
+    part2 = spark.createDataFrame([(t,) for t in stream[80:]], "tok string")
+    one = {
+        (r.j, r.bkt): r.c
+        for r in build_countmin(full, "tok", depth=3, width=16).collect()
+    }
+    merged = {
+        (r.j, r.bkt): r.c
+        for r in merge_countmin(
+            [
+                build_countmin(part1, "tok", depth=3, width=16),
+                build_countmin(part2, "tok", depth=3, width=16),
+            ]
+        ).collect()
+    }
+    assert merged == one
