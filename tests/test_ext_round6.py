@@ -235,3 +235,40 @@ def test_countmin_merge_equals_oneshot(spark):
         ).collect()
     }
     assert merged == one
+
+
+def test_round6_ops_are_layout_independent(spark):
+    """Determinism across cluster layouts: repartitioning the input must
+    not change DSIR's selection or the count-min cells (no RNG state,
+    no partition-dependent arithmetic) — the rerun/retry contract."""
+    from entity_etl_spark.ext.lm import dsir_importance_sample
+    from entity_etl_spark.ext.sketches import build_countmin
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)),
+             "en" if i % 4 == 0 else ("fr" if i % 2 else "de"), f"s{i % 3}")
+            for i in range(80)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    sel_a = [
+        (r.rnk, r.doc_id)
+        for r in dsir_importance_sample(docs.repartition(13), k=10).collect()
+    ]
+    sel_b = [
+        (r.rnk, r.doc_id)
+        for r in dsir_importance_sample(docs.coalesce(1), k=10).collect()
+    ]
+    assert sel_a == sel_b
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cells_a = {
+        (r.j, r.bkt): r.c
+        for r in build_countmin(toks.repartition(11), "tok").collect()
+    }
+    cells_b = {
+        (r.j, r.bkt): r.c
+        for r in build_countmin(toks.coalesce(1), "tok").collect()
+    }
+    assert cells_a == cells_b
