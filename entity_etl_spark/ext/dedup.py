@@ -72,6 +72,14 @@ def tokens(text_col: str | Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
+def nonempty_tokens(text_col: str | Column) -> Column:
+    """Whitespace tokens with empty strings dropped — the canonical
+    tokenization every token-keyed operator AND its DuckDB oracle
+    (``regexp_split_to_array(trim(lower(text)), '\\s+')`` + ``tok <> ''``)
+    must share; keep the two in lockstep."""
+    return F.filter(tokens(text_col), lambda t: t != "")
+
+
 def shingles(text_col: str | Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a text column, as array<string>.
     Whole-stage-codegen'd (transform over split); no UDF."""

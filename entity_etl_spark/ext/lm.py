@@ -192,16 +192,13 @@ def dsir_importance_sample(
     Returns the k selected docs: (rnk, id, lang, carry..., n_tokens,
     dsir_logratio), rnk 1..k by descending Gumbel key.
     """
+    from .dedup import nonempty_tokens
+
     toks = docs.select(
         id_col,
         lang_col,
         *carry_cols,
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
-                lambda t: t != "",
-            )
-        ).alias("tok"),
+        F.explode(nonempty_tokens(F.col(text_col))).alias("tok"),
     )
     bkt = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")

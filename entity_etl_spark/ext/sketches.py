@@ -68,9 +68,11 @@ def estimate_countmin(
     width: int = 512,
     est_col: str = "cm_est",
 ) -> DataFrame:
-    """Point-query estimates for every row of ``keys``: min over the
-    depth cells. The sketch rides a broadcast; the probe explode adds
-    ``depth`` slim rows per key. Keys never seen by the sketch get 0."""
+    """Point-query estimates for every DISTINCT row of ``keys`` (duplicate
+    probe rows collapse — the group-by that re-joins the depth cells is
+    keyed on all of ``keys``' columns): min over the depth cells. The
+    sketch rides a broadcast; the probe explode adds ``depth`` slim rows
+    per key. Keys never seen by the sketch get 0."""
     key = F.col(key_col)
     probes = keys.select(
         "*",
@@ -131,13 +133,17 @@ def run_streaming_countmin(
     timeout_sec: float = 300.0,
 ) -> None:
     """Maintain a count-min sketch incrementally over a stream: each
-    micro-batch appends ITS OWN ≤ depth×width cell table to the state dir
-    (O(sketch) per batch — never rewriting accumulated state, the
-    append_state pattern); reading the state merges cells by sum. Because
-    the merge is exact, the incrementally-maintained sketch equals the
-    one-shot batch sketch bit-for-bit — the registry query's oracle pins
-    that equivalence. ``batch_to_keys`` maps a raw micro-batch to the key
-    rows to sketch (e.g. tokenize)."""
+    micro-batch writes ITS OWN ≤ depth×width cell table to
+    ``state_dir/batch=<id>`` (O(sketch) per batch — never rewriting
+    accumulated state); reading the state merges cells by sum. The
+    per-batch-dir ``overwrite`` makes at-least-once foreachBatch replay
+    IDEMPOTENT: a batch re-run after a crash-before-checkpoint replaces
+    its own cells instead of double-counting them, so the merged sketch
+    stays bit-identical to the one-shot batch sketch — the registry
+    query's oracle pins that equivalence. ``batch_to_keys`` maps a raw
+    micro-batch to the key rows to sketch (e.g. tokenize)."""
+    import os
+
     from ..streaming import run_available_now
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -149,16 +155,28 @@ def run_streaming_countmin(
         sk = build_countmin(
             keys, key_col, depth=depth, width=width, weight_col=weight_col
         )
-        sk.write.mode("append").parquet(state_dir)
+        sk.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
 
     run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
 
 
 def read_countmin_state(spark, state_dir: str) -> DataFrame:
-    """Merged view of the per-batch sketches in ``state_dir``."""
-    return (
-        spark.read.schema(CM_STATE_SCHEMA)
-        .parquet(state_dir)
-        .groupBy("j", "bkt")
-        .agg(F.sum("c").cast("bigint").alias("c"))
+    """Merged view of the per-batch sketches in ``state_dir``. A stream
+    that never wrote state (all batches empty) yields the empty — i.e.
+    all-zero — sketch rather than a missing-path error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        cells = (
+            spark.read.schema(CM_STATE_SCHEMA)
+            # per-batch subdirs are replay slots, not partition columns
+            .option("recursiveFileLookup", "true")
+            .parquet(state_dir)
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], CM_STATE_SCHEMA)
+    return cells.groupBy("j", "bkt").agg(
+        F.sum("c").cast("bigint").alias("c")
     )

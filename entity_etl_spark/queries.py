@@ -4960,23 +4960,9 @@ def q_streaming_neardup_prep(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(2), F.floor(F.col("doc_id") * 3.0 / n_docs)
     ).cast("int")
     staged = docs.withColumn("__b", bcol)
-    # one file per micro-batch, ascending mtimes so the file source
-    # (maxFilesPerTrigger=1) replays them in id order — the keep-min-id
+    # one file per micro-batch, replayed in id order — the keep-min-id
     # ordering contract of minhash_dedup_incremental
-    for b in range(3):
-        stage_dir = os.path.join(base, f"stage{b}")
-        (
-            staged.filter(F.col("__b") == b)
-            .drop("__b")
-            .coalesce(1)
-            .write.parquet(stage_dir)
-        )
-        src = next(
-            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(in_dir, f"b{b}.parquet")
-        shutil.move(os.path.join(stage_dir, src), dst)
-        os.utime(dst, (time.time() - (3 - b) * 100,) * 2)
+    _stage_bucketed_batches(base, in_dir, staged, 3)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -5096,22 +5082,8 @@ def q_streaming_state_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__dr") == 1)
         .drop("__dr", "event_id")
     )
-    # one file per micro-batch, ascending mtimes so the file source
-    # (maxFilesPerTrigger=1) replays them in event-time order
-    for b in range(3):
-        stage_dir = os.path.join(base, f"stage{b}")
-        (
-            entity.filter(F.col("__b") == b)
-            .drop("__b")
-            .coalesce(1)
-            .write.parquet(stage_dir)
-        )
-        src = next(
-            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(in_dir, f"b{b}.parquet")
-        shutil.move(os.path.join(stage_dir, src), dst)
-        os.utime(dst, (time.time() - (3 - b) * 100,) * 2)
+    # one file per micro-batch, replayed in event-time order
+    _stage_bucketed_batches(base, in_dir, entity, 3)
     stream = (
         spark.readStream.schema(entity.drop("__b").schema)
         .option("maxFilesPerTrigger", 1)
@@ -5255,20 +5227,7 @@ def q_streaming_ttl_expiry(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("__dr") == 1)
         .drop("__dr", "event_id")
     )
-    for b in range(n_batches):
-        stage_dir = os.path.join(base, f"stage{b}")
-        (
-            entity.filter(F.col("__b") == b)
-            .drop("__b")
-            .coalesce(1)
-            .write.parquet(stage_dir)
-        )
-        src = next(
-            f for f in os.listdir(stage_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(in_dir, f"b{b}.parquet")
-        shutil.move(os.path.join(stage_dir, src), dst)
-        os.utime(dst, (time.time() - (n_batches - b) * 100,) * 2)
+    _stage_bucketed_batches(base, in_dir, entity, n_batches)
     stream = (
         spark.readStream.schema(entity.drop("__b").schema)
         .option("maxFilesPerTrigger", 1)
@@ -5365,6 +5324,32 @@ def _stage_ts_ordered_batches(
         shutil.move(os.path.join(stage_dir, src), dst)
         os.utime(dst, (time.time() - (len(parts) - i) * 100,) * 2)
     return in_dir, df.schema
+
+
+def _stage_bucketed_batches(
+    base: str, in_dir: str, staged: DataFrame, n_batches: int
+) -> None:
+    """Write a df carrying an int ``__b`` bucket column as one parquet
+    file per bucket into ``in_dir``, with ascending mtimes so the file
+    source (``maxFilesPerTrigger=1``) replays buckets in order. The
+    shared mechanics of every micro-batch staging harness; callers own
+    the bucketing rule (doc-id terciles, event-id terciles, ...)."""
+    import os
+    import shutil
+    import time
+
+    for b in range(n_batches):
+        stage_dir = os.path.join(base, f"stage{b}")
+        (
+            staged.filter(F.col("__b") == b)
+            .drop("__b")
+            .coalesce(1)
+            .write.parquet(stage_dir)
+        )
+        src = next(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        shutil.move(os.path.join(stage_dir, src), dst)
+        os.utime(dst, (time.time() - (n_batches - b) * 100,) * 2)
 
 
 @register(
@@ -11673,7 +11658,7 @@ def q_embedding_label_probe_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     FROM keyed
     ORDER BY key DESC, doc_id LIMIT 100
     """,
-    doc="DSIR data selection (Xie et al. 2023, arXiv:2302.03169): "
+    doc="DSIR data selection (Xie et al 2023, arXiv:2302.03169): "
     "hashed-unigram importance weights ln p_target/p_raw (target = "
     "lang='en' docs, add-one smoothing over 256 md5 buckets) score every "
     "non-target doc; Gumbel-top-k with the md5-derived uniform draws a "
@@ -11692,9 +11677,11 @@ def q_dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_importance_sample(docs, target_lang="en", n_buckets=256, k=100)
 
 
-@register(
-    "countmin_heavy_hitters",
-    r"""
+# one source of truth for the count-min oracle replay (4 rows x width
+# 512, md5 "j:" salt) — shared by countmin_heavy_hitters and
+# streaming_countmin_state so the sketch parameters cannot drift between
+# the two SQL twins
+_CM_ORACLE_CTE = r"""
     WITH toks AS (
       SELECT t.tok
       FROM documents,
@@ -11722,38 +11709,48 @@ def q_dsir_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
              AS BIGINT)
       GROUP BY 1
     )
+"""
+
+
+@register(
+    "countmin_heavy_hitters",
+    _CM_ORACLE_CTE
+    + """
     SELECT t.tok, CAST(t.c AS BIGINT) AS exact_c,
            CAST(e.est AS BIGINT) AS cm_est,
            e.est >= t.c AS is_overestimate
     FROM top t JOIN est e USING (tok)
     """,
     doc="Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005; "
-    "ext/sketches.build_countmin): a 4x512 counter grid whose map-side "
-    "partial aggregates ARE per-partition sketches (the combining shuffle "
-    "is the count-min merge, <= 2048 rows per executor), probed for the "
-    "exact top-20 tokens. md5-salted rows make the sketch bit-identical "
-    "in DuckDB, so estimates compare EXACTLY, and the min-of-rows "
-    "overestimate invariant is asserted per token. The exact side is the "
-    "verification harness; at 100 TB only the sketch path runs.",
+    "ext/sketches.build_countmin): a 4x512 counter grid probed for the "
+    "exact top-20 tokens. The verification form builds the sketch from "
+    "the exact (tok, count) table via the weighted build — bit-identical "
+    "to sketching the raw stream (count-min is additive in weights) but "
+    "O(distinct tokens) instead of O(corpus positions), so the token "
+    "scan has ONE consumer and needs no pin. md5-salted rows make the "
+    "sketch bit-identical in DuckDB: estimates compare EXACTLY, and the "
+    "min-of-rows overestimate invariant is asserted per token. At 100 TB "
+    "only the sketch path runs, from raw tokens, with map-side partials "
+    "as per-partition sketches (streaming_countmin_state shows that "
+    "form).",
     tags=("ext",),
 )
 def q_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import nonempty_tokens
     from .ext.sketches import build_countmin, estimate_countmin
 
     docs = read_sf_table(spark, sf, "documents")
-    toks = docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("tok")
+    toks = docs.select(F.explode(nonempty_tokens("text")).alias("tok"))
+    # two consumers (top + sketch build): pin the O(distinct tokens)
+    # count table, NOT the O(corpus positions) token stream
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    # one token scan feeds the exact counts AND the sketch build
-    toks = toks.localCheckpoint(eager=True)
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     top = exact.orderBy(F.desc("c"), "tok").limit(20)
-    sketch = build_countmin(toks, "tok", depth=4, width=512)
+    # weighted build over the exact counts == sketching the raw stream
+    sketch = build_countmin(exact, "tok", depth=4, width=512, weight_col="c")
     est = estimate_countmin(top, "tok", sketch, depth=4, width=512)
     return est.select(
         "tok",
@@ -11826,50 +11823,25 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "streaming_countmin_state",
-    r"""
-    -- the INCREMENTALLY maintained sketch (3 micro-batches, per-batch
-    -- cell tables appended then merged) must equal the one-shot sketch
-    -- over the whole corpus bit-for-bit, because count-min merge is an
-    -- exact cell-wise sum. The oracle replays the one-shot sketch.
-    WITH toks AS (
-      SELECT t.tok
-      FROM documents,
-           UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(tok)
-      WHERE t.tok <> ''
-    ),
-    exact AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
-    top AS (SELECT tok, c FROM exact ORDER BY c DESC, tok LIMIT 20),
-    cells AS (
-      SELECT d.j,
-             CAST(('0x' || substring(md5(CAST(d.j AS VARCHAR) || ':' || tok),
-                                     1, 8))::UBIGINT % 512 AS BIGINT) AS bkt,
-             count(*) AS c
-      FROM toks CROSS JOIN UNNEST([0, 1, 2, 3]) AS d(j)
-      GROUP BY 1, 2
-    ),
-    est AS (
-      SELECT t.tok, min(cells.c) AS est
-      FROM top t
-      CROSS JOIN UNNEST([0, 1, 2, 3]) AS d(j)
-      JOIN cells
-        ON cells.j = d.j
-       AND cells.bkt = CAST(('0x' || substring(
-             md5(CAST(d.j AS VARCHAR) || ':' || t.tok), 1, 8))::UBIGINT % 512
-             AS BIGINT)
-      GROUP BY 1
-    )
+    _CM_ORACLE_CTE
+    + """
+    -- the INCREMENTALLY maintained sketch (3 micro-batches, one
+    -- idempotent cell table per batch, merged on read) must equal the
+    -- one-shot sketch over the whole corpus bit-for-bit, because
+    -- count-min merge is an exact cell-wise sum.
     SELECT t.tok, CAST(t.c AS BIGINT) AS exact_c,
            CAST(e.est AS BIGINT) AS cm_est
     FROM top t JOIN est e USING (tok)
     """,
     doc="Incremental count-min maintenance under Structured Streaming "
-    "(ext/sketches.run_streaming_countmin): each micro-batch appends its "
-    "own <= 4x512 cell table to parquet state (O(sketch) per batch, the "
-    "append_state pattern); reading merges cells by sum. Count-min merge "
-    "is exact, so the streamed state's estimates must equal the one-shot "
-    "corpus sketch the oracle replays — any lost batch, double-applied "
-    "batch, or merge bug hash-mismatches. The 100 TB shape: per-day "
-    "sketches compose into arbitrary windows without touching raw data.",
+    "(ext/sketches.run_streaming_countmin): each micro-batch overwrites "
+    "its own <= 4x512 cell table at state/batch=<id> (O(sketch) per "
+    "batch, idempotent under at-least-once foreachBatch replay); reading "
+    "merges cells by sum. Count-min merge is exact, so the streamed "
+    "state's estimates must equal the one-shot corpus sketch the oracle "
+    "replays — any lost batch, double-applied batch, or merge bug "
+    "hash-mismatches. The 100 TB shape: per-day sketches compose into "
+    "arbitrary windows without touching raw data.",
     tags=("streaming",),
 )
 def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
@@ -11877,8 +11849,8 @@ def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
 
+    from .ext.dedup import nonempty_tokens
     from .ext.sketches import read_countmin_state, run_streaming_countmin
 
     docs = read_sf_table(spark, sf, "documents")
@@ -11890,16 +11862,7 @@ def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
     bcol = F.least(F.lit(2), F.floor(F.col("doc_id") * 3.0 / n_docs)).cast(
         "int"
     )
-    staged = docs.withColumn("__b", bcol)
-    for b in range(3):
-        stage_dir = os.path.join(base, f"stage{b}")
-        staged.filter(F.col("__b") == b).drop("__b").coalesce(1).write.parquet(
-            stage_dir
-        )
-        src = next(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
-        dst = os.path.join(in_dir, f"b{b}.parquet")
-        shutil.move(os.path.join(stage_dir, src), dst)
-        os.utime(dst, (time.time() - (3 - b) * 100,) * 2)
+    _stage_bucketed_batches(base, in_dir, docs.withColumn("__b", bcol), 3)
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -11907,14 +11870,7 @@ def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def batch_to_keys(batch_df: DataFrame) -> DataFrame:
-        return batch_df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                    lambda t: t != "",
-                )
-            ).alias("tok")
-        )
+        return batch_df.select(F.explode(nonempty_tokens("text")).alias("tok"))
 
     state_dir = os.path.join(base, "state")
     run_streaming_countmin(

@@ -272,3 +272,31 @@ def test_round6_ops_are_layout_independent(spark):
         for r in build_countmin(toks.coalesce(1), "tok").collect()
     }
     assert cells_a == cells_b
+
+
+def test_countmin_state_replay_is_idempotent(spark, tmp_path):
+    """At-least-once foreachBatch replay: re-writing the same batch id
+    must REPLACE its cell table (per-batch overwrite slot), never
+    double-count — the merged state equals the single-application sketch."""
+    import os
+
+    from entity_etl_spark.ext.sketches import (
+        build_countmin,
+        read_countmin_state,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+    sk = build_countmin(df, "tok", depth=2, width=16)
+    state_dir = str(tmp_path / "state")
+    slot = os.path.join(state_dir, "batch=0")
+    sk.write.mode("overwrite").parquet(slot)
+    sk.write.mode("overwrite").parquet(slot)  # replay of the same batch
+    merged = {
+        (r.j, r.bkt): r.c for r in read_countmin_state(spark, state_dir).collect()
+    }
+    want = {(r.j, r.bkt): r.c for r in sk.collect()}
+    assert merged == want
+
+    # empty state dir -> empty (all-zero) sketch, not PATH_NOT_FOUND
+    empty = read_countmin_state(spark, str(tmp_path / "never_written"))
+    assert empty.count() == 0
