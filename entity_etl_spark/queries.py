@@ -6440,7 +6440,13 @@ def q_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q15_top_supplier",
     """
-    WITH revenue AS (
+    -- MATERIALIZED: the CTE is referenced twice (join + scalar max);
+    -- without it DuckDB re-evaluates the parallel double sum in a
+    -- different row order per reference, and at sf1 the two evaluations
+    -- of a supplier's revenue can differ at the ulp — the equality then
+    -- matches nothing (observed: intermittent 0 rows). One evaluation
+    -- makes the within-engine comparison deterministic again.
+    WITH revenue AS MATERIALIZED (
       SELECT l_suppkey AS supplier_no,
              sum(l_extendedprice * (1 - l_discount)) AS total_revenue
       FROM lineitem GROUP BY l_suppkey
@@ -7037,13 +7043,23 @@ def q_embedding_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
     )
     q = emb.crossJoin(F.broadcast(stats))
     step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    # CAST x to double BEFORE the subtraction: float32 (x - lo) loses
+    # ~1e-7 relative precision, enough to push an element sitting near a
+    # half-step boundary onto the other code — the reconstruction then
+    # exceeds step/2 by ~1e-7*step, far beyond the 1e-12 slack (observed
+    # as a false recon_error_bounded at the sf1 rehearsal). Double
+    # subtraction of two exactly-representable floats is exact.
     codes = F.expr(
-        "transform(embedding, x -> CAST(round((x - lo) / ((hi - lo) / 255.0))"
+        "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - CAST(lo"
+        " AS DOUBLE)) / ((CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) / 255.0))"
         " - 128 AS TINYINT))"
     )
+    # same double-first discipline for the step used in reconstruction
+    # and in the bound — a float32 (hi - lo) here would disagree with
+    # the code computation's step at the 1e-7 level
     recon = F.expr(
-        "transform(codes, c -> lo + (CAST(c AS DOUBLE) + 128.0)"
-        " * ((hi - lo) / 255.0))"
+        "transform(codes, c -> CAST(lo AS DOUBLE) + (CAST(c AS DOUBLE)"
+        " + 128.0) * ((CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) / 255.0))"
     )
     checked = (
         q.withColumn("codes", codes)
@@ -7052,7 +7068,8 @@ def q_embedding_int8_quantize(spark: SparkSession, sf: str) -> DataFrame:
             "ok",
             F.expr(
                 "forall(zip_with(embedding, recon, (x, r) -> "
-                "abs(x - r) <= ((hi - lo) / 255.0) / 2.0 + 1e-12), b -> b)"
+                "abs(CAST(x AS DOUBLE) - r) <= ((CAST(hi AS DOUBLE)"
+                " - CAST(lo AS DOUBLE)) / 255.0) / 2.0 + 1e-12), b -> b)"
             ),
         )
     )
@@ -7378,7 +7395,10 @@ def q_cumulative_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q11_important_stock",
     """
-    WITH pv AS (
+    -- MATERIALIZED: pv is referenced twice (rows + threshold scalar);
+    -- one evaluation keeps the parallel double sums identical on both
+    -- sides of the comparison (the q15 ulp-wobble class)
+    WITH pv AS MATERIALIZED (
       SELECT l_partkey,
              sum(l_extendedprice * l_quantity) AS part_value
       FROM lineitem GROUP BY l_partkey
