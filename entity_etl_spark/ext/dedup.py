@@ -177,6 +177,75 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    *,
+    max_shingle_df: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Exact n-gram containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) >= threshold.
+
+    Containment is the asymmetric complement to Jaccard: a short document
+    quoted verbatim inside a long one has near-1.0 containment but low
+    Jaccard (the union is dominated by the long doc), so Jaccard-threshold
+    dedup misses subsumption — the classic boilerplate/quotation case in
+    pre-training corpora (CCNet/Gopher use containment for exactly this).
+
+    Same physical shape as :func:`jaccard_pairs` (one shingle-keyed
+    shuffle, per-pair intersection count, per-doc sizes joined in); only
+    the final ratio differs, so the 100 TB story is identical — run
+    :func:`lsh_candidate_pairs` first and verify candidates here.
+
+    Emits ``doc_a < doc_b`` with both directed containments and the max.
+    """
+    from .graph import within_group_pairs
+
+    df = _spread_input(df)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        within_group_pairs(
+            sh,
+            "sh",
+            "doc",
+            item_a="doc_a",
+            item_b="doc_b",
+            max_group_size=max_shingle_df,
+            observation=observation,
+            dropped_metric="cont_rows_in_dropped_shingles",
+            max_metric="cont_max_shingle_df",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    raw_max = F.col("n_inter") / F.least("n_a", "n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(raw_max >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias(
+                "containment_b"
+            ),
+            F.round(raw_max, 6).alias("max_containment"),
+        )
+    )
+
+
 # ------------------------------------------------------------------- MinHash
 def minhash_signatures(
     df: DataFrame,

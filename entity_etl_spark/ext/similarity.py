@@ -505,3 +505,55 @@ def topk_partition_heap(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2 argmin) —
+    the k-means assignment step as a ZERO-shuffle map-only plan.
+
+    ``centroids`` is a small driver-side list of ``(cluster_id, vector)``
+    (k rows — the Lloyd's-iteration state, never the data). It is inlined
+    as a literal array column, so each corpus row computes all k distances
+    and takes the argmin inside one codegen'd expression: no cross join,
+    no groupBy, no Python. At 100 TB this is the shape that matters —
+    assignment is a pure map over the corpus; only the (tiny) centroid
+    update that follows aggregates anything.
+
+    Ties after rounding break to the lowest cluster id (struct ordering),
+    so results are layout-independent and engine-portable.
+    """
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    v = _f64(F.col(vec_col))
+    dists = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, s["c"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("dist2"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    best = F.array_min(dists)
+    return df.select(
+        F.col(id_col),
+        best["cluster"].alias("cluster"),
+        best["dist2"].alias("dist2"),
+    )

@@ -157,6 +157,114 @@ def repetition_metrics(
     )
 
 
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_hash_word_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+    min_required_word_hits: int = 2,
+) -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021, §A1.1) as one map-only
+    pass: per-document rule booleans plus the composite ``keep`` decision.
+
+    Rules, all exact integer/character arithmetic (no model, no UDF):
+    token count in [min, max]; mean word length in [3, 10]; '#' per word
+    <= 0.1; <= 30% of lines end in an ellipsis; <= 90% of lines start
+    with a bullet; at least 2 of Gopher's 8 required English words occur.
+    Complements :func:`quality_features` (soft score) and
+    :func:`repetition_metrics` (repetition signals) — this is the hard
+    keep/drop gate a pre-training pipeline applies first.
+
+    Physical shape: single scan, every rule a codegen'd column expression
+    over the shared whitespace tokenization; at 100 TB this is the cheap
+    filter that runs BEFORE any shuffle-bearing dedup stage.
+    """
+    col = F.col(text_col)
+    toks = F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+    )
+    n_tokens = F.size(toks).cast("bigint")
+    safe_n = F.greatest(n_tokens, F.lit(1))
+    # exact mean word length: sum of token lengths / token count
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.round(tok_chars / safe_n, 4)
+    n_hash = (
+        F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    ).cast("bigint")
+    hash_word_ratio = F.round(n_hash / safe_n, 6)
+    lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    ellipsis_line_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(F.trim(l), F.lit("..."))
+                | F.endswith(F.trim(l), F.lit("…")),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    bullet_line_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.startswith(F.trim(l), F.lit("- "))
+                | F.startswith(F.trim(l), F.lit("* "))
+                | F.startswith(F.trim(l), F.lit("•")),
+            )
+        )
+        / n_lines,
+        6,
+    )
+    required_hits = sum(
+        (
+            F.when(F.array_contains(toks, w), 1).otherwise(0)
+            for w in GOPHER_REQUIRED_WORDS
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    out = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        hash_word_ratio.alias("hash_word_ratio"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        required_hits.alias("required_word_hits"),
+    )
+    rules = {
+        "rule_token_count": (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens),
+        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_hash_ratio": F.col("hash_word_ratio") <= max_hash_word_ratio,
+        "rule_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "rule_bullet_lines": F.col("bullet_line_frac")
+        <= max_bullet_line_frac,
+        "rule_required_words": F.col("required_word_hits")
+        >= min_required_word_hits,
+    }
+    out = out.withColumns(rules)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def doc_fingerprint(text_col: str | Column, algo: str = "md5") -> Column:
     """Stable whole-document fingerprint (md5 hex); see ext.dedup for
     similarity-preserving fingerprints (MinHash/SimHash)."""

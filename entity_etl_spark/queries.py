@@ -11916,3 +11916,160 @@ def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c").cast("bigint").alias("exact_c"),
         F.col("cm_est").alias("cm_est"),
     )
+
+
+@register(
+    "containment_near_dups",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+           round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b,
+           round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+             AS max_containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+    doc="E2 exact n-gram (k=3) CONTAINMENT pairs (max directed containment "
+    ">= 0.8): the asymmetric complement to Jaccard — a short doc quoted "
+    "inside a long one is near-1.0 containment but low Jaccard, the "
+    "subsumption case Jaccard-threshold dedup misses (CCNet/Gopher use "
+    "this). Same single shingle-keyed shuffle as ngram_jaccard_pairs.",
+    tags=("ext",),
+)
+def q_containment_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import containment_pairs
+
+    docs = read_sf_table(spark, sf, "documents")
+    return containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+@register(
+    "gopher_quality_gate",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '') AS w,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             round(CAST(coalesce(list_sum(list_transform(w, t -> len(t))), 0)
+                        AS DOUBLE) / greatest(len(w), 1), 4) AS mean_word_len,
+             round(CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                   / greatest(len(w), 1), 6) AS hash_word_ratio,
+             round(CAST(len(list_filter(lines,
+                     l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+                   AS DOUBLE) / greatest(len(lines), 1), 6)
+               AS ellipsis_line_frac,
+             round(CAST(len(list_filter(lines,
+                     l -> starts_with(trim(l), '- ')
+                       OR starts_with(trim(l), '* ')
+                       OR starts_with(trim(l), '•')))
+                   AS DOUBLE) / greatest(len(lines), 1), 6)
+               AS bullet_line_frac,
+             CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+                AS BIGINT) AS required_word_hits
+      FROM base
+    ),
+    rules AS (
+      SELECT *,
+             (n_tokens >= 20 AND n_tokens <= 100000) AS rule_token_count,
+             (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AS rule_mean_word_len,
+             (hash_word_ratio <= 0.1) AS rule_hash_ratio,
+             (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+             (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+             (required_word_hits >= 2) AS rule_required_words
+      FROM feat
+    )
+    SELECT *,
+           (rule_token_count AND rule_mean_word_len AND rule_hash_ratio
+            AND rule_ellipsis_lines AND rule_bullet_lines
+            AND rule_required_words) AS keep
+    FROM rules
+    """,
+    doc="E4 Gopher-rules hard quality gate (Rae et al. 2021 A1.1) as one "
+    "map-only codegen'd pass: token count, mean word length, '#'/word "
+    "ratio, ellipsis-line and bullet-line fractions, required-word hits "
+    "— per-rule booleans plus the composite keep. The cheap pre-shuffle "
+    "filter a pre-training pipeline runs FIRST at 100 TB.",
+    tags=("ext",),
+)
+def q_gopher_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.text import gopher_gate
+
+    docs = read_sf_table(spark, sf, "documents")
+    return gopher_gate(docs, "doc_id", "text")
+
+
+@register(
+    "kmeans_assign_embeddings",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, cent.cluster,
+             round(list_sum(list_transform(
+                     list_zip(CAST(e.embedding AS DOUBLE[]), c),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+      FROM embeddings e, cent
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, cluster) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+    doc="E3/E6 k-means ASSIGNMENT step (Lloyd's iteration inner loop) as a "
+    "zero-shuffle map-only plan: k=8 deterministic seed centroids "
+    "(vec_id < 8) inlined as a literal array, per-row squared-L2 argmin "
+    "inside one codegen'd expression — no cross join, no groupBy. At "
+    "100 TB assignment is a pure map over the corpus; only the tiny "
+    "centroid update aggregates. Ties break to the lowest cluster id.",
+    tags=("ext",),
+)
+def q_kmeans_assign_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import assign_nearest_centroid
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()  # k = 8 rows — Lloyd's-state scalar probe, not data
+    )
+    centroids = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds
+    )
+    out = assign_nearest_centroid(emb, centroids, "vec_id", "embedding")
+    return out.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "dist2"
+    )

@@ -1,0 +1,154 @@
+"""Round-6b extension operators: containment near-dup pairs, the Gopher
+quality gate, and the k-means assignment step — hand-computed fixtures
+(the parity harness checks the registry form; these pin the math)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_containment_pairs_detects_subsumption_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a long one: containment of the
+    short side is exactly 1.0 while Jaccard is far below any near-dup
+    threshold — the case this operator exists for."""
+    from entity_etl_spark.ext.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        short
+        + " zeta eta theta iota kappa lmbda mu nu xi omicron pi rho sigma"
+        + " tau upsilon phi chi psi omega one two three four five six"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    # doc 1 has 5 tokens -> 3 distinct 3-shingles, all present in doc 2
+    assert r.containment_a == 1.0
+    assert r.max_containment == 1.0
+    n_long_shingles = len(long.split()) - 2  # all distinct by construction
+    assert r.containment_b == round(3 / n_long_shingles, 6)
+    # and Jaccard at the same 0.5 near-dup threshold does NOT pair them
+    jac = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_containment_pairs_threshold_excludes_partial_overlap(spark):
+    from entity_etl_spark.ext.dedup import containment_pairs
+
+    # 6 tokens -> 4 shingles; docs share exactly 2 of 4 (containment 0.5)
+    a = "w1 w2 w3 w4 w5 w6"
+    b = "w1 w2 w3 w4 x5 x6"
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    assert (
+        containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8).count()
+        == 0
+    )
+    got = containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).collect()
+    assert len(got) == 1 and got[0].max_containment == 0.5
+
+
+def test_gopher_gate_each_rule_fires_on_its_own_fixture(spark):
+    from entity_etl_spark.ext.text import gopher_gate
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs away with "
+        "great speed to be sure of having covered enough distinct ground "
+        "for every single rule check here today"
+    )
+    rows = [
+        (1, good),
+        (2, "the of and that have with be to"),  # < 20 tokens
+        (3, " ".join(["the", "be", "of"] + ["supercalifragilistic"] * 30)),
+        (4, "the be " + "# " * 40 + " ".join(["word"] * 20)),  # hash ratio
+        (5, "the be with that\n" + "\n".join(["item ends..."] * 9)),
+        (6, "\n".join(["- the bullet be of line %d here" % i for i in range(10)])),
+        (7, " ".join("tok%d" % i for i in range(30))),  # no required words
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_gate(docs).collect()}
+
+    assert got[1].keep and all(
+        got[1][c] for c in got[1].asDict() if c.startswith("rule_")
+    )
+    assert not got[2].rule_token_count and not got[2].keep
+    assert not got[3].rule_mean_word_len and not got[3].keep
+    assert not got[4].rule_hash_ratio and not got[4].keep
+    # doc 5: 9 of 10 nonempty lines end in '...' -> frac 0.9 > 0.3
+    assert got[5].ellipsis_line_frac == 0.9
+    assert not got[5].rule_ellipsis_lines and not got[5].keep
+    # doc 6: every line is a bullet -> frac 1.0 > 0.9
+    assert got[6].bullet_line_frac == 1.0
+    assert not got[6].rule_bullet_lines and not got[6].keep
+    assert got[7].required_word_hits == 0
+    assert not got[7].rule_required_words and not got[7].keep
+
+
+def test_gopher_gate_mean_word_len_is_exact_over_tokens(spark):
+    from entity_etl_spark.ext.text import gopher_gate
+
+    # "aa   bbbb" with a whitespace run: 2 tokens, 6 chars -> 3.0 exactly
+    docs = spark.createDataFrame(
+        [(1, "aa   bbbb")], "doc_id long, text string"
+    )
+    r = gopher_gate(docs).collect()[0]
+    assert r.n_tokens == 2 and r.mean_word_len == 3.0
+
+
+def test_gopher_gate_is_map_only(spark):
+    """The gate must stay a pre-shuffle filter: no Exchange in the plan."""
+    from entity_etl_spark.ext.text import gopher_gate
+
+    docs = spark.createDataFrame(
+        [(1, "the be of")], "doc_id long, text string"
+    )
+    plan = gopher_gate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_assign_nearest_centroid_argmin_and_tiebreak(spark):
+    from entity_etl_spark.ext.similarity import assign_nearest_centroid
+
+    emb = spark.createDataFrame(
+        [
+            (10, [0.0, 0.0]),
+            (11, [4.0, 0.0]),
+            (12, [2.0, 0.0]),  # equidistant (dist2 = 4.0) -> lowest cluster
+            (13, [3.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [4.0, 0.0])]
+    got = {
+        r.vec_id: r
+        for r in assign_nearest_centroid(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert (got[10].cluster, got[10].dist2) == (0, 0.0)
+    assert (got[11].cluster, got[11].dist2) == (1, 0.0)
+    assert (got[12].cluster, got[12].dist2) == (0, 4.0)  # tie -> cluster 0
+    assert (got[13].cluster, got[13].dist2) == (1, 2.0)
+
+
+def test_assign_nearest_centroid_is_zero_shuffle(spark):
+    from entity_etl_spark.ext.similarity import assign_nearest_centroid
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        assign_nearest_centroid(emb, [(0, [1.0, 1.0]), (1, [2.0, 2.0])])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
