@@ -557,3 +557,50 @@ def assign_nearest_centroid(
         best["cluster"].alias("cluster"),
         best["dist2"].alias("dist2"),
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for ``n_iter`` iterations; returns the final
+    assignment (id, cluster, dist2).
+
+    Iterative ML on the relational engine: each iteration is one map-only
+    assignment (:func:`assign_nearest_centroid` — centroids inlined as
+    literals) plus one centroid update, a single (cluster, dim)-keyed
+    aggregation whose result is k x dim scalars — Lloyd's state, collected
+    to the driver (512 doubles for k=8, dim=64), never the data. At
+    100 TB the per-iteration cost is one corpus scan + one tiny shuffle;
+    clusters that lose all members drop out (deterministic policy both
+    engines replay).
+
+    Updated centroid coordinates are rounded to 9 decimals so the
+    engine-portable oracle (avg over the same members) lands on the
+    identical double before the next assignment — same convention as the
+    rest of the registry's cross-engine float math.
+    """
+    vecs = df.select(F.col(id_col).alias("__id"), _f64(F.col(vec_col)).alias("__v"))
+    for _ in range(n_iter - 1):
+        assign = assign_nearest_centroid(df, centroids, id_col, vec_col)
+        upd = (
+            assign.select(F.col(id_col).alias("__id"), "cluster")
+            .join(vecs, "__id")
+            .select("cluster", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("av"))
+            .collect()  # k x dim Lloyd's state scalars, not data
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(
+                r["av"]
+            )
+        centroids = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cluster.items())
+        ]
+    return assign_nearest_centroid(df, centroids, id_col, vec_col)

@@ -12073,3 +12073,68 @@ def q_kmeans_assign_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "dist2"
     )
+
+
+@register(
+    "kmeans_lloyd_2iter",
+    """
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cluster, e AS c FROM emb WHERE vec_id < 8),
+    s1 AS (
+      SELECT emb.vec_id, c0.cluster,
+             round(list_sum(list_transform(list_zip(e, c),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+      FROM emb, c0
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, cluster) AS rn
+        FROM s1) WHERE rn = 1
+    ),
+    u1 AS (
+      SELECT cluster, list(av ORDER BY i) AS c FROM (
+        SELECT a1.cluster, t.i, round(avg(e[t.i + 1]), 9) AS av
+        FROM a1 JOIN emb USING (vec_id),
+             (SELECT unnest(range(64)) AS i) t
+        GROUP BY a1.cluster, t.i)
+      GROUP BY cluster
+    ),
+    s2 AS (
+      SELECT emb.vec_id, u1.cluster,
+             round(list_sum(list_transform(list_zip(e, c),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist2
+      FROM emb, u1
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, cluster) AS rn
+      FROM s2) WHERE rn = 1
+    """,
+    doc="E3/E6 Lloyd's k-means, 2 iterations UNROLLED RELATIONALLY in both "
+    "engines (assign -> per-(cluster,dim) mean -> re-assign): iterative "
+    "ML with a full value-hash oracle, not a rows-only check. Each "
+    "iteration = one map-only assignment over inlined centroid literals "
+    "+ one tiny (cluster,dim) aggregation (k x dim scalars - Lloyd's "
+    "state, not data). Updated coordinates round to 9 decimals so both "
+    "engines re-assign from the identical double.",
+    tags=("ext",),
+)
+def q_kmeans_lloyd_2iter(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.similarity import kmeans_lloyd
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()  # k = 8 seed rows
+    )
+    centroids = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds
+    )
+    out = kmeans_lloyd(emb, centroids, n_iter=2, id_col="vec_id", vec_col="embedding")
+    return out.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "dist2"
+    )

@@ -152,3 +152,55 @@ def test_assign_nearest_centroid_is_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_kmeans_lloyd_second_iteration_flips_assignment(spark):
+    """Exactly-representable 1-D fixture: point X starts nearer seed 1,
+    but after the centroid update (c0 -> 1.5, c1 -> 11.75) it flips to
+    cluster 0 — pinning that the update/re-assign loop actually runs."""
+    from entity_etl_spark.ext.similarity import kmeans_lloyd
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),   # seed 0
+            (1, [10.0, 0.0]),  # seed 1
+            (2, [3.0, 0.0]),
+            (3, [20.0, 0.0]),
+            (4, [5.25, 0.0]),  # X: iter1 -> 1 (22.5625 < 27.5625), iter2 -> 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    one = {
+        r.vec_id: r.cluster
+        for r in kmeans_lloyd(emb, cents, n_iter=1).collect()
+    }
+    assert one == {0: 0, 1: 1, 2: 0, 3: 1, 4: 1}
+    two = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_lloyd(emb, cents, n_iter=2).collect()
+    }
+    # c0 = mean(0, 3) = 1.5; c1 = mean(10, 20, 5.25) = 11.75 (exact)
+    assert two[4] == (0, 14.0625)  # (5.25 - 1.5)^2 — the flip
+    assert two[0] == (0, 2.25)
+    assert two[1] == (1, 3.0625)
+    assert two[2] == (0, 2.25)
+    assert two[3] == (1, 68.0625)
+
+
+def test_kmeans_lloyd_drops_emptied_cluster(spark):
+    """A seed that captures no members after re-assignment disappears —
+    the deterministic empty-cluster policy both engines replay."""
+    from entity_etl_spark.ext.similarity import kmeans_lloyd
+
+    emb = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0]), (2, [100.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # seed 2 at 50.0 wins vec 2 in iter1; then c=(100) and c0=(0.5)
+    cents = [(0, [0.0]), (1, [50.0])]
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_lloyd(emb, cents, n_iter=2).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1}
