@@ -107,6 +107,8 @@ def main() -> None:
         "streaming_state_pipeline": 31.9,
         # r6: watermark-dedup streaming e2e, 5.9 s quiet (2x + 0.5 s)
         "streaming_dedup_watermark": 12.3,
+        # r6b: exact containment pair join, 1.99 s quiet (2x + 0.5 s)
+        "containment_near_dups": 4.5,
     }
     breaches = (
         {
@@ -147,7 +149,7 @@ def main() -> None:
         "bpe_encode_tokens": 0.70, "neardup_keep_best": 3.73,
         "boilerplate_segment_removal": 0.62,
         "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 5.40,
-        "streaming_dedup_watermark": 5.92,
+        "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
     }
     sf1_breaches = (
         {

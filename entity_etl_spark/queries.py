@@ -11950,7 +11950,7 @@ def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
     "inside a long one is near-1.0 containment but low Jaccard, the "
     "subsumption case Jaccard-threshold dedup misses (CCNet/Gopher use "
     "this). Same single shingle-keyed shuffle as ngram_jaccard_pairs.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_containment_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.dedup import containment_pairs
