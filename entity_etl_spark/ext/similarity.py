@@ -527,6 +527,20 @@ def assign_nearest_centroid(
     Ties after rounding break to the lowest cluster id (struct ordering),
     so results are layout-independent and engine-portable.
     """
+    best = _nearest_centroid_expr(centroids, _f64(F.col(vec_col)))
+    return df.select(
+        F.col(id_col),
+        best["cluster"].alias("cluster"),
+        best["dist2"].alias("dist2"),
+    )
+
+
+def _nearest_centroid_expr(
+    centroids: list[tuple[int, list[float]]], v: Column
+) -> Column:
+    """struct(dist2, cluster) of the nearest centroid to double-array ``v``
+    — centroids inlined as literals, argmin via struct-ordered array_min
+    (ties after round-6 break to the lowest cluster id)."""
     cent_arr = F.array(
         *[
             F.struct(
@@ -536,7 +550,6 @@ def assign_nearest_centroid(
             for cid, vec in centroids
         ]
     )
-    v = _f64(F.col(vec_col))
     dists = F.transform(
         cent_arr,
         lambda s: F.struct(
@@ -551,12 +564,7 @@ def assign_nearest_centroid(
             s["cluster"].alias("cluster"),
         ),
     )
-    best = F.array_min(dists)
-    return df.select(
-        F.col(id_col),
-        best["cluster"].alias("cluster"),
-        best["dist2"].alias("dist2"),
-    )
+    return F.array_min(dists)
 
 
 def kmeans_lloyd(
@@ -583,13 +591,21 @@ def kmeans_lloyd(
     identical double before the next assignment — same convention as the
     rest of the registry's cross-engine float math.
     """
-    vecs = df.select(F.col(id_col).alias("__id"), _f64(F.col(vec_col)).alias("__v"))
+    v = _f64(F.col(vec_col))
     for _ in range(n_iter - 1):
-        assign = assign_nearest_centroid(df, centroids, id_col, vec_col)
+        # assignment and update in one scan — no id-keyed join back to the
+        # vectors: the only exchange is the map-side-combined (cluster,
+        # pos) partial aggregation. The cluster MUST be projected in its
+        # own select BELOW the posexplode: a generator and the argmin in
+        # one select puts the k x dim fold ABOVE the Generate, where it
+        # re-evaluates once per exploded dim (measured 64x = ~17x wall
+        # at sf1) instead of once per row
+        best = _nearest_centroid_expr(centroids, v)
+        assigned = df.select(
+            best["cluster"].alias("cluster"), v.alias("__v")
+        )
         upd = (
-            assign.select(F.col(id_col).alias("__id"), "cluster")
-            .join(vecs, "__id")
-            .select("cluster", F.posexplode("__v").alias("pos", "x"))
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("x"), 9).alias("av"))
             .collect()  # k x dim Lloyd's state scalars, not data

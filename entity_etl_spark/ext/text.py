@@ -189,10 +189,10 @@ def gopher_gate(
     over the shared whitespace tokenization; at 100 TB this is the cheap
     filter that runs BEFORE any shuffle-bearing dedup stage.
     """
+    from .dedup import nonempty_tokens  # the canonical shared tokenization
+
     col = F.col(text_col)
-    toks = F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
-    )
+    toks = nonempty_tokens(col)
     n_tokens = F.size(toks).cast("bigint")
     safe_n = F.greatest(n_tokens, F.lit(1))
     # exact mean word length: sum of token lengths / token count

@@ -194,13 +194,15 @@ def test_kmeans_lloyd_drops_emptied_cluster(spark):
     from entity_etl_spark.ext.similarity import kmeans_lloyd
 
     emb = spark.createDataFrame(
-        [(0, [0.0]), (1, [1.0]), (2, [100.0])],
+        [(0, [0.0]), (1, [1.0]), (2, [2.0])],
         "vec_id long, embedding array<double>",
     )
-    # seed 2 at 50.0 wins vec 2 in iter1; then c=(100) and c0=(0.5)
+    # iter1: every point is nearer seed 0 (max dist2 4 < 2304), so
+    # cluster 1 captures NOTHING and must vanish from the centroid list;
+    # the re-assignment runs against c0 = mean(0,1,2) = 1.0 alone
     cents = [(0, [0.0]), (1, [50.0])]
     got = {
-        r.vec_id: r.cluster
+        r.vec_id: (r.cluster, r.dist2)
         for r in kmeans_lloyd(emb, cents, n_iter=2).collect()
     }
-    assert got == {0: 0, 1: 0, 2: 1}
+    assert got == {0: (0, 1.0), 1: (0, 0.0), 2: (0, 1.0)}
