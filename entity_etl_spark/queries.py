@@ -12120,7 +12120,7 @@ def q_kmeans_assign_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     "+ one tiny (cluster,dim) aggregation (k x dim scalars - Lloyd's "
     "state, not data). Updated coordinates round to 9 decimals so both "
     "engines re-assign from the identical double.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_kmeans_lloyd_2iter(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.similarity import kmeans_lloyd
