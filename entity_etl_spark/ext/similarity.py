@@ -620,3 +620,148 @@ def kmeans_lloyd(
             for cid, dims in sorted(by_cluster.items())
         ]
     return assign_nearest_centroid(df, centroids, id_col, vec_col)
+
+
+# ------------------------------------------------- streaming k-means state
+# State rows: (cluster, pos, s DECIMAL(38,12), m BIGINT) — per-dimension
+# member SUMS and counts, not means. Decimal addition is exact and
+# order-independent (the label-probe/conditional_agg lesson), so the
+# running state is layout-independent and every engine replaying the
+# same batch sequence holds BIT-IDENTICAL centroids s/m.
+KM_STATE_SCHEMA = (
+    "cluster int, pos int, s decimal(38,12), m bigint"
+)
+
+
+def _km_state_dirs(state_dir: str) -> list[tuple[int, str]]:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("batch="):
+            out.append((int(d.split("=", 1)[1]), os.path.join(state_dir, d)))
+    return sorted(out)
+
+
+def _km_read_state(spark, state_dir: str, before: int | None = None):
+    """Cumulative (cluster, pos, s, m) AFTER the newest batch < ``before``
+    (or the newest overall); None if no state yet."""
+    dirs = [
+        (b, p) for b, p in _km_state_dirs(state_dir)
+        if before is None or b < before
+    ]
+    if not dirs:
+        return None
+    return spark.read.schema(KM_STATE_SCHEMA).parquet(dirs[-1][1])
+
+
+def _km_centroids(state, seeds: list[tuple[int, list[float]]]):
+    """Driver-side centroid list for the next assignment: per-dim mean
+    s/m (the decimal-partials precedent, cast to double IN the engine so
+    the oracle's CAST(s/m AS DOUBLE) lands on the identical value);
+    clusters with no members yet keep their seed vector."""
+    if state is None:
+        return list(seeds)
+    rows = (
+        state.select(
+            "cluster",
+            "pos",
+            # exact decimal -> nearest double, then IEEE divide by the
+            # integer-exact count: bit-identical in any engine
+            (F.col("s").cast("double") / F.col("m")).alias("cx"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda t: t["cx"],
+            ).alias("cv")
+        )
+        .collect()
+    )
+    got = {int(r["cluster"]): [float(x) for x in r["cv"]] for r in rows}
+    return [(cid, got.get(cid, vec)) for cid, vec in seeds]
+
+
+def run_streaming_kmeans(
+    spark,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    seeds: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    timeout_sec: float = 300.0,
+) -> None:
+    """Online (running-mean) k-means under Structured Streaming: each
+    micro-batch is assigned against the centroids implied by the state so
+    far, then folds its per-(cluster, dim) decimal sums and counts into
+    the state — the sequential mini-batch analogue of Lloyd's update.
+
+    State discipline (the count-min pattern adapted to SEQUENTIAL state):
+    ``state_dir/batch=<id>`` holds the CUMULATIVE (s, m) after batch
+    <id>, computed from the newest state with id < <id> — so an
+    at-least-once foreachBatch replay recomputes from the same prior
+    state and overwrites its own directory with the same bytes
+    (idempotent), and a crash between write and checkpoint-commit cannot
+    double-fold a batch. Per-batch cost: one scan of the batch + one
+    k x dim aggregation; the state is k x dim rows, never the data.
+
+    At 100 TB this is the shape for continuous corpus clustering
+    (SemDeDup-style cells maintained online): assignment is a map over
+    each arriving batch against k literal centroids; only sketch-sized
+    state persists.
+    """
+    import os
+
+    from ..streaming import run_available_now
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        prev = _km_read_state(spark, state_dir, before=batch_id)
+        cents = _km_centroids(prev, seeds)
+        v = _f64(F.col(vec_col))
+        best = _nearest_centroid_expr(cents, v)
+        # cluster projected BELOW the posexplode (see kmeans_lloyd note)
+        assigned = batch_df.select(
+            best["cluster"].alias("cluster"), v.alias("__v")
+        )
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode("__v").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+                F.count(F.lit(1)).alias("m"),
+            )
+        )
+        merged = (
+            sums
+            if prev is None
+            else prev.unionByName(sums)
+            .groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("m").alias("m"))
+        )
+        out = merged.select(
+            F.col("cluster").cast("int"),
+            F.col("pos").cast("int"),
+            F.col("s").cast("decimal(38,12)"),
+            F.col("m").cast("bigint"),
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+
+
+def read_kmeans_state(spark, state_dir: str):
+    """Final cumulative state (None if the stream never wrote any)."""
+    return _km_read_state(spark, state_dir)

@@ -12138,3 +12138,192 @@ def q_kmeans_lloyd_2iter(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "dist2"
     )
+
+
+@register(
+    "streaming_kmeans_state",
+    """
+    -- Online (running-mean) k-means replayed relationally: 3 micro-
+    -- batches (vec_id terciles), each assigned against the centroids
+    -- implied by the cumulative per-(cluster,dim) DECIMAL sums BEFORE
+    -- it, then folded in. Decimal sums are exact and order-independent,
+    -- so the streamed state and this unrolled replay hold bit-identical
+    -- centroids; any lost/double-folded batch hash-mismatches.
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             CAST(least(2, CAST(floor(vec_id * 3.0 /
+                  (SELECT count(*) FROM embeddings)) AS BIGINT)) AS INT)
+               AS b
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(64)) AS i),
+    seedg AS (
+      SELECT vec_id AS cluster, i, e[i + 1] AS sv
+      FROM emb, dims WHERE vec_id < 8
+    ),
+    c1 AS (SELECT vec_id AS cluster, e AS c FROM emb WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist2, cluster) AS rn
+        FROM (SELECT emb.vec_id, c1.cluster,
+                     round(list_sum(list_transform(list_zip(e, c),
+                             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+                       AS dist2
+              FROM emb, c1 WHERE emb.b = 0) s) WHERE rn = 1
+    ),
+    p1 AS (
+      SELECT a.cluster, t.i,
+             sum(CAST(e[t.i + 1] AS DECIMAL(38,12))) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM a1 a JOIN emb USING (vec_id), dims t GROUP BY 1, 2
+    ),
+    c2 AS (
+      SELECT g.cluster,
+             list(CASE WHEN p.m IS NOT NULL
+                       THEN CAST(p.s AS DOUBLE) / p.m
+                       ELSE g.sv END ORDER BY g.i) AS c
+      FROM seedg g LEFT JOIN p1 p ON p.cluster = g.cluster AND p.i = g.i
+      GROUP BY g.cluster
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist2, cluster) AS rn
+        FROM (SELECT emb.vec_id, c2.cluster,
+                     round(list_sum(list_transform(list_zip(e, c),
+                             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+                       AS dist2
+              FROM emb, c2 WHERE emb.b = 1) s) WHERE rn = 1
+    ),
+    n2 AS (
+      SELECT a.cluster, t.i,
+             sum(CAST(e[t.i + 1] AS DECIMAL(38,12))) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM a2 a JOIN emb USING (vec_id), dims t GROUP BY 1, 2
+    ),
+    p2 AS (
+      SELECT coalesce(p.cluster, n.cluster) AS cluster,
+             coalesce(p.i, n.i) AS i,
+             coalesce(p.s, CAST(0 AS DECIMAL(38,12)))
+               + coalesce(n.s, CAST(0 AS DECIMAL(38,12))) AS s,
+             coalesce(p.m, 0) + coalesce(n.m, 0) AS m
+      FROM p1 p FULL OUTER JOIN n2 n
+        ON p.cluster = n.cluster AND p.i = n.i
+    ),
+    c3 AS (
+      SELECT g.cluster,
+             list(CASE WHEN p.m IS NOT NULL
+                       THEN CAST(p.s AS DOUBLE) / p.m
+                       ELSE g.sv END ORDER BY g.i) AS c
+      FROM seedg g LEFT JOIN p2 p ON p.cluster = g.cluster AND p.i = g.i
+      GROUP BY g.cluster
+    ),
+    a3 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist2, cluster) AS rn
+        FROM (SELECT emb.vec_id, c3.cluster,
+                     round(list_sum(list_transform(list_zip(e, c),
+                             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+                       AS dist2
+              FROM emb, c3 WHERE emb.b = 2) s) WHERE rn = 1
+    ),
+    n3 AS (
+      SELECT a.cluster, t.i,
+             sum(CAST(e[t.i + 1] AS DECIMAL(38,12))) AS s,
+             CAST(count(*) AS BIGINT) AS m
+      FROM a3 a JOIN emb USING (vec_id), dims t GROUP BY 1, 2
+    ),
+    p3 AS (
+      SELECT coalesce(p.cluster, n.cluster) AS cluster,
+             coalesce(p.i, n.i) AS i,
+             coalesce(p.s, CAST(0 AS DECIMAL(38,12)))
+               + coalesce(n.s, CAST(0 AS DECIMAL(38,12))) AS s,
+             coalesce(p.m, 0) + coalesce(n.m, 0) AS m
+      FROM p2 p FULL OUTER JOIN n3 n
+        ON p.cluster = n.cluster AND p.i = n.i
+    ),
+    cf AS (
+      SELECT g.cluster,
+             list(CASE WHEN p.m IS NOT NULL
+                       THEN CAST(p.s AS DOUBLE) / p.m
+                       ELSE g.sv END ORDER BY g.i) AS c
+      FROM seedg g LEFT JOIN p3 p ON p.cluster = g.cluster AND p.i = g.i
+      GROUP BY g.cluster
+    )
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2 FROM (
+      SELECT s.*, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist2, cluster) AS rn
+      FROM (SELECT emb.vec_id, cf.cluster,
+                   round(list_sum(list_transform(list_zip(e, c),
+                           p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)
+                     AS dist2
+            FROM emb, cf) s) WHERE rn = 1
+    """,
+    doc="E3/E6 + streaming: ONLINE k-means maintained incrementally under "
+    "Structured Streaming (ext/similarity.run_streaming_kmeans) — each "
+    "micro-batch assigns against the centroids implied by the cumulative "
+    "per-(cluster,dim) DECIMAL sums before it (exact, order-independent), "
+    "folds its sums in, and writes the cumulative state idempotently at "
+    "state/batch=<id> (replay recomputes from the same prior state). The "
+    "oracle unrolls the same 3-batch sequence relationally, so streaming "
+    "ML state gets a full value-hash check: lost batches, double-folds, "
+    "or engine-divergent centroid math all hash-mismatch. Output: final "
+    "full-corpus assignment against the post-stream centroids. 100 TB "
+    "shape: per batch one map-only assignment + one k x dim aggregation; "
+    "state is sketch-sized, never the data.",
+    tags=("streaming",),
+)
+def q_streaming_kmeans_state(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .ext.similarity import (
+        _km_centroids,
+        _nearest_centroid_expr,
+        _f64,
+        read_kmeans_state,
+        run_streaming_kmeans,
+    )
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    n = emb.count()
+    base = tempfile.mkdtemp(prefix="stream_km_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    bcol = F.least(
+        F.lit(2), F.floor(F.col("vec_id") * 3.0 / n)
+    ).cast("int")
+    _stage_bucketed_batches(base, in_dir, emb.withColumn("__b", bcol), 3)
+    seeds = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state_dir = os.path.join(base, "state")
+    run_streaming_kmeans(
+        spark,
+        stream,
+        state_dir,
+        os.path.join(base, "ckpt"),
+        seeds=seeds,
+        vec_col="embedding",
+        timeout_sec=600.0,
+    )
+    cents = _km_centroids(read_kmeans_state(spark, state_dir), seeds)
+    best = _nearest_centroid_expr(cents, _f64(F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        best["cluster"].cast("bigint").alias("cluster"),
+        best["dist2"].alias("dist2"),
+    )

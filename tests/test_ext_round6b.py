@@ -206,3 +206,117 @@ def test_kmeans_lloyd_drops_emptied_cluster(spark):
         for r in kmeans_lloyd(emb, cents, n_iter=2).collect()
     }
     assert got == {0: (0, 1.0), 1: (0, 0.0), 2: (0, 1.0)}
+
+
+def _stage_two_batches(tmp_path, spark, rows):
+    """rows: list of (vec_id, [floats], batch)."""
+    import os, time
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for b in (0, 1):
+        df = spark.createDataFrame(
+            [(i, v) for i, v, bb in rows if bb == b],
+            "vec_id long, embedding array<double>",
+        )
+        stage = str(tmp_path / f"stage{b}")
+        df.coalesce(1).write.parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        os.rename(os.path.join(stage, src), dst)
+        os.utime(dst, (time.time() - (2 - b) * 100,) * 2)
+    return in_dir
+
+
+def _run_km(spark, tmp_path, in_dir, seeds, tag):
+    from entity_etl_spark.ext.similarity import run_streaming_kmeans
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state = str(tmp_path / f"state_{tag}")
+    run_streaming_kmeans(
+        spark,
+        stream,
+        state,
+        str(tmp_path / f"ckpt_{tag}"),
+        seeds=seeds,
+        vec_col="embedding",
+        timeout_sec=300.0,
+    )
+    return state
+
+
+def test_streaming_kmeans_running_mean_hand_fixture(spark, tmp_path):
+    """1-D fixture, exact values: batch 1 assigns against the SEEDS
+    (state empty), batch 2 against the batch-1 means — the sequential
+    semantics that distinguish this from one-shot Lloyd's."""
+    from entity_etl_spark.ext.similarity import (
+        _km_centroids,
+        read_kmeans_state,
+    )
+
+    rows = [
+        (0, [0.0], 0),
+        (1, [10.0], 0),
+        (4, [4.0], 1),   # vs seed means (0, 10): 16 < 36 -> cluster 0
+        (12, [12.0], 1),
+    ]
+    seeds = [(0, [0.0]), (1, [10.0])]
+    in_dir = _stage_two_batches(tmp_path, spark, rows)
+    state_dir = _run_km(spark, tmp_path, in_dir, seeds, "hand")
+    state = read_kmeans_state(spark, state_dir)
+    got = {
+        (r.cluster, r.pos): (float(r.s), r.m) for r in state.collect()
+    }
+    # c0 folded {0, 4}: s=4, m=2; c1 folded {10, 12}: s=22, m=2
+    assert got == {(0, 0): (4.0, 2), (1, 0): (22.0, 2)}
+    cents = _km_centroids(state, seeds)
+    assert cents == [(0, [2.0]), (1, [11.0])]
+
+
+def test_streaming_kmeans_replay_is_idempotent(spark, tmp_path):
+    """A full second run over the same input with the SAME state dir but
+    a fresh checkpoint (= every batch replayed at-least-once) must leave
+    the state exactly as the first run did: each batch recomputes from
+    the state before it and overwrites its own slot."""
+    from entity_etl_spark.ext.similarity import read_kmeans_state
+
+    rows = [
+        (0, [0.0], 0),
+        (1, [10.0], 0),
+        (4, [4.0], 1),
+        (12, [12.0], 1),
+    ]
+    seeds = [(0, [0.0]), (1, [10.0])]
+    in_dir = _stage_two_batches(tmp_path, spark, rows)
+    state_dir = _run_km(spark, tmp_path, in_dir, seeds, "rep")
+    first = sorted(
+        (r.cluster, r.pos, float(r.s), r.m)
+        for r in read_kmeans_state(spark, state_dir).collect()
+    )
+
+    # replay: fresh checkpoint, same state dir
+    from entity_etl_spark.ext.similarity import run_streaming_kmeans
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    run_streaming_kmeans(
+        spark,
+        stream,
+        state_dir,
+        str(tmp_path / "ckpt_rep2"),
+        seeds=seeds,
+        vec_col="embedding",
+        timeout_sec=300.0,
+    )
+    second = sorted(
+        (r.cluster, r.pos, float(r.s), r.m)
+        for r in read_kmeans_state(spark, state_dir).collect()
+    )
+    assert first == second
