@@ -115,3 +115,74 @@ def probe_bloom(df: DataFrame, key_col: str, bloom: BloomFilter) -> DataFrame:
         .select(key_col)
     )
     return df.join(hit, key_col, "left_semi")
+
+
+# --------------------------------------------------- streaming bloom state
+BLOOM_STATE_SCHEMA = "word_idx long, bits long"
+
+
+def run_streaming_bloom(
+    spark,
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    batch_to_keys,
+    key_col: str,
+    n_bits: int,
+    k: int,
+    timeout_sec: float = 300.0,
+) -> None:
+    """Maintain a Bloom filter incrementally over a stream: each
+    micro-batch writes ITS OWN word table (≤ n_bits/64 rows) to
+    ``state_dir/batch=<id>``; reading merges words by ``bit_or``. OR is
+    associative, commutative, AND idempotent, so per-batch-dir overwrite
+    makes at-least-once replay exact — the merged filter is bit-for-bit
+    the one-shot filter over everything streamed (the registry query's
+    oracle pins that equivalence). The third exactly-mergeable state
+    family next to count-min (sums of counts) and streaming k-means
+    (sums of coordinates): here the monoid is 64-bit OR.
+
+    ``n_bits``/``k`` are REQUIRED: the layout must be pinned up front —
+    per-batch auto-sizing would give each batch a different geometry and
+    merging mismatched layouts silently breaks membership. Size for the
+    expected TOTAL keys, not a batch.
+    """
+    import os
+
+    from ..streaming import run_available_now
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        keys = batch_to_keys(batch_df)
+        bloom = build_bloom(keys, key_col, n_bits=n_bits, k=k)
+        bloom.words.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+
+
+def read_bloom_state(spark, state_dir: str, n_bits: int, k: int) -> BloomFilter:
+    """Merged view of the per-batch word tables in ``state_dir`` (the
+    empty filter if the stream never wrote state)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        words = (
+            spark.read.schema(BLOOM_STATE_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(state_dir)
+        )
+    except AnalysisException:
+        return BloomFilter(
+            words=spark.createDataFrame([], BLOOM_STATE_SCHEMA),
+            n_bits=n_bits,
+            k=k,
+        )
+    merged = words.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    return BloomFilter(words=merged, n_bits=n_bits, k=k)

@@ -12327,3 +12327,116 @@ def q_streaming_kmeans_state(spark: SparkSession, sf: str) -> DataFrame:
         best["cluster"].cast("bigint").alias("cluster"),
         best["dist2"].alias("dist2"),
     )
+
+
+@register(
+    "streaming_bloom_state",
+    """
+    -- Decidable contracts of the streamed Bloom filter, restated
+    -- relationally (the bloom_membership_prefilter pattern): the exact
+    -- member count; zero false negatives (OR-merge cannot lose a bit);
+    -- and word-table EQUALITY with the one-shot filter over everything
+    -- streamed (OR is associative + commutative + idempotent, so the
+    -- per-batch merge must be bit-for-bit the one-shot build — any lost
+    -- batch or layout drift flips the boolean and hash-mismatches).
+    SELECT CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                    THEN event_id END) AS BIGINT) AS n_exact,
+           true AS no_false_negatives,
+           true AS merged_equals_oneshot
+    FROM events
+    """,
+    doc="E6 + streaming: Bloom filter maintained incrementally under "
+    "Structured Streaming (ext/bloom.run_streaming_bloom) — each "
+    "micro-batch overwrites its own <= n_bits/64 word table at "
+    "state/batch=<id> (idempotent under at-least-once replay); reading "
+    "merges words by bit_or. The third exactly-mergeable streaming-state "
+    "family after count-min (count sums) and online k-means (coordinate "
+    "sums): the monoid here is 64-bit OR, so the streamed filter must "
+    "equal the one-shot filter bit-for-bit — asserted in-query along "
+    "with the no-false-negative contract. 100 TB shape: per-day filters "
+    "compose into arbitrary windows without touching raw keys.",
+    tags=("streaming",),
+)
+def q_streaming_bloom_state(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .ext.bloom import (
+        build_bloom,
+        probe_bloom,
+        read_bloom_state,
+        run_streaming_bloom,
+    )
+
+    ev = read_sf_table(spark, sf, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        .distinct()
+    )
+    n_members = members.count()
+    # pinned layout sized for the TOTAL member count (~1% fp target)
+    n_bits = max(64, ((10 * max(n_members, 1) + 63) // 64) * 64)
+    k = 5
+    base = tempfile.mkdtemp(prefix="stream_bloom_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    # stage the MEMBER ids (the filter's build side) in 3 batches; the
+    # tercile rule is on the dense member rank, not raw event_id
+    ranked = members.withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy("event_id")) - 1,
+    )
+    staged = ranked.withColumn(
+        "__b",
+        F.least(F.lit(2), F.floor(F.col("__r") * 3.0 / n_members)).cast(
+            "int"
+        ),
+    ).select("event_id", "__b")
+    _stage_bucketed_batches(base, in_dir, staged, 3)
+    stream = (
+        spark.readStream.schema("event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state_dir = os.path.join(base, "state")
+    run_streaming_bloom(
+        spark,
+        stream,
+        state_dir,
+        os.path.join(base, "ckpt"),
+        batch_to_keys=lambda b: b,
+        key_col="event_id",
+        n_bits=n_bits,
+        k=k,
+        timeout_sec=600.0,
+    )
+    streamed = read_bloom_state(spark, state_dir, n_bits, k)
+    oneshot = build_bloom(members, "event_id", n_bits=n_bits, k=k)
+    # word-table equality: full outer join, every (word_idx, bits) pair
+    # present and equal on both sides
+    a = streamed.words.select(
+        "word_idx", F.col("bits").alias("__sb")
+    )
+    b = oneshot.words.select("word_idx", F.col("bits").alias("__ob"))
+    diff = (
+        a.join(b, "word_idx", "full_outer")
+        .filter(
+            F.col("__sb").isNull()
+            | F.col("__ob").isNull()
+            | (F.col("__sb") != F.col("__ob"))
+        )
+        .count()
+    )
+    probable = probe_bloom(
+        ev.select("event_id").distinct(), "event_id", streamed
+    )
+    covered = probable.join(members, "event_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(n_members, covered == n_members, diff == 0)],
+        "n_exact bigint, no_false_negatives boolean, "
+        "merged_equals_oneshot boolean",
+    )

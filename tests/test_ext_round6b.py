@@ -320,3 +320,73 @@ def test_streaming_kmeans_replay_is_idempotent(spark, tmp_path):
         for r in read_kmeans_state(spark, state_dir).collect()
     )
     assert first == second
+
+
+def test_streaming_bloom_merge_equals_oneshot_and_detects_lost_batch(
+    spark, tmp_path
+):
+    """OR-merged per-batch word tables must equal the one-shot filter;
+    deleting a batch slot (a lost batch) must break the equality — the
+    exact failure the registry gate exists to catch."""
+    import os
+    import shutil
+    import time
+
+    from entity_etl_spark.ext.bloom import (
+        build_bloom,
+        read_bloom_state,
+        run_streaming_bloom,
+    )
+
+    keys = list(range(100))
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for b in (0, 1):
+        df = spark.createDataFrame(
+            [(x,) for x in keys if x % 2 == b], "event_id bigint"
+        )
+        stage = str(tmp_path / f"stage{b}")
+        df.coalesce(1).write.parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"b{b}.parquet")
+        os.rename(os.path.join(stage, src), dst)
+        os.utime(dst, (time.time() - (2 - b) * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state_dir = str(tmp_path / "state")
+    run_streaming_bloom(
+        spark,
+        stream,
+        state_dir,
+        str(tmp_path / "ckpt"),
+        batch_to_keys=lambda b_: b_,
+        key_col="event_id",
+        n_bits=1024,
+        k=5,
+        timeout_sec=300.0,
+    )
+    all_df = spark.createDataFrame([(x,) for x in keys], "event_id bigint")
+    oneshot = {
+        (r.word_idx, r.bits)
+        for r in build_bloom(all_df, "event_id", n_bits=1024, k=5)
+        .words.collect()
+    }
+    merged = {
+        (r.word_idx, r.bits)
+        for r in read_bloom_state(spark, state_dir, 1024, 5).words.collect()
+    }
+    assert merged == oneshot
+
+    # lose a batch -> equality must break
+    slots = [d for d in os.listdir(state_dir) if d.startswith("batch=")]
+    assert len(slots) == 2
+    shutil.rmtree(os.path.join(state_dir, sorted(slots)[1]))
+    degraded = {
+        (r.word_idx, r.bits)
+        for r in read_bloom_state(spark, state_dir, 1024, 5).words.collect()
+    }
+    assert degraded != oneshot
