@@ -113,6 +113,11 @@ def main() -> None:
         # exists to catch the generator/expensive-expression recompute
         # class (the fused-select form read ~17x at sf1)
         "kmeans_lloyd_2iter": 3.5,
+        # r6b: the exactly-mergeable streaming-state trio (quiet bests
+        # 3.34 / 4.60 / 3.89 s; 2x + 0.5 s)
+        "streaming_countmin_state": 7.2,
+        "streaming_kmeans_state": 9.7,
+        "streaming_bloom_state": 8.3,
     }
     breaches = (
         {
@@ -154,7 +159,8 @@ def main() -> None:
         "boilerplate_segment_removal": 0.62,
         "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 5.40,
         "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
-        "kmeans_lloyd_2iter": 1.49,
+        "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
+        "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
     }
     sf1_breaches = (
         {

@@ -11862,7 +11862,7 @@ def q_streaming_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     "replays — any lost batch, double-applied batch, or merge bug "
     "hash-mismatches. The 100 TB shape: per-day sketches compose into "
     "arbitrary windows without touching raw data.",
-    tags=("streaming",),
+    tags=("streaming", "bench2",),
 )
 def q_streaming_countmin_state(spark: SparkSession, sf: str) -> DataFrame:
     import atexit
@@ -12273,7 +12273,7 @@ def q_kmeans_lloyd_2iter(spark: SparkSession, sf: str) -> DataFrame:
     "full-corpus assignment against the post-stream centroids. 100 TB "
     "shape: per batch one map-only assignment + one k x dim aggregation; "
     "state is sketch-sized, never the data.",
-    tags=("streaming",),
+    tags=("streaming", "bench2",),
 )
 def q_streaming_kmeans_state(spark: SparkSession, sf: str) -> DataFrame:
     import atexit
@@ -12355,7 +12355,7 @@ def q_streaming_kmeans_state(spark: SparkSession, sf: str) -> DataFrame:
     "equal the one-shot filter bit-for-bit — asserted in-query along "
     "with the no-false-negative contract. 100 TB shape: per-day filters "
     "compose into arbitrary windows without touching raw keys.",
-    tags=("streaming",),
+    tags=("streaming", "bench2",),
 )
 def q_streaming_bloom_state(spark: SparkSession, sf: str) -> DataFrame:
     import atexit
