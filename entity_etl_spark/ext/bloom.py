@@ -150,7 +150,13 @@ def run_streaming_bloom(
     """
     import os
 
-    from ..streaming import run_available_now
+    from ..streaming import (
+        reset_state_slots_if_fresh_checkpoint,
+        run_available_now,
+    )
+
+    # stale slots from a previous run would be OR-folded into the merge
+    reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -716,7 +716,14 @@ def run_streaming_kmeans(
     """
     import os
 
-    from ..streaming import run_available_now
+    from ..streaming import (
+        reset_state_slots_if_fresh_checkpoint,
+        run_available_now,
+    )
+
+    # a fresh checkpoint restarts batch ids at 0 — slots left by a longer
+    # previous run would otherwise be read back as final state
+    reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

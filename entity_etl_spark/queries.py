@@ -12283,8 +12283,7 @@ def q_streaming_kmeans_state(spark: SparkSession, sf: str) -> DataFrame:
 
     from .ext.similarity import (
         _km_centroids,
-        _nearest_centroid_expr,
-        _f64,
+        assign_nearest_centroid,
         read_kmeans_state,
         run_streaming_kmeans,
     )
@@ -12321,11 +12320,11 @@ def q_streaming_kmeans_state(spark: SparkSession, sf: str) -> DataFrame:
         timeout_sec=600.0,
     )
     cents = _km_centroids(read_kmeans_state(spark, state_dir), seeds)
-    best = _nearest_centroid_expr(cents, _f64(F.col("embedding")))
-    return emb.select(
+    out = assign_nearest_centroid(emb, cents, "vec_id", "embedding")
+    return out.select(
         "vec_id",
-        best["cluster"].cast("bigint").alias("cluster"),
-        best["dist2"].alias("dist2"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.col("dist2").alias("dist2"),
     )
 
 
@@ -12371,10 +12370,14 @@ def q_streaming_bloom_state(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = read_sf_table(spark, sf, "events")
+    # cached: members feeds the count, the staging write, the one-shot
+    # build, and the coverage semi-join — uncached that is 4 scans of
+    # events plus 4 distincts
     members = (
         ev.filter(F.col("event_type") == "purchase")
         .select("event_id")
         .distinct()
+        .cache()
     )
     n_members = members.count()
     # pinned layout sized for the TOTAL member count (~1% fp target)
@@ -12435,6 +12438,7 @@ def q_streaming_bloom_state(spark: SparkSession, sf: str) -> DataFrame:
         ev.select("event_id").distinct(), "event_id", streamed
     )
     covered = probable.join(members, "event_id", "left_semi").count()
+    members.unpersist()
     return spark.createDataFrame(
         [(n_members, covered == n_members, diff == 0)],
         "n_exact bigint, no_false_negatives boolean, "

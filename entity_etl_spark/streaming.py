@@ -381,3 +381,30 @@ def stateful_ttl_dedup_tws(
             timeMode="ProcessingTime",
         )
     )
+
+
+def reset_state_slots_if_fresh_checkpoint(
+    checkpoint_dir: str, state_dir: str
+) -> None:
+    """Remove ``state_dir/batch=*`` slots when ``checkpoint_dir`` has no
+    committed offsets yet (a NEW logical run, not a crash-resume).
+
+    The per-batch-slot state discipline (count-min / online k-means /
+    Bloom) is idempotent under replays of the SAME batch sequence, but a
+    fresh run pointed at a state_dir left over from a longer previous run
+    would silently read the stale higher slots as final state (sequential
+    reads) or double-fold them (merge-on-read). A fresh checkpoint means
+    batch ids restart at 0, so any existing slot is definitionally stale;
+    a resumed checkpoint keeps its slots — replay needs them.
+    """
+    import os
+    import shutil
+
+    offsets = os.path.join(checkpoint_dir, "offsets")
+    if os.path.isdir(offsets) and os.listdir(offsets):
+        return  # resume: slots are live replay inputs
+    if not os.path.isdir(state_dir):
+        return
+    for d in os.listdir(state_dir):
+        if d.startswith("batch="):
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)

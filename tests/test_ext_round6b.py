@@ -209,22 +209,18 @@ def test_kmeans_lloyd_drops_emptied_cluster(spark):
 
 
 def _stage_two_batches(tmp_path, spark, rows):
-    """rows: list of (vec_id, [floats], batch)."""
-    import os, time
+    """rows: list of (vec_id, [floats], batch) — staged via the same
+    mtime-ordered helper the registry queries use."""
+    import os
+
+    from entity_etl_spark.queries import _stage_bucketed_batches
 
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
-    for b in (0, 1):
-        df = spark.createDataFrame(
-            [(i, v) for i, v, bb in rows if bb == b],
-            "vec_id long, embedding array<double>",
-        )
-        stage = str(tmp_path / f"stage{b}")
-        df.coalesce(1).write.parquet(stage)
-        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        dst = os.path.join(in_dir, f"b{b}.parquet")
-        os.rename(os.path.join(stage, src), dst)
-        os.utime(dst, (time.time() - (2 - b) * 100,) * 2)
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, __b int"
+    )
+    _stage_bucketed_batches(str(tmp_path), in_dir, df, 2)
     return in_dir
 
 
@@ -250,19 +246,22 @@ def _run_km(spark, tmp_path, in_dir, seeds, tag):
 
 
 def test_streaming_kmeans_running_mean_hand_fixture(spark, tmp_path):
-    """1-D fixture, exact values: batch 1 assigns against the SEEDS
-    (state empty), batch 2 against the batch-1 means — the sequential
-    semantics that distinguish this from one-shot Lloyd's."""
+    """1-D fixture, exact values, with a point that DISTINGUISHES the
+    running-mean state from the seeds: after batch 1, c0's mean is 2.0
+    (not the seed 0.0), so 5.5 in batch 2 assigns to cluster 0
+    (|5.5-2| < |5.5-10|) where a seeds-only regression would send it to
+    cluster 1 (|5.5-10| < |5.5-0|) — the sequential semantics are load-
+    bearing in the assertion, not coincident with the seeds."""
     from entity_etl_spark.ext.similarity import (
         _km_centroids,
         read_kmeans_state,
     )
 
     rows = [
-        (0, [0.0], 0),
-        (1, [10.0], 0),
-        (4, [4.0], 1),   # vs seed means (0, 10): 16 < 36 -> cluster 0
-        (12, [12.0], 1),
+        (0, [2.0], 0),    # -> cluster 0 (4 < 64); c0 mean becomes 2.0
+        (1, [10.0], 0),   # -> cluster 1; c1 mean stays 10.0
+        (4, [5.5], 1),    # running: -> 0 (12.25 < 20.25); seeds: -> 1
+        (12, [12.0], 1),  # -> cluster 1 either way
     ]
     seeds = [(0, [0.0]), (1, [10.0])]
     in_dir = _stage_two_batches(tmp_path, spark, rows)
@@ -271,10 +270,11 @@ def test_streaming_kmeans_running_mean_hand_fixture(spark, tmp_path):
     got = {
         (r.cluster, r.pos): (float(r.s), r.m) for r in state.collect()
     }
-    # c0 folded {0, 4}: s=4, m=2; c1 folded {10, 12}: s=22, m=2
-    assert got == {(0, 0): (4.0, 2), (1, 0): (22.0, 2)}
+    # c0 folded {2, 5.5}: s=7.5, m=2; c1 folded {10, 12}: s=22, m=2
+    # (a seeds-only regression reads {(0,0): (2.0, 1), (1,0): (27.5, 3)})
+    assert got == {(0, 0): (7.5, 2), (1, 0): (22.0, 2)}
     cents = _km_centroids(state, seeds)
-    assert cents == [(0, [2.0]), (1, [11.0])]
+    assert cents == [(0, [3.75]), (1, [11.0])]
 
 
 def test_streaming_kmeans_replay_is_idempotent(spark, tmp_path):
@@ -330,27 +330,25 @@ def test_streaming_bloom_merge_equals_oneshot_and_detects_lost_batch(
     exact failure the registry gate exists to catch."""
     import os
     import shutil
-    import time
 
     from entity_etl_spark.ext.bloom import (
         build_bloom,
         read_bloom_state,
         run_streaming_bloom,
     )
+    from entity_etl_spark.queries import _stage_bucketed_batches
 
     keys = list(range(100))
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
-    for b in (0, 1):
-        df = spark.createDataFrame(
-            [(x,) for x in keys if x % 2 == b], "event_id bigint"
-        )
-        stage = str(tmp_path / f"stage{b}")
-        df.coalesce(1).write.parquet(stage)
-        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        dst = os.path.join(in_dir, f"b{b}.parquet")
-        os.rename(os.path.join(stage, src), dst)
-        os.utime(dst, (time.time() - (2 - b) * 100,) * 2)
+    _stage_bucketed_batches(
+        str(tmp_path),
+        in_dir,
+        spark.createDataFrame(
+            [(x, x % 2) for x in keys], "event_id bigint, __b int"
+        ),
+        2,
+    )
 
     stream = (
         spark.readStream.schema("event_id bigint")
@@ -390,3 +388,61 @@ def test_streaming_bloom_merge_equals_oneshot_and_detects_lost_batch(
         for r in read_bloom_state(spark, state_dir, 1024, 5).words.collect()
     }
     assert degraded != oneshot
+
+
+def test_streaming_state_fresh_checkpoint_clears_stale_slots(
+    spark, tmp_path
+):
+    """A NEW run (fresh checkpoint, batch ids restarting at 0) pointed at
+    a state dir left over from a longer previous run must not read the
+    stale higher slots back as final state."""
+    import os
+
+    from entity_etl_spark.ext.similarity import (
+        _km_centroids,
+        read_kmeans_state,
+    )
+
+    rows = [
+        (0, [2.0], 0),
+        (1, [10.0], 0),
+        (4, [5.5], 1),
+        (12, [12.0], 1),
+    ]
+    seeds = [(0, [0.0]), (1, [10.0])]
+    in_dir = _stage_two_batches(tmp_path, spark, rows)
+    # poison: a stale slot from a "previous, longer" run at batch=7
+    state_dir = str(tmp_path / "state_stale")
+    os.makedirs(state_dir)
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(0, 0, Decimal("999.0"), 9)],
+        "cluster int, pos int, s decimal(38,12), m bigint",
+    ).write.parquet(os.path.join(state_dir, "batch=7"))
+
+    from entity_etl_spark.ext.similarity import run_streaming_kmeans
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    run_streaming_kmeans(
+        spark,
+        stream,
+        state_dir,
+        str(tmp_path / "ckpt_stale"),
+        seeds=seeds,
+        vec_col="embedding",
+        timeout_sec=300.0,
+    )
+    got = {
+        (r.cluster, r.pos): (float(r.s), r.m)
+        for r in read_kmeans_state(spark, state_dir).collect()
+    }
+    assert got == {(0, 0): (7.5, 2), (1, 0): (22.0, 2)}
+    assert _km_centroids(read_kmeans_state(spark, state_dir), seeds) == [
+        (0, [3.75]),
+        (1, [11.0]),
+    ]
