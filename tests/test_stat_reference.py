@@ -203,3 +203,155 @@ def test_embedding_label_probe_reference(spark, tmp_path):
     assert got[0].accuracy == pytest.approx(1.0, abs=1e-4)
     assert got[1].n == 3 and got[1].n_correct == 2
     assert got[1].accuracy == pytest.approx(round(2 / 3, 4), abs=1e-4)
+
+
+def test_containment_pairs_against_python_reference(spark):
+    """Independent brute-force reference (plain Python sets) for the
+    containment operator over a randomized corpus with planted overlaps —
+    catches shared-formula bugs the SQL oracle cannot (both sides could
+    encode the same wrong ratio)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(42)
+    vocab = ["w%d" % i for i in range(30)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))))
+    # planted: exact copies, prefixes (subsumption), and padded supersets
+    docs.append((100, docs[3][1]))
+    docs.append((101, " ".join(docs[5][1].split()[:8])))
+    docs.append((102, docs[7][1] + " " + " ".join(rng.choice(vocab) for _ in range(20))))
+
+    def shingles(text, k=3):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def r6(x):
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    expected = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            a, b = sorted((ida, idb))
+            sa = shingles(ta if a == ida else tb)
+            sb = shingles(tb if b == idb else ta)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter / min(len(sa), len(sb)) >= 0.5:
+                expected[(a, b)] = (
+                    r6(inter / len(sa)),
+                    r6(inter / len(sb)),
+                    r6(inter / min(len(sa), len(sb))),
+                )
+
+    from entity_etl_spark.ext.dedup import containment_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b, r.max_containment)
+        for r in containment_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must plant at least one qualifying pair"
+
+
+def test_gopher_gate_against_python_reference(spark):
+    """Independent Python re-implementation of every Gopher rule over a
+    randomized corpus exercising newlines, bullets, ellipses, '#' runs,
+    and unicode markers."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(7)
+    words = ["the", "be", "to", "of", "and", "alpha", "beta", "gamma",
+             "deltaeps", "x", "yy", "zzz", "####", "supercalifragilistic"]
+
+    def rand_line():
+        prefix = rng.choice(["", "", "", "- ", "* ", "• "])
+        suffix = rng.choice(["", "", "", " ...", "…"])
+        body = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        return prefix + body + suffix
+
+    docs = [
+        (i, "\n".join(rand_line() for _ in range(rng.randint(1, 6))))
+        for i in range(60)
+    ]
+
+    def rhu(x, places):
+        q = Decimal("1." + "0" * places)
+        return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+    def ref(text):
+        import re
+
+        toks = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ").lower()) if t]
+        n = len(toks)
+        safe = max(n, 1)
+        mean_wl = rhu(sum(len(t) for t in toks) / safe, 4)
+        hashes = text.count("#")
+        hash_ratio = rhu(hashes / safe, 6)
+        lines = [ln for ln in text.split("\n") if ln.strip(" ") != ""]
+        nl = max(len(lines), 1)
+        ell = sum(
+            1
+            for ln in lines
+            if ln.strip(" ").endswith("...") or ln.strip(" ").endswith("…")
+        )
+        bul = sum(
+            1
+            for ln in lines
+            if ln.strip(" ").startswith("- ")
+            or ln.strip(" ").startswith("* ")
+            or ln.strip(" ").startswith("•")
+        )
+        req = sum(
+            1
+            for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+            if w in toks
+        )
+        rules = {
+            "rule_token_count": 20 <= n <= 100_000,
+            "rule_mean_word_len": 3.0 <= mean_wl <= 10.0,
+            "rule_hash_ratio": hash_ratio <= 0.1,
+            "rule_ellipsis_lines": rhu(ell / nl, 6) <= 0.3,
+            "rule_bullet_lines": rhu(bul / nl, 6) <= 0.9,
+            "rule_required_words": req >= 2,
+        }
+        return (
+            n,
+            mean_wl,
+            hash_ratio,
+            rhu(ell / nl, 6),
+            rhu(bul / nl, 6),
+            req,
+            *rules.values(),
+            all(rules.values()),
+        )
+
+    from entity_etl_spark.ext.text import gopher_gate
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.mean_word_len,
+            r.hash_word_ratio,
+            r.ellipsis_line_frac,
+            r.bullet_line_frac,
+            r.required_word_hits,
+            r.rule_token_count,
+            r.rule_mean_word_len,
+            r.rule_hash_ratio,
+            r.rule_ellipsis_lines,
+            r.rule_bullet_lines,
+            r.rule_required_words,
+            r.keep,
+        )
+        for r in gopher_gate(df).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == ref(text), (doc_id, text, got[doc_id], ref(text))
