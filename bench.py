@@ -113,11 +113,12 @@ def main() -> None:
         # exists to catch the generator/expensive-expression recompute
         # class (the fused-select form read ~17x at sf1)
         "kmeans_lloyd_2iter": 3.5,
-        # r6b: the exactly-mergeable streaming-state trio (quiet bests
-        # 3.34 / 4.60 / 3.89 s; 2x + 0.5 s)
+        # r6b: the exactly-mergeable streaming-state family (quiet bests
+        # 3.34 / 4.60 / 3.89 / 3.52 s; 2x + 0.5 s)
         "streaming_countmin_state": 7.2,
         "streaming_kmeans_state": 9.7,
         "streaming_bloom_state": 8.3,
+        "streaming_topk_state": 7.5,
     }
     breaches = (
         {
@@ -161,6 +162,7 @@ def main() -> None:
         "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
         "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
         "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
+        "streaming_topk_state": 3.52,
     }
     sf1_breaches = (
         {

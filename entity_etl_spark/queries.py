@@ -12444,3 +12444,76 @@ def q_streaming_bloom_state(spark: SparkSession, sf: str) -> DataFrame:
         "n_exact bigint, no_false_negatives boolean, "
         "merged_equals_oneshot boolean",
     )
+
+
+@register(
+    "streaming_topk_state",
+    """
+    -- One-shot exact top-k over the whole corpus: partial top-k is a
+    -- monoid (a global top-k row is necessarily in its own batch's
+    -- top-k), so the streamed per-batch partials merged by re-ranking
+    -- must equal this exactly — any lost batch or rank drift
+    -- hash-mismatches.
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qe), 6)
+               AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="E3 + streaming: exact top-k cosine neighbors maintained over a "
+    "STREAMED corpus (ext/similarity.run_streaming_topk) — each "
+    "micro-batch writes its own |queries| x k batch-local top-k at "
+    "state/batch=<id> (idempotent slot overwrite); reads merge by "
+    "re-ranking the union, which is EXACTLY the one-shot answer because "
+    "partial top-k is a monoid under rank-merge. The fourth "
+    "exactly-mergeable streaming-state family (counts, sums, bits, "
+    "ranks). 100 TB shape: arriving vectors are scored map-side against "
+    "the broadcast query set once, never re-scored; state is "
+    "|queries| x k per batch, never the corpus.",
+    tags=("streaming", "bench2"),
+)
+def q_streaming_topk_state(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .ext.similarity import read_topk_state, run_streaming_topk
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", "embedding"
+    )
+    base = tempfile.mkdtemp(prefix="stream_topk_")
+    atexit.register(shutil.rmtree, base, True)
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    bcol = F.least(F.lit(2), F.floor(F.col("vec_id") * 3.0 / n)).cast("int")
+    _stage_bucketed_batches(base, in_dir, emb.withColumn("__b", bcol), 3)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state_dir = os.path.join(base, "state")
+    run_streaming_topk(
+        spark,
+        stream,
+        state_dir,
+        os.path.join(base, "ckpt"),
+        queries=queries,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        timeout_sec=600.0,
+    )
+    return read_topk_state(spark, state_dir, k=5)

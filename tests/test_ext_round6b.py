@@ -446,3 +446,70 @@ def test_streaming_state_fresh_checkpoint_clears_stale_slots(
         (0, [3.75]),
         (1, [11.0]),
     ]
+
+
+def test_streaming_topk_merges_across_batches_exactly(spark, tmp_path):
+    """The global #1 neighbor arrives in the LAST batch: the merged state
+    must re-rank across batch partials (not first-batch-wins), and
+    deleting that batch's slot must demote it — the monoid property and
+    its failure mode."""
+    import os
+    import shutil
+
+    from entity_etl_spark.ext.similarity import (
+        read_topk_state,
+        run_streaming_topk,
+    )
+    from entity_etl_spark.queries import _stage_bucketed_batches
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # the query itself (self-match excluded)
+        (1, [1.0, 1.0], 0),   # cos = 0.707107
+        (2, [0.0, 1.0], 0),   # cos = 0.0
+        (3, [2.0, 0.2], 1),   # cos = 0.995037 — global #1, last batch
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _stage_bucketed_batches(
+        str(tmp_path),
+        in_dir,
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, __b int"
+        ),
+        2,
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state_dir = str(tmp_path / "state")
+    run_streaming_topk(
+        spark,
+        stream,
+        state_dir,
+        str(tmp_path / "ckpt"),
+        queries=queries,
+        k=2,
+        timeout_sec=300.0,
+    )
+    got = sorted(
+        (r.rnk, r.neighbor_id, r.score)
+        for r in read_topk_state(spark, state_dir, k=2).collect()
+    )
+    assert [(rnk, nid) for rnk, nid, _ in got] == [(1, 3), (2, 1)]
+    assert got[0][2] == 0.995037 and got[1][2] == 0.707107
+
+    # lose the last batch's slot -> the late winner disappears
+    slots = sorted(
+        d for d in os.listdir(state_dir) if d.startswith("batch=")
+    )
+    shutil.rmtree(os.path.join(state_dir, slots[-1]))
+    degraded = sorted(
+        (r.rnk, r.neighbor_id)
+        for r in read_topk_state(spark, state_dir, k=2).collect()
+    )
+    assert degraded == [(1, 1), (2, 2)]
