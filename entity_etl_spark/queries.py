@@ -9971,8 +9971,13 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf: str) -> DataFrame:
       FROM customer
     ),
     cand AS (
+      -- blocking: nation + the corruption-surviving right(name, 6)
+      -- (a single deletion at position 3..12 of 'Customer#%09d' always
+      -- preserves the last 6 chars — 100% recall, ~1-row blocks)
       SELECT d.dirty_id, d.dname, c.c_custkey AS cid, c.c_name AS cname
-      FROM dirty d JOIN customer c ON c.c_nationkey = d.c_nationkey
+      FROM dirty d JOIN customer c
+        ON c.c_nationkey = d.c_nationkey
+       AND right(c.c_name, 6) = right(d.dname, 6)
       WHERE abs(length(d.dname) - length(c.c_name)) <= 1
     ),
     best AS (
@@ -10013,7 +10018,6 @@ def q_entity_resolution_customers(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.er import resolve_entities
 
     cust = read_sf_table(spark, sf, "customer")
-    pos = (F.col("c_custkey") % 10 + 3).cast("int")
     dirty = cust.select(
         F.col("c_custkey").alias("dirty_id"),
         "c_nationkey",
@@ -10022,10 +10026,17 @@ def q_entity_resolution_customers(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("substring(c_name, CAST(c_custkey % 10 + 3 AS INT) + 1)"),
         ).alias("dname"),
     )
+    # corruption-tolerant second blocking key: a single deletion at
+    # position 3..12 of 'Customer#%09d' always preserves the LAST 6
+    # chars, so right(name, 6) has 100% recall by construction while
+    # shrinking blocks from |nation| (6,000 rows at sf1 -> 900M
+    # levenshtein pairs, the full sf1 sweep's slowest task by an hour)
+    # to ~1 row. Blocking-key choice is the documented cost knob; this
+    # is the knob turned.
     best = resolve_entities(
-        dirty,
-        cust,
-        block_cols=["c_nationkey"],
+        dirty.withColumn("__sfx", F.expr("right(dname, 6)")),
+        cust.withColumn("__sfx", F.expr("right(c_name, 6)")),
+        block_cols=["c_nationkey", "__sfx"],
         dirty_id="dirty_id",
         clean_id="c_custkey",
         dirty_name="dname",
