@@ -4303,15 +4303,19 @@ def q_scd2_user_event_history(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "salted_join_orders",
     """
+    -- money sums ride DECIMAL partials end-to-end: at sf1 the outer
+    -- double sum reaches ~5e11 where ordering drift exceeds the 2-dec
+    -- rounding grid (sf1 sweep finding; the conditional_agg lesson)
     WITH dim AS (
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-             round(sum(o_totalprice), 2) AS spend
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                  AS DECIMAL(38,2)) AS spend
       FROM orders GROUP BY o_custkey
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(d.n_orders) AS BIGINT) AS total_orders,
-           round(sum(d.spend), 2) AS total_spend
+           CAST(CAST(sum(spend) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
     FROM events e JOIN dim d ON e.user_id = d.o_custkey
     GROUP BY e.event_type
     """,
@@ -4329,7 +4333,9 @@ def q_salted_join_orders(spark: SparkSession, sf: str) -> DataFrame:
     orders = read_sf_table(spark, sf, "orders")
     dim = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+        .cast("decimal(38,2)")
+        .alias("spend"),
     )
     joined = salted_join(
         ev.withColumnRenamed("user_id", "o_custkey"),
@@ -4342,7 +4348,9 @@ def q_salted_join_orders(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("n_orders").cast("bigint").alias("total_orders"),
-        F.round(F.sum("spend"), 2).alias("total_spend"),
+        F.sum("spend").cast("decimal(38,2)").cast("double").alias(
+            "total_spend"
+        ),
     )
 
 
@@ -7765,9 +7773,22 @@ def q_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q9_product_profit",
     """
+    -- profit rides DECIMAL end-to-end, FACTOR-WISE: the stored doubles
+    -- are exact 2-dec money / 2-dec discount values, so casting each
+    -- factor to decimal recovers them exactly in both engines, and the
+    -- decimal product+sum are exact — no double product whose 10th
+    -- decimal is engine-conversion-dependent, no ordering drift (sf1
+    -- sweep finding: the double sum flipped the 2-dec grid)
+    -- final 2-dec quantize via floor(x*100 + 0.5): the 4-dec exact sums
+    -- tie at .XX50, where Spark's decimal down-cast HALF_UPs but
+    -- DuckDB's TRUNCATES — floor arithmetic on the exact decimal is the
+    -- portable half-up
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(12,4))
+                             - CAST(l.l_discount AS DECIMAL(12,4))))
+                      * 100 + 0.5) AS DOUBLE) / 100 AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -7799,8 +7820,21 @@ def q_q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.floor(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (
+                            F.lit(1).cast("decimal(12,4)")
+                            - F.col("l_discount").cast("decimal(12,4)")
+                        )
+                    )
+                    * 100
+                    # decimal literal: a double 0.5 would coerce the
+                    # exact decimal sum to double before the floor
+                    + F.lit("0.5").cast("decimal(2,1)")
+                ).cast("double")
+                / 100
             ).alias("profit")
         )
     )
