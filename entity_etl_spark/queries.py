@@ -2146,16 +2146,21 @@ def q_grouped_pandas_normalize(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "neardup_groups",
     r"""
+    -- sh/pairs/edges MATERIALIZED: edges references pairs twice and the
+    -- recursion scans edges every iteration — inlined, DuckDB re-ran
+    -- the O(shingle-join) pair computation per reference and blew the
+    -- 4 GB spill cap at sf1 (sweep finding); materialized, the
+    -- recursion runs over the tiny edge set
     WITH RECURSIVE toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
       FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
       FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -2164,7 +2169,7 @@ def q_grouped_pandas_normalize(spark: SparkSession, sf: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
     ),
