@@ -176,19 +176,8 @@ def run_streaming_bloom(
 def read_bloom_state(spark, state_dir: str, n_bits: int, k: int) -> BloomFilter:
     """Merged view of the per-batch word tables in ``state_dir`` (the
     empty filter if the stream never wrote state)."""
-    from pyspark.errors import AnalysisException
+    from ..streaming import read_state_slots
 
-    try:
-        words = (
-            spark.read.schema(BLOOM_STATE_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(state_dir)
-        )
-    except AnalysisException:
-        return BloomFilter(
-            words=spark.createDataFrame([], BLOOM_STATE_SCHEMA),
-            n_bits=n_bits,
-            k=k,
-        )
+    words = read_state_slots(spark, state_dir, BLOOM_STATE_SCHEMA)
     merged = words.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
     return BloomFilter(words=merged, n_bits=n_bits, k=k)

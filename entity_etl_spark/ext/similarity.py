@@ -776,7 +776,8 @@ def read_kmeans_state(spark, state_dir: str):
 
 # ------------------------------------------------ streaming top-k state
 TOPK_STATE_SCHEMA = (
-    "query_id long, neighbor_id long, score double, rnk bigint"
+    "query_id long, neighbor_id long, score double, rnk bigint, "
+    "write_k int"
 )
 
 
@@ -817,13 +818,21 @@ def run_streaming_topk(
 
     reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
 
+    # pin the (small-by-contract) query set ONCE: left as a lazy plan it
+    # would re-scan its source inside every foreachBatch call
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_schema = queries.select(id_col, vec_col).schema
+    pinned_queries = spark.createDataFrame(q_rows, q_schema)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df = batch_df.repartition(
             spark.sparkContext.defaultParallelism
         )
-        top = topk_brute_force(batch_df, queries, id_col, vec_col, k=k)
+        top = topk_brute_force(
+            batch_df, pinned_queries, id_col, vec_col, k=k
+        ).withColumn("write_k", F.lit(k).cast("int"))
         top.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch={batch_id}")
         )
@@ -831,20 +840,30 @@ def run_streaming_topk(
     run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
 
 
-def read_topk_state(spark, state_dir: str, k: int = 5) -> DataFrame:
+def read_topk_state(spark, state_dir: str, k: int | None = None) -> DataFrame:
     """Merged exact top-k per query from the per-batch partials (the
-    empty result if the stream never wrote state)."""
-    from pyspark.errors import AnalysisException
+    empty result if the stream never wrote state).
+
+    The merge is exact only up to the k the STREAM was run with (each
+    slot retains write-k rows per query — rank write-k+1 of the union is
+    not the true global rank write-k+1). The writer records write_k in
+    the state, so ``k=None`` (default) reads at exactly that depth and a
+    larger explicit ``k`` raises instead of silently returning a
+    plausible-but-wrong deeper ranking."""
     from pyspark.sql import Window
 
-    try:
-        parts = (
-            spark.read.schema(TOPK_STATE_SCHEMA)
-            .option("recursiveFileLookup", "true")
-            .parquet(state_dir)
+    from ..streaming import read_state_slots
+
+    parts = read_state_slots(spark, state_dir, TOPK_STATE_SCHEMA)
+    wk_row = parts.agg(F.min("write_k").alias("wk")).collect()[0]
+    write_k = wk_row["wk"]
+    if k is None:
+        k = write_k if write_k is not None else 0
+    elif write_k is not None and k > write_k:
+        raise ValueError(
+            f"read k={k} exceeds the stream's write_k={write_k}: ranks "
+            f"beyond write_k are not the true global top-k"
         )
-    except AnalysisException:
-        return spark.createDataFrame([], TOPK_STATE_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.col("neighbor_id")
     )

@@ -172,17 +172,9 @@ def read_countmin_state(spark, state_dir: str) -> DataFrame:
     """Merged view of the per-batch sketches in ``state_dir``. A stream
     that never wrote state (all batches empty) yields the empty — i.e.
     all-zero — sketch rather than a missing-path error."""
-    from pyspark.errors import AnalysisException
+    from ..streaming import read_state_slots
 
-    try:
-        cells = (
-            spark.read.schema(CM_STATE_SCHEMA)
-            # per-batch subdirs are replay slots, not partition columns
-            .option("recursiveFileLookup", "true")
-            .parquet(state_dir)
-        )
-    except AnalysisException:
-        return spark.createDataFrame([], CM_STATE_SCHEMA)
+    cells = read_state_slots(spark, state_dir, CM_STATE_SCHEMA)
     return cells.groupBy("j", "bkt").agg(
         F.sum("c").cast("bigint").alias("c")
     )

@@ -4308,19 +4308,22 @@ def q_scd2_user_event_history(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "salted_join_orders",
     """
-    -- money sums ride DECIMAL partials end-to-end: at sf1 the outer
-    -- double sum reaches ~5e11 where ordering drift exceeds the 2-dec
-    -- rounding grid (sf1 sweep finding; the conditional_agg lesson)
+    -- money sums ride DECIMAL(38,10) partials end-to-end (at sf1 the
+    -- outer double sum reaches ~5e11 where ordering drift exceeds the
+    -- 2-dec grid), and the single final quantize is floor(x*100 + 0.5)
+    -- on the exact decimal: a decimal DOWN-CAST would HALF_UP in Spark
+    -- but TRUNCATE in DuckDB, which diverges once o_totalprice > 2^19
+    -- (a double's ulp there exceeds the 1e-10 cast grid)
     WITH dim AS (
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
-                  AS DECIMAL(38,2)) AS spend
+             sum(CAST(o_totalprice AS DECIMAL(38,10))) AS spend
       FROM orders GROUP BY o_custkey
     )
     SELECT e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(d.n_orders) AS BIGINT) AS total_orders,
-           CAST(CAST(sum(spend) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
+           CAST(floor(sum(spend) * 100 + 0.5) AS DOUBLE) / 100
+             AS total_spend
     FROM events e JOIN dim d ON e.user_id = d.o_custkey
     GROUP BY e.event_type
     """,
@@ -4338,9 +4341,7 @@ def q_salted_join_orders(spark: SparkSession, sf: str) -> DataFrame:
     orders = read_sf_table(spark, sf, "orders")
     dim = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
-        .cast("decimal(38,2)")
-        .alias("spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("spend"),
     )
     joined = salted_join(
         ev.withColumnRenamed("user_id", "o_custkey"),
@@ -4353,9 +4354,12 @@ def q_salted_join_orders(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("n_orders").cast("bigint").alias("total_orders"),
-        F.sum("spend").cast("decimal(38,2)").cast("double").alias(
-            "total_spend"
-        ),
+        (
+            F.floor(
+                F.sum("spend") * 100 + F.lit("0.5").cast("decimal(2,1)")
+            ).cast("double")
+            / 100
+        ).alias("total_spend"),
     )
 
 

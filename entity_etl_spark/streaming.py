@@ -408,3 +408,21 @@ def reset_state_slots_if_fresh_checkpoint(
     for d in os.listdir(state_dir):
         if d.startswith("batch="):
             shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
+def read_state_slots(spark, state_dir: str, schema: str):
+    """Read every ``state_dir/batch=<id>`` slot as one DataFrame (the
+    shared read side of the per-batch-slot state discipline — count-min,
+    Bloom, streaming top-k). A state dir that was never written yields
+    the EMPTY frame of ``schema`` rather than a missing-path error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.schema(schema)
+            # per-batch subdirs are replay slots, not partition columns
+            .option("recursiveFileLookup", "true")
+            .parquet(state_dir)
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
