@@ -147,30 +147,22 @@ def run_streaming_bloom(
     per-batch auto-sizing would give each batch a different geometry and
     merging mismatched layouts silently breaks membership. Size for the
     expected TOTAL keys, not a batch.
+
+    Runs on the shared slot kernel (:func:`..streaming.run_slot_stream`):
+    path guards, stale-slot reset, batch spreading, and the idempotent
+    per-slot overwrite live there; this op contributes only the OR-monoid
+    partial (a batch-local word table).
     """
-    import os
+    from ..streaming import run_slot_stream
 
-    from ..streaming import (
-        reset_state_slots_if_fresh_checkpoint,
-        run_available_now,
-    )
-
-    # stale slots from a previous run would be OR-folded into the merge
-    reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df = batch_df.repartition(
-            spark.sparkContext.defaultParallelism
-        )
+    def slot(batch_df: DataFrame, batch_id: int) -> DataFrame:
         keys = batch_to_keys(batch_df)
-        bloom = build_bloom(keys, key_col, n_bits=n_bits, k=k)
-        bloom.words.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
+        return build_bloom(keys, key_col, n_bits=n_bits, k=k).words
 
-    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+    run_slot_stream(
+        spark, stream, state_dir, checkpoint_dir, slot,
+        timeout_sec=timeout_sec,
+    )
 
 
 def read_bloom_state(spark, state_dir: str, n_bits: int, k: int) -> BloomFilter:

@@ -713,24 +713,15 @@ def run_streaming_kmeans(
     (SemDeDup-style cells maintained online): assignment is a map over
     each arriving batch against k literal centroids; only sketch-sized
     state persists.
+
+    Runs on the shared slot kernel (:func:`..streaming.run_slot_stream`);
+    unlike the merge-on-read families this op's slot holds the FOLDED
+    cumulative state (sequential read), which is why the slot fn reads
+    the prior slot itself.
     """
-    import os
+    from ..streaming import run_slot_stream
 
-    from ..streaming import (
-        reset_state_slots_if_fresh_checkpoint,
-        run_available_now,
-    )
-
-    # a fresh checkpoint restarts batch ids at 0 — slots left by a longer
-    # previous run would otherwise be read back as final state
-    reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df = batch_df.repartition(
-            spark.sparkContext.defaultParallelism
-        )
+    def slot(batch_df: DataFrame, batch_id: int) -> DataFrame:
         prev = _km_read_state(spark, state_dir, before=batch_id)
         cents = _km_centroids(prev, seeds)
         v = _f64(F.col(vec_col))
@@ -756,21 +747,28 @@ def run_streaming_kmeans(
             .groupBy("cluster", "pos")
             .agg(F.sum("s").alias("s"), F.sum("m").alias("m"))
         )
-        out = merged.select(
+        return merged.select(
             F.col("cluster").cast("int"),
             F.col("pos").cast("int"),
             F.col("s").cast("decimal(38,12)"),
             F.col("m").cast("bigint"),
         )
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
 
-    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+    run_slot_stream(
+        spark, stream, state_dir, checkpoint_dir, slot,
+        timeout_sec=timeout_sec,
+    )
 
 
 def read_kmeans_state(spark, state_dir: str):
-    """Final cumulative state (None if the stream never wrote any)."""
+    """Final cumulative state (None if the stream never wrote any).
+
+    Local-path contract as on the write side: the slot listing is
+    driver-local, so a URI-schemed dir raises instead of silently
+    reading as "no state"."""
+    from ..streaming import require_local_state_paths
+
+    require_local_state_paths(state_dir)
     return _km_read_state(spark, state_dir)
 
 
@@ -809,35 +807,38 @@ def run_streaming_topk(
     batch is scored map-side against the (tiny, broadcast) query set;
     nothing is ever re-scored.
     """
-    import os
-
-    from ..streaming import (
-        reset_state_slots_if_fresh_checkpoint,
-        run_available_now,
-    )
-
-    reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
+    from ..streaming import run_slot_stream
 
     # pin the (small-by-contract) query set ONCE: left as a lazy plan it
-    # would re-scan its source inside every foreachBatch call
-    q_rows = queries.select(id_col, vec_col).collect()
+    # would re-scan its source inside every foreachBatch call. The pin is
+    # a driver-side collect, so it routes through the same row-cap guard
+    # as every other driver-side matrix pull — a mistakenly-huge query
+    # side raises instead of OOMing the driver
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .limit(MAX_DRIVER_COLLECT_ROWS + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_DRIVER_COLLECT_ROWS:
+        raise ValueError(
+            f"query side has more than {MAX_DRIVER_COLLECT_ROWS} rows; "
+            "refusing the driver-side pin (it would risk a driver OOM). "
+            "The streaming top-k contract is a small query set scored "
+            "against a streamed corpus — swap the sides, or raise "
+            "MAX_DRIVER_COLLECT_ROWS deliberately."
+        )
     q_schema = queries.select(id_col, vec_col).schema
     pinned_queries = spark.createDataFrame(q_rows, q_schema)
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df = batch_df.repartition(
-            spark.sparkContext.defaultParallelism
-        )
-        top = topk_brute_force(
+    def slot(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return topk_brute_force(
             batch_df, pinned_queries, id_col, vec_col, k=k
         ).withColumn("write_k", F.lit(k).cast("int"))
-        top.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
 
-    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+    run_slot_stream(
+        spark, stream, state_dir, checkpoint_dir, slot,
+        timeout_sec=timeout_sec,
+    )
 
 
 def read_topk_state(spark, state_dir: str, k: int | None = None) -> DataFrame:
@@ -855,8 +856,21 @@ def read_topk_state(spark, state_dir: str, k: int | None = None) -> DataFrame:
     from ..streaming import read_state_slots
 
     parts = read_state_slots(spark, state_dir, TOPK_STATE_SCHEMA)
-    wk_row = parts.agg(F.min("write_k").alias("wk")).collect()[0]
+    wk_row = parts.agg(
+        F.min("write_k").alias("wk"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     write_k = wk_row["wk"]
+    if k is None and write_k is None and wk_row["n"] > 0:
+        # state exists but carries no write_k (written before the column
+        # existed, or by another writer — read_state_slots imposes the
+        # schema, so the column reads as null): a real merged top-k is
+        # sitting in the slots and silently returning empty would mask it
+        raise ValueError(
+            f"state at {state_dir!r} has {wk_row['n']} rows but no "
+            "write_k column: cannot establish the depth the stream was "
+            "run with. Re-run the stream with this writer, or pass an "
+            "explicit k you can vouch for."
+        )
     if k is None:
         k = write_k if write_k is not None else 0
     elif write_k is not None and k > write_k:

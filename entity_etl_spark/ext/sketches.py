@@ -141,31 +141,23 @@ def run_streaming_countmin(
     its own cells instead of double-counting them, so the merged sketch
     stays bit-identical to the one-shot batch sketch — the registry
     query's oracle pins that equivalence. ``batch_to_keys`` maps a raw
-    micro-batch to the key rows to sketch (e.g. tokenize)."""
-    import os
+    micro-batch to the key rows to sketch (e.g. tokenize).
 
-    from ..streaming import (
-        reset_state_slots_if_fresh_checkpoint,
-        run_available_now,
-    )
+    Runs on the shared slot kernel (:func:`..streaming.run_slot_stream`);
+    this op contributes only the sum-monoid partial (a batch-local
+    ≤ depth×width cell table)."""
+    from ..streaming import run_slot_stream
 
-    # stale slots from a previous run would be sum-folded into the merge
-    reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # a landed file arrives as ONE partition; spread the tokenize
-        batch_df = batch_df.repartition(spark.sparkContext.defaultParallelism)
+    def slot(batch_df: DataFrame, batch_id: int) -> DataFrame:
         keys = batch_to_keys(batch_df)
-        sk = build_countmin(
+        return build_countmin(
             keys, key_col, depth=depth, width=width, weight_col=weight_col
         )
-        sk.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
 
-    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+    run_slot_stream(
+        spark, stream, state_dir, checkpoint_dir, slot,
+        timeout_sec=timeout_sec, coalesce=None,
+    )
 
 
 def read_countmin_state(spark, state_dir: str) -> DataFrame:

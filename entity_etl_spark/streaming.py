@@ -26,6 +26,7 @@ batch), matching app.js:55-58; sinks must upsert by id.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Sequence
 from typing import Any, Iterator
 
@@ -383,6 +384,89 @@ def stateful_ttl_dedup_tws(
     )
 
 
+def require_local_state_paths(*paths: str) -> None:
+    """Reject URI-schemed state/checkpoint paths for the per-batch-slot
+    state discipline.
+
+    Slot WRITES go through Spark's writer (which resolves any Hadoop
+    filesystem), but the read/reset side (:func:`_km_state_dirs`-style
+    listings, :func:`reset_state_slots_if_fresh_checkpoint`) is
+    driver-local ``os.*`` — pointed at ``hdfs://`` / ``s3a://`` (or even
+    ``file://``, which ``os.path`` does not resolve) it would silently
+    find no prior state, so every batch folds against the seeds and the
+    "cumulative" state is silently wrong rather than loud. Until the
+    read side routes through the Hadoop FileSystem API, the contract is
+    plain local filesystem paths — enforced here, once, for every slot
+    op."""
+    for p in paths:
+        if p is not None and re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p):
+            raise ValueError(
+                f"slot-state path {p!r} carries a URI scheme: the "
+                "per-batch-slot state kernel reads state via driver-local "
+                "filesystem calls, so remote (or file://-prefixed) state "
+                "dirs would silently read as empty. Pass a plain local "
+                "path (strip the scheme), or mount the remote store "
+                "locally."
+            )
+
+
+def run_slot_stream(
+    spark,
+    stream,
+    state_dir: str,
+    checkpoint_dir: str,
+    slot_fn,
+    *,
+    timeout_sec: float = 300.0,
+    coalesce: int | None = 1,
+) -> None:
+    """Shared per-batch-slot streaming state kernel (count-min / Bloom /
+    online k-means / streaming top-k — the exactly-mergeable state
+    families).
+
+    The cycle every slot op repeats, extracted once:
+
+    1. guard driver-local paths (:func:`require_local_state_paths`);
+    2. drop stale ``batch=*`` slots when the checkpoint is fresh
+       (:func:`reset_state_slots_if_fresh_checkpoint`);
+    3. per micro-batch: skip empties, spread the landed single-partition
+       batch across the cluster, call ``slot_fn(batch_df, batch_id)`` for
+       the slot CONTENT (a partial for merge-on-read families, the
+       folded cumulative state for sequential families like k-means),
+       and overwrite ``state_dir/batch=<id>`` — per-slot overwrite is
+       what makes at-least-once foreachBatch replay idempotent.
+
+    ``slot_fn`` returning None skips the slot write (a batch that
+    contributes nothing). ``coalesce`` controls output-file granularity
+    for the sketch-sized slot tables (None = leave partitioning alone).
+    Read sides stay per-op (:func:`read_state_slots` + each family's
+    merge fold)."""
+    import os
+
+    require_local_state_paths(state_dir, checkpoint_dir)
+    reset_state_slots_if_fresh_checkpoint(checkpoint_dir, state_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # a landed file / page arrives as ONE input partition; spread the
+        # per-row heavy work (tokenize / signature fold / scoring) or all
+        # cores but one sit idle
+        batch_df = batch_df.repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        slot = slot_fn(batch_df, batch_id)
+        if slot is None:
+            return
+        if coalesce is not None:
+            slot = slot.coalesce(coalesce)
+        slot.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    run_available_now(stream, checkpoint_dir, process, timeout_sec=timeout_sec)
+
+
 def reset_state_slots_if_fresh_checkpoint(
     checkpoint_dir: str, state_dir: str
 ) -> None:
@@ -396,9 +480,15 @@ def reset_state_slots_if_fresh_checkpoint(
     reads) or double-fold them (merge-on-read). A fresh checkpoint means
     batch ids restart at 0, so any existing slot is definitionally stale;
     a resumed checkpoint keeps its slots — replay needs them.
+
+    Driver-local ``os.*`` only — a URI-schemed path would silently no-op
+    exactly where the stale-slot protection matters, so it raises instead
+    (:func:`require_local_state_paths`).
     """
     import os
     import shutil
+
+    require_local_state_paths(checkpoint_dir, state_dir)
 
     offsets = os.path.join(checkpoint_dir, "offsets")
     if os.path.isdir(offsets) and os.listdir(offsets):

@@ -1,0 +1,95 @@
+"""Round-7 hardening: the shared slot-stream kernel's local-path guard,
+the streaming top-k read/pin guards, and the production profile."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_require_local_state_paths_rejects_uri_schemes():
+    """hdfs:// / s3a:// / file:// state dirs would make the driver-local
+    slot listing silently read as "no prior state" — the kernel must
+    raise instead (the silent-wrong-cumulative-state failure)."""
+    from entity_etl_spark.streaming import require_local_state_paths
+
+    for bad in ("hdfs://nn/state", "s3a://bucket/state", "file:///tmp/s"):
+        with pytest.raises(ValueError, match="URI scheme"):
+            require_local_state_paths(bad)
+    # plain local paths (absolute, relative, Windows-ish drive letters are
+    # not schemes because schemes need 2+ chars before ://) pass
+    require_local_state_paths("/tmp/state", "rel/state", None)
+
+
+def test_reset_state_slots_guards_uri_paths(tmp_path):
+    from entity_etl_spark.streaming import (
+        reset_state_slots_if_fresh_checkpoint,
+    )
+
+    with pytest.raises(ValueError, match="URI scheme"):
+        reset_state_slots_if_fresh_checkpoint(
+            "hdfs://nn/ckpt", str(tmp_path)
+        )
+    with pytest.raises(ValueError, match="URI scheme"):
+        reset_state_slots_if_fresh_checkpoint(
+            str(tmp_path), "s3a://bucket/state"
+        )
+
+
+def test_read_kmeans_state_guards_uri_path(spark):
+    from entity_etl_spark.ext.similarity import read_kmeans_state
+
+    with pytest.raises(ValueError, match="URI scheme"):
+        read_kmeans_state(spark, "s3a://bucket/km-state")
+
+
+def test_read_topk_state_null_write_k_raises_not_empty(spark, tmp_path):
+    """State rows written without a write_k column (older writer /
+    foreign writer): k=None must raise — a real merged top-k exists in
+    the slots and an empty result would silently mask it. An explicit k
+    the caller vouches for still reads."""
+    from entity_etl_spark.ext.similarity import read_topk_state
+
+    slot = tmp_path / "state" / "batch=0"
+    spark.createDataFrame(
+        [(0, 1, 0.9, 1), (0, 2, 0.5, 2)],
+        "query_id long, neighbor_id long, score double, rnk bigint",
+    ).coalesce(1).write.parquet(str(slot))
+
+    with pytest.raises(ValueError, match="no write_k"):
+        read_topk_state(spark, str(tmp_path / "state"))
+    got = sorted(
+        (r.rnk, r.neighbor_id)
+        for r in read_topk_state(spark, str(tmp_path / "state"), k=2)
+        .collect()
+    )
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_read_topk_state_empty_dir_still_returns_empty(spark, tmp_path):
+    from entity_etl_spark.ext.similarity import read_topk_state
+
+    assert read_topk_state(spark, str(tmp_path / "nothing")).count() == 0
+
+
+def test_run_streaming_topk_query_pin_is_cap_guarded(spark, tmp_path,
+                                                     monkeypatch):
+    """The pinned query-set collect routes through the driver row cap:
+    an over-cap query side raises up front instead of OOMing the
+    driver mid-stream."""
+    import entity_etl_spark.ext.similarity as sim
+
+    monkeypatch.setattr(sim, "MAX_DRIVER_COLLECT_ROWS", 2)
+    queries = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="more than 2 rows"):
+        sim.run_streaming_topk(
+            spark,
+            stream=None,  # guard fires before the stream is touched
+            state_dir=str(tmp_path / "state"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            queries=queries,
+            k=1,
+        )
