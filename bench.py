@@ -119,6 +119,10 @@ def main() -> None:
         "streaming_kmeans_state": 9.7,
         "streaming_bloom_state": 8.3,
         "streaming_topk_state": 7.5,
+        # r7: the exact-truth recall gate moved out of the headline group
+        # (quadratic by design — the exact pair join IS the measurement);
+        # 4.40 s quiet (2x + 0.5 s)
+        "minhash_recall_gate": 9.3,
     }
     breaches = (
         {
@@ -148,7 +152,7 @@ def main() -> None:
         "q1_pricing_summary": 0.37, "top_orders_revenue": 0.86,
         "region_nation_revenue": 0.99, "top_customers_per_nation": 0.71,
         "sessionize": 0.25, "dedup_exact": 0.24,
-        "minhash_near_dups": 4.0, "embedding_topk": 0.51,
+        "minhash_near_dups": 3.85, "embedding_topk": 0.51,
         "text_quality": 0.25, "asof_join": 0.32, "range_join": 0.48,
         "session_window_agg": 0.35, "embedding_topk_heap": 0.39,
         "chunk_documents_builtin": 0.28, "variant_shred": 0.15,
@@ -162,7 +166,7 @@ def main() -> None:
         "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
         "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
         "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
-        "streaming_topk_state": 3.52,
+        "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
     }
     sf1_breaches = (
         {
@@ -198,10 +202,13 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    # minhash_near_dups changed semantics in round 6 (measured recall gate:
-    # it now ALSO computes the exact truth pair set in-query, ~2.5x the r1
-    # work under the same name) — the 18-query subtotal is the
-    # like-for-like comparison against the r1 baseline's other entries
+    # minhash_near_dups history: r6 folded the exact-truth recall gate
+    # into this name (~2.5x r1 work); r7 moved the gate to the heavy
+    # group (minhash_recall_gate) and the frozen name benches the linear
+    # LSH leg again — at the 64/16 config (r5's recall fix; r1 ran 32/8,
+    # about half the signature work) with the portable cross-engine hash
+    # (~0.25 s premium over xxhash64 at sf0.1). The 18-query subtotal
+    # remains the strictly-like-for-like r1 comparison.
     frozen18 = round(total - timings.get("minhash_near_dups", 0.0), 3)
     print(
         json.dumps(

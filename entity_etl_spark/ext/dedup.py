@@ -247,12 +247,43 @@ def containment_pairs(
 
 
 # ------------------------------------------------------------------- MinHash
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def portable_minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) coefficient triples for the PORTABLE
+    cross-engine MinHash family (the simhash md5-prefix precedent):
+
+        lo, hi = the two 32-bit ints from md5(shingle) hex prefixes
+        h_i    = ((a_i*lo) % p + (b_i*hi) % p + c_i) % p,  p = 2^31-1
+
+    Every intermediate stays under 2^63 (a_i < p ~ 2^31, lo < 2^32, so
+    a_i*lo < 2^63; the per-term mod keeps the sum < 3*2^31), so Spark's
+    ANSI bigint arithmetic and DuckDB BIGINT evaluate it identically —
+    the whole signature restates relationally at any SF. Coefficients
+    come from a pinned-seed PRNG so the Spark expression and the oracle
+    SQL embed the same literals."""
+    import random
+
+    r = random.Random(20260815)
+    return [
+        (
+            r.randrange(1, MINHASH_PRIME),
+            r.randrange(1, MINHASH_PRIME),
+            r.randrange(0, MINHASH_PRIME),
+        )
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
     k: int = 3,
+    *,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length num_hashes.
 
@@ -271,15 +302,40 @@ def minhash_signatures(
     whole-stage codegen.
 
     Docs with fewer than k tokens have no shingles and are dropped (their
-    Jaccard similarity is undefined)."""
+    Jaccard similarity is undefined).
+
+    ``hash_fn="md5"`` switches to the portable cross-engine family
+    (:func:`portable_minhash_params`): the shingle hashes md5 ONCE into
+    two 32-bit halves and the num_hashes family is 2-universal integer
+    arithmetic over them — an ANSI oracle can restate the identical
+    signature at any SF. xxhash64 (default) stays the cheaper JVM-side
+    choice when no cross-engine replay is needed."""
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("__s")
-    ).withColumn("__h0", F.xxhash64("__s"))
-    agg = sh.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}")
-            for i in range(num_hashes)
+    )
+    if hash_fn == "xxhash64":
+        sh = sh.withColumn("__h0", F.xxhash64("__s"))
+        fams = [F.xxhash64("__h0", F.lit(i)) for i in range(num_hashes)]
+    elif hash_fn == "md5":
+        sh = sh.withColumn("__m", F.md5("__s")).select(
+            "doc",
+            F.conv(F.substring("__m", 1, 8), 16, 10).cast("long").alias("__lo"),
+            F.conv(F.substring("__m", 9, 8), 16, 10).cast("long").alias("__hi"),
+        )
+        p = F.lit(MINHASH_PRIME)
+        fams = [
+            (
+                (F.lit(a) * F.col("__lo")) % p
+                + (F.lit(b) * F.col("__hi")) % p
+                + F.lit(c)
+            )
+            % p
+            for a, b, c in portable_minhash_params(num_hashes)
         ]
+    else:
+        raise ValueError(f"unknown minhash hash_fn: {hash_fn}")
+    agg = sh.groupBy("doc").agg(
+        *[F.min(fam).alias(f"__h{i}") for i, fam in enumerate(fams)]
     )
     return agg.select(
         "doc",
@@ -295,6 +351,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int | None = None,
     observation=None,
     right_ids: DataFrame | None = None,
+    portable_keys: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs from MinHash signatures (doc_a < doc_b).
 
@@ -302,6 +359,10 @@ def lsh_candidate_pairs(
     the bucket self-join. The band index is mixed into a single 64-bit
     bucket key (cross-band hash collisions are vanishingly rare and get
     removed by exact verification anyway), so the join key is one long.
+    ``portable_keys=True`` swaps the xxhash64 bucket key for the exact
+    ``band_min..min`` string — collision-free and byte-identical in any
+    ANSI engine, so an oracle restates the candidate set verbatim (wider
+    join key, only worth it for cross-engine replay).
 
     ``max_bucket_size`` caps the self-join fan-out: a degenerate bucket
     (B near-identical docs, or a stop-shingle signature collision) emits
@@ -333,18 +394,28 @@ def lsh_candidate_pairs(
     bands×rows for the target threshold t ≈ (1/bands)^(1/rows)."""
     from .caps import cap_hot_groups
 
+    if portable_keys:
+        band_keys = [
+            F.concat_ws(
+                "_",
+                F.lit(str(i)),
+                *[
+                    F.element_at("sig", i * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ],
+            )
+            for i in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.xxhash64(
+                F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band)
+            )
+            for i in range(bands)
+        ]
     b = signatures.select(
         "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*band_keys)).alias("bucket"),
     )
     b = cap_hot_groups(
         b,
@@ -408,8 +479,14 @@ def minhash_near_dups(
     max_bucket_size: int | None = None,
     observation=None,
     signature_path: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup pairs, optionally exact-verified.
+
+    ``hash_fn="md5"`` runs the portable cross-engine signature family
+    AND exact string band keys (:func:`portable_minhash_params`), making
+    the emitted pair set deterministic and fully restatable by an ANSI
+    oracle at any SF; xxhash64 (default) is the cheaper production form.
 
     Default 64 hashes / 16 bands keeps rows-per-band 4 with an S-curve
     threshold (1/16)^(1/4) ~= 0.50 — aligned with the default
@@ -439,7 +516,8 @@ def minhash_near_dups(
     # materialize signatures: the band expressions and the self-join would
     # otherwise re-inline (and re-run) the signature fold bands×2 times
     sig = materialize_signatures(
-        minhash_signatures(df, id_col, text_col, num_hashes, k),
+        minhash_signatures(df, id_col, text_col, num_hashes, k,
+                           hash_fn=hash_fn),
         signature_path,
     )
     cand = lsh_candidate_pairs(
@@ -448,6 +526,7 @@ def minhash_near_dups(
         rows_per_band,
         max_bucket_size=max_bucket_size,
         observation=observation,
+        portable_keys=hash_fn == "md5",
     )
     if verify_threshold is None:
         return cand

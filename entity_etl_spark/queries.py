@@ -867,8 +867,111 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+# SF-portable MinHash oracle (the simhash md5-prefix precedent, extended
+# to the full LSH pipeline in round 7): the registry query runs
+# minhash_near_dups with the portable md5-coefficient hash family and
+# exact string band keys, so the ENTIRE pipeline — shingle, 64-way
+# signature fold, 16 banded buckets, bucket self-join, exact-Jaccard
+# verification — restates relationally at ANY scale factor. The emitted
+# pair set is deterministic (same signatures, same buckets in both
+# engines); the probabilistic-recall CONTRACT of LSH is gated separately
+# by minhash_recall_gate (bench2), which measures recall against the
+# exact pair set.
+from .ext.dedup import portable_minhash_params as _pmp  # noqa: E402
+
+_MH_PARAMS = _pmp(64)
+_MH_P = 2_147_483_647
+_MH_SIG = ",\n         ".join(
+    f"MIN((({a}*lo) % {_MH_P} + ({b}*hi) % {_MH_P} + {c}) % {_MH_P}) AS h{i}"
+    for i, (a, b, c) in enumerate(_MH_PARAMS)
+)
+_MH_BANDS = ",\n        ".join(
+    "concat('{i}_', h{a}, '_', h{b}, '_', h{c}, '_', h{d})".format(
+        i=i, a=4 * i, b=4 * i + 1, c=4 * i + 2, d=4 * i + 3
+    )
+    for i in range(16)
+)
+_MINHASH_ORACLE = f"""
+    -- full relational MinHash+LSH (portable md5-coefficient family):
+    -- 64-way signature fold, 16x4 string band keys, bucket join,
+    -- exact-Jaccard verify at 0.5
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    hh AS (
+      SELECT doc,
+             CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS lo,
+             CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT) AS hi
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc,
+         {_MH_SIG}
+      FROM hh GROUP BY doc
+    ),
+    bucket AS (
+      SELECT doc, unnest([
+        {_MH_BANDS}]) AS key
+      FROM sig
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bucket a JOIN bucket b ON a.key = b.key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc = c.doc_a
+      JOIN sh sb ON sb.doc = c.doc_b AND sb.s = sa.s
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.doc_a
+    JOIN sizes sb ON sb.doc = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """
+
+
 @register(
     "minhash_near_dups",
+    _MINHASH_ORACLE,
+    doc="E2 MinHash(64) + banded LSH(16x4) near-dup pairs, exact-Jaccard "
+    "verified >= 0.5 (ext/dedup.minhash_near_dups). Runs the portable "
+    "md5-coefficient hash family + exact string band keys so the oracle "
+    "restates the full pipeline relationally at any SF (xxhash64 stays "
+    "the cheaper default for non-replayed use). 100 TB shape: signatures "
+    "map-side, bucket join, verify candidates only. The probabilistic "
+    "recall contract is gated separately (minhash_recall_gate, bench2) — "
+    "this entry is the production-shaped linear leg under the frozen "
+    "headline name.",
+    tags=("ext", "bench"),
+)
+def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import minhash_near_dups
+
+    docs = read_sf_table(spark, sf, "documents")
+    return minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.5,
+        hash_fn="md5",
+    )
+
+
+@register(
+    "minhash_recall_gate",
     r"""
     -- LSH is probabilistic near its S-curve threshold: r5's sf1 rehearsal
     -- measured 76% recall at 32 hashes / 8 bands (S-curve ~0.59 vs the 0.5
@@ -903,16 +1006,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
            true AS recall_ok
     FROM truth
     """,
-    doc="E2 MinHash(64) + banded LSH(16x4) candidates, exact-Jaccard "
-    "verified >= 0.5, MEASURED against the exact pair set computed "
-    "in-query (ext/dedup.jaccard_pairs): emits the truth-pair count, the "
-    "false-positive count (0 — every candidate is exact-verified), and a "
-    "recall >= 0.75 gate. 100 TB shape: signatures map-side, bucket join, "
-    "verify candidates only; recall near the threshold is the stated "
-    "probabilistic trade, measured rather than assumed (r5 sf1 finding).",
-    tags=("ext", "bench"),
+    doc="E2 MinHash+LSH recall GATE: the production xxhash64 pipeline "
+    "measured against the exact pair set computed in-query "
+    "(ext/dedup.jaccard_pairs) — emits the truth-pair count, the "
+    "false-positive count (0: every candidate is exact-Jaccard-verified) "
+    "and a recall >= 0.75 gate at the aligned 64/16 config. "
+    "Quadratic-truth by design (the exact join IS the point), so it "
+    "lives in the heavy group; the frozen headline name benches the "
+    "linear LSH leg (minhash_near_dups).",
+    tags=("ext", "bench2"),
 )
-def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+def q_minhash_recall_gate(spark: SparkSession, sf: str) -> DataFrame:
     from .ext.dedup import jaccard_pairs, minhash_near_dups
 
     docs = read_sf_table(spark, sf, "documents")
