@@ -31,9 +31,24 @@ def assign_batches(
     df: DataFrame, max_batch_size: int, order_by: Sequence[str]
 ) -> DataFrame:
     """Deterministic contiguous batch ids 0..ceil(n/N)-1 (reference
-    app.js:95-101 ``entities.slice(i*N, (i+1)*N)``)."""
+    app.js:95-101 ``entities.slice(i*N, (i+1)*N)``).
+
+    Guarded: the global unpartitioned window funnels every row through
+    one task, so above the active profile's ``assign_batches_max_rows``
+    this raises and points at :func:`assign_batches_distributed` — the
+    guard probe scans at most ``limit(N+1)``, never the full input."""
     if max_batch_size <= 0:
         raise ValueError("max_batch_size must be positive")
+    from .profile import active_profile
+
+    guard = active_profile().assign_batches_max_rows
+    if guard is not None and df.limit(guard + 1).count() > guard:
+        raise ValueError(
+            f"assign_batches is a single-partition global window and the "
+            f"input exceeds the {active_profile().name} profile's "
+            f"{guard}-row guard; use assign_batches_distributed (the "
+            f"scale path) or a smaller input"
+        )
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(
         BATCH_COL,

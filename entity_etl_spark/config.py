@@ -65,7 +65,8 @@ def load_config(path: str, ctx: Mapping[str, Any] | None = None) -> EngineConfig
         state_ttl_hours=float(raw.get("entitiesCacheTtlInHours", 8)),
         initial_checkpoint_ms=int(raw.get("initialCheckpointMs", 1)),
         state_dir=str(raw.get("stateDir", "data/state")),
+        profile=str(raw.get("profile", "parity")),
         extra={k: v for k, v in raw.items() if k not in {
             "maxBatchSize", "entitiesCacheTtlInHours",
-            "initialCheckpointMs", "stateDir"}},
+            "initialCheckpointMs", "stateDir", "profile"}},
     )

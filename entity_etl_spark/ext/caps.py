@@ -37,9 +37,18 @@ def cap_hot_groups(
     asked for accounting, so they get a real max-group-size reading and a
     zero drop count — an Observation left unattached would block forever
     on ``.get`` instead of reporting nothing was dropped.
+
+    ``cap=None`` resolves through the active execution profile
+    (``entity_etl_spark.profile``): parity (default) keeps it None —
+    bitwise the historical behavior — while the production profile
+    supplies a concrete bound keyed by this call site's ``max_metric``
+    name. An explicit caller cap always wins.
     """
     from pyspark.sql import Window
 
+    from ..profile import resolve_cap
+
+    cap = resolve_cap(cap, max_metric)
     if repartition:
         df = df.repartition(*[F.col(c) for c in key_cols])
     if cap is None and observation is None:

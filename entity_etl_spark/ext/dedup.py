@@ -462,6 +462,18 @@ def materialize_signatures(
     :func:`minhash_dedup_incremental`) reads the same table as its
     ``corpus_sigs`` state instead of recomputing corpus signatures."""
     if path is None:
+        from ..profile import active_profile
+
+        if active_profile().warn_unmaterialized_signatures:
+            import logging
+
+            logging.getLogger("entity_etl_spark").warning(
+                "minhash signatures falling back to localCheckpoint "
+                "(signature_path=None) under the %s profile: blocks are "
+                "lost on executor death and pin executor storage — pass "
+                "signature_path for a durable, state-reusable table",
+                active_profile().name,
+            )
         return sig.localCheckpoint(eager=True)
     sig.write.mode("overwrite").parquet(path)
     return sig.sparkSession.read.parquet(path)

@@ -42,6 +42,12 @@ class EngineConfig:
       pre-partitioned buckets instead of shuffling the state side every run
       (state.py:save_state_bucketed / merge_state_join). None = plain
       parquet state + union-window merge.
+    - ``profile``: execution profile name (``entity_etl_spark.profile``):
+      ``"parity"`` (default) leaves every LSH-family hot-group cap off so
+      oracle comparisons see complete output; ``"production"`` flips every
+      cap/auto-scale default on so a deployment does not depend on callers
+      remembering per-operator knobs. pipeline.run_incremental/run_all
+      activate it on entry.
     """
 
     max_batch_size: int = 10_000
@@ -49,4 +55,5 @@ class EngineConfig:
     initial_checkpoint_ms: int = 1
     state_dir: str = "data/state"
     state_buckets: int | None = None
+    profile: str = "parity"
     extra: dict = field(default_factory=dict)

@@ -86,6 +86,9 @@ def run_incremental(
 ) -> RunResult:
     """One incremental run for one table (reference handleEntityType,
     app.js:44-60)."""
+    from .profile import activate_profile
+
+    activate_profile(config.profile)
     bucketed = bool(config.state_buckets)
     if bucketed:
         state = state_mod.load_state_bucketed(spark, config.state_dir, spec.name)

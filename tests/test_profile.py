@@ -1,0 +1,117 @@
+"""Execution-profile contract (VERDICT r6 item 3).
+
+parity = no implicit caps anywhere (the pre-profile behavior the oracle
+gate verifies); production = every hot-group cap resolves to a concrete
+bound when the caller leaves it unset; explicit arguments always win.
+"""
+
+import pytest
+
+from entity_etl_spark.batch import assign_batches
+from entity_etl_spark.ext.graph import within_group_pairs
+from entity_etl_spark.model import EngineConfig
+from entity_etl_spark.profile import (
+    PARITY,
+    PRODUCTION,
+    Profile,
+    activate_profile,
+    active_profile,
+    profile_ctx,
+    resolve_cap,
+)
+
+
+def test_parity_is_default_and_uncapped():
+    assert active_profile().name == "parity"
+    assert resolve_cap(None, "pairs_max_group_size") is None
+    assert resolve_cap(None, "lsh_max_bucket_size") is None
+
+
+def test_production_resolves_every_lsh_family_cap():
+    with profile_ctx("production"):
+        for knob in (
+            "lsh_max_bucket_size",
+            "jac_max_shingle_df",
+            "cont_max_shingle_df",
+            "simhash_max_block_size",
+            "lshtopk_max_bucket_size",
+            "pairs_max_group_size",
+            "er_max_block_size",
+        ):
+            assert resolve_cap(None, knob) > 0, knob
+    assert active_profile() is PARITY  # ctx restores
+
+
+def test_explicit_cap_beats_profile():
+    with profile_ctx(PRODUCTION):
+        assert resolve_cap(123, "pairs_max_group_size") == 123
+
+
+def test_unknown_profile_raises():
+    with pytest.raises(ValueError, match="unknown profile"):
+        activate_profile("nope")
+
+
+def test_engineconfig_carries_profile(tmp_path):
+    assert EngineConfig().profile == "parity"
+    from entity_etl_spark.config import load_config
+
+    p = tmp_path / "cfg.json"
+    p.write_text('{"profile": "production", "maxBatchSize": 7}')
+    cfg = load_config(str(p))
+    assert cfg.profile == "production"
+    assert cfg.max_batch_size == 7
+
+
+def test_production_caps_whale_group_without_kwargs(spark):
+    # one whale group of 60 items + one small group of 3: production's
+    # pairs cap (5000) won't trip, so use a scoped custom profile with a
+    # tiny cap to prove the resolution path end-to-end
+    rows = [("whale", f"i{i:03d}") for i in range(60)]
+    rows += [("ok", "a"), ("ok", "b"), ("ok", "c")]
+    df = spark.createDataFrame(rows, "g string, item string")
+
+    exact = within_group_pairs(df, "g", "item").count()
+    assert exact == 60 * 59 // 2 + 3
+
+    tiny = Profile(name="tiny", caps={"pairs_max_group_size": 10})
+    with profile_ctx(tiny):
+        capped = within_group_pairs(df, "g", "item").count()
+    assert capped == 3  # whale dropped, small group intact
+
+    # production profile itself: whale of 60 is under its 5000 cap
+    with profile_ctx(PRODUCTION):
+        assert within_group_pairs(df, "g", "item").count() == exact
+
+
+def test_assign_batches_guard_raises_over_profile_limit(spark):
+    df = spark.range(50).selectExpr("id", "cast(id as string) as s")
+    guarded = Profile(name="guarded", assign_batches_max_rows=10)
+    with profile_ctx(guarded):
+        with pytest.raises(ValueError, match="assign_batches_distributed"):
+            assign_batches(df, 5, ["id"])
+    # parity's generous guard passes small inputs untouched
+    assert assign_batches(df, 5, ["id"]).count() == 50
+
+
+def test_pipeline_activates_config_profile(spark, tmp_path):
+    from entity_etl_spark.model import TableSpec
+    from entity_etl_spark.pipeline import run_incremental
+
+    spec = TableSpec("t1", "id", "ts")
+    src = spark.createDataFrame(
+        [(1, 10, "a")], "id long, ts long, v string"
+    )
+    cfg = EngineConfig(state_dir=str(tmp_path), profile="production")
+    try:
+        run_incremental(
+            spark,
+            spec,
+            src,
+            [{"target": "id", "source": "id"}],
+            cfg,
+            sink=lambda d: d.count(),
+        )
+        assert active_profile().name == "production"
+    finally:
+        activate_profile(PARITY)
