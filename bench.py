@@ -123,6 +123,9 @@ def main() -> None:
         # (quadratic by design — the exact pair join IS the measurement);
         # 4.40 s quiet (2x + 0.5 s)
         "minhash_recall_gate": 9.3,
+        # r7: DOULION sampled-triangle twin, 3.23 s quiet (2x + 0.5 s);
+        # measured sf1 factor 2.8x vs exact's 6.4x — the ~linear path
+        "triangle_count_doulion": 7.0,
     }
     breaches = (
         {
@@ -167,6 +170,7 @@ def main() -> None:
         "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
         "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
         "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
+        "triangle_count_doulion": 3.23,
     }
     sf1_breaches = (
         {

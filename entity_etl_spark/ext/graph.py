@@ -213,3 +213,131 @@ def near_dup_groups(
     return connected_components(pairs, src, dst).select(
         F.col("node").alias("doc"), F.col("comp").alias("group_rep")
     )
+
+
+def sample_edges_portable(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    p: float = 0.25,
+    *,
+    salt: str = "doulion",
+) -> DataFrame:
+    """Keep each edge independently with probability ``p`` using a
+    DETERMINISTIC portable coin: the first 8 md5 hex digits of
+    ``u_v_salt`` as a 32-bit uniform, kept when under ``floor(p·2³²)``.
+
+    Deterministic means layout-stable (the same edge set samples
+    identically at any partitioning/SF) and restatable in ANSI SQL — the
+    same idiom as ext.sampling's md5 variates — so estimators built on
+    the sample carry full-strength oracles rather than seeds."""
+    if not (0.0 < p <= 1.0):
+        raise ValueError("p must be in (0, 1]")
+    threshold = int(p * (1 << 32))
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.col(u), F.col(v), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return edges.filter(coin < F.lit(threshold))
+
+
+def count_triangles_compact_forward(pairs: DataFrame) -> DataFrame:
+    """Exact triangle count of an undirected edge set (columns ``u`` <
+    ``v``, distinct) as a 1-row (n_tri bigint) DataFrame.
+
+    Compact-forward / degree-ordered orientation (Suri & Vassilvitskii,
+    "Counting triangles and the curse of the last reducer"): orient each
+    edge toward its higher-(degree, id) endpoint, form wedges by a
+    same-source self-join — fan-out Σ C(outdeg, 2) with outdeg O(√m)
+    under degree orientation, hub-proof — and close each wedge with one
+    hash-join probe. Never an NLJ. The count is orientation-invariant.
+    Edge/degree tables are pinned (localCheckpoint) because each feeds
+    3+ join consumers."""
+    pairs = pairs.select("u", "v").localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e_dir = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias(
+                "dst_d"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dst_rank_lt = (F.col("a.dst_d") < F.col("b.dst_d")) | (
+        (F.col("a.dst_d") == F.col("b.dst_d"))
+        & (F.col("a.dst") < F.col("b.dst"))
+    )
+    return (
+        e_dir.alias("a")
+        .join(
+            e_dir.alias("b"),
+            (F.col("a.src") == F.col("b.src")) & dst_rank_lt,
+        )
+        .join(
+            e_dir.alias("c"),
+            (F.col("c.src") == F.col("a.dst"))
+            & (F.col("c.dst") == F.col("b.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+
+
+def doulion_triangle_estimate(
+    edges: DataFrame,
+    p: float = 0.25,
+    *,
+    u: str = "u",
+    v: str = "v",
+    salt: str = "doulion",
+) -> DataFrame:
+    """DOULION triangle estimator (Tsourakakis, Kang, Miller & Faloutsos,
+    KDD'09): sparsify the graph by keeping each edge with probability
+    ``p``, exact-count triangles on the sample, scale by 1/p³.
+
+    This is the ~linear 100 TB twin of exact triangle counting: wedge
+    fan-out — the one inherently superlinear term — shrinks by p² and
+    edge volume by p, while E[estimate] = true count with relative std
+    ≈ √(1/p³ / T) (concentrates as the graph grows, so p can SHRINK
+    with scale). The deterministic portable coin
+    (:func:`sample_edges_portable`) makes the estimate itself exactly
+    restatable cross-engine — the measured-error contract vs the exact
+    count lives in tests (exact query stays ground truth).
+
+    Returns 1 row: (n_edges_sampled, n_tri_sampled, est_triangles)."""
+    samp = sample_edges_portable(edges, u, v, p, salt=salt).select(
+        F.col(u).alias("u"), F.col(v).alias("v")
+    )
+    # sampled-edge count and the triangle count both consume the sampled
+    # set; count_triangles_compact_forward pins it internally, so count
+    # edges off the same pinned frame via a second agg on its input
+    samp = samp.localCheckpoint(eager=True)
+    tri = count_triangles_compact_forward(samp)
+    n_edges = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_sampled"))
+    inv_p3 = 1.0 / (p * p * p)
+    return (
+        tri.join(F.broadcast(n_edges))
+        .select(
+            "n_edges_sampled",
+            F.col("n_tri").alias("n_tri_sampled"),
+            F.floor(F.col("n_tri") * F.lit(inv_p3) + F.lit(0.5))
+            .cast("bigint")
+            .alias("est_triangles"),
+        )
+    )

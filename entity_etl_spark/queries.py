@@ -11565,6 +11565,73 @@ def q_triangle_count_copurchase(
 
 
 @register(
+    "triangle_count_doulion",
+    """
+    -- DOULION (Tsourakakis et al., KDD'09): sparsify by a DETERMINISTIC
+    -- portable edge coin (md5 32-bit uniform < floor(0.25*2^32)), exact
+    -- triangle count on the sample, scale by 1/p^3 = 64. The coin makes
+    -- the estimate itself restatable verbatim — this oracle replays the
+    -- full estimator, not a tolerance band; the measured-error contract
+    -- vs the exact count is pinned in tests (exact query = ground truth)
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    samp AS MATERIALIZED (
+      SELECT u, v FROM pairs
+      WHERE CAST(('0x' || substring(md5(u || '_' || v || '_doulion'), 1, 8))
+                 AS BIGINT) < 1073741824
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM samp e1
+      JOIN samp e2 ON e2.u = e1.v
+      JOIN samp e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM samp) AS BIGINT) AS n_edges_sampled,
+           CAST(tri.n_tri AS BIGINT) AS n_tri_sampled,
+           CAST(floor(tri.n_tri * 64.0 + 0.5) AS BIGINT) AS est_triangles
+    FROM tri
+    """,
+    doc="DOULION approximate triangle count over the co-purchase graph "
+    "(ext/graph.doulion_triangle_estimate): keep each edge with p=0.25 "
+    "via a deterministic portable md5 coin, exact-count the sampled "
+    "graph (compact-forward, hub-proof), scale by 1/p^3. The ~linear "
+    "100 TB twin of triangle_count_copurchase — wedge fan-out (the one "
+    "inherently superlinear term) shrinks by p^2 and p can shrink as "
+    "the graph grows (relative std ~ sqrt(64/T)); measured error vs the "
+    "exact count is pinned in tests/test_ext_round7.py.",
+    tags=("ext", "bench2"),
+)
+def q_triangle_count_doulion(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.graph import (
+        doulion_triangle_estimate,
+        sample_edges_portable,
+        within_group_pairs,
+    )
+
+    li = read_sf_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    raw_pairs = within_group_pairs(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        item_a="u",
+        item_b="v",
+        dropped_metric="tri_rows_in_dropped_orders",
+        max_metric="tri_max_order_items",
+    ).select("u", "v")
+    # the coin is deterministic per (u,v), hence idempotent: applying it
+    # BEFORE the distinct drops ~(1-p) of the pair-explode output ahead
+    # of the dedup shuffle (the estimator re-applies it as a no-op)
+    edges = sample_edges_portable(raw_pairs, p=0.25).distinct()
+    return doulion_triangle_estimate(edges, p=0.25)
+
+
+@register(
     "item_item_cosine_topk",
     """
     WITH cp AS (
