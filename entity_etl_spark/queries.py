@@ -1357,6 +1357,93 @@ def q_embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "rp_lsh_topk_clustered",
+    """
+    -- SRP-LSH is gated on a CLUSTERED set (its documented weak regime is
+    -- near-uniform vectors — the r6 reason this operator had no gate).
+    -- The clustered set is built in-query from a deterministic portable
+    -- md5 +/-1 direction per 20-id micro-cluster, so the construction is
+    -- SF-agnostic and float-order-free; like the IVF gate, the decidable
+    -- cross-engine claim is the result-shape invariant + a measured
+    -- recall floor (0.6, observed 0.85-0.96 across 5 sets incl. the
+    -- adversarial generated twins)
+    SELECT CAST(5 * (SELECT count(*) FROM embeddings
+                     WHERE vec_id % 101 = 0 AND vec_id < 20000)
+                AS BIGINT) AS n_truth_pairs,
+           true AS recall_ok
+    """,
+    doc="E3 SRP-LSH ANN gate on a planted clustered distribution "
+    "(ext/projection.rp_lsh_topk): corpus vectors are pulled toward a "
+    "deterministic md5 +/-1 direction per 20-id micro-cluster (within-"
+    "cluster cosine ~0.93 — the clustered regime SRP is FOR; near-"
+    "uniform synthetic embeddings are its documented weak regime, which "
+    "is why the r6 operator shipped gateless). Queries stride every "
+    "101st id so the measurement averages over many clusters instead of "
+    "one cluster's bucket luck; recall@5 vs in-query exact brute force "
+    "gated >= 0.6 (observed 0.85-0.96 at sf0.001-sf1 incl. the "
+    "adversarial clustered/anisotropic generated twins). 100 TB shape: "
+    "map-side projection both sides, bucket-long join, Hamming-1 "
+    "multi-probe, exact rerank over candidates only.",
+    tags=("ext",),
+)
+def q_rp_lsh_topk_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.projection import rp_lsh_topk
+    from .ext.similarity import topk_brute_force
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    sub = F.floor(F.col("vec_id") / 20).cast("string")
+
+    def sign(d: int):
+        return F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", sub, F.lit(d))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(0.125),
+        ).otherwise(F.lit(-0.125))
+
+    cdir = F.array(*[sign(d) for d in range(64)])
+    clustered = (
+        emb.withColumn("__c", cdir)
+        .withColumn("__e", F.col("embedding").cast("array<double>"))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "__e", "__c", lambda x, c: F.lit(0.25) * x + F.lit(0.9) * c
+            ).alias("embedding"),
+        )
+    )
+    # query set bounded at <200 ids at ANY SF (stride spreads them over
+    # many clusters; the id bound keeps the in-query brute-force truth
+    # O(199*n) instead of O(n^2/101) as the corpus grows)
+    queries = clustered.filter(
+        (F.col("vec_id") % 101 == 0) & (F.col("vec_id") < 20000)
+    )
+    exact = topk_brute_force(
+        clustered, queries, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = rp_lsh_topk(
+        clustered, queries, "vec_id", "embedding", k=5, n_bits=6
+    ).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    hit = exact.join(
+        approx,
+        (exact.query_id == approx.q2) & (exact.neighbor_id == approx.n2),
+        "left",
+    )
+    return hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs"),
+        (F.count("n2") / F.count(F.lit(1)) >= 0.6).alias("recall_ok"),
+    )
+
+
+@register(
     "embedding_rp_distance_preservation",
     """
     WITH v AS (

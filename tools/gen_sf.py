@@ -181,14 +181,50 @@ def generate(sf: float, out_dir: str) -> None:
         "n_chars": np.array([len(t) for t in texts], dtype="int64"),
     }))
 
-    # ---- embeddings: unit-norm 64-dim float32, labels uniform 0..9
-    vecs = rng.standard_normal((n_emb, 64)).astype("float32")
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # ---- embeddings: ADVERSARIAL distribution (r7, VERDICT r6 item 5).
+    # The driver's testdata embeddings are near-uniform on the sphere —
+    # the easy regime for IVF/PQ (cells evenly filled) and the DOCUMENTED
+    # weak regime for SRP-LSH. Real embedding corpora are clustered and
+    # anisotropic, so the generated twins plant:
+    #  - 10 label-aligned clusters (unit centroid + 0.4 noise -> same-
+    #    label cosine ~0.7, cross-label ~0): IVF/PQ centroids must now
+    #    track real density, SemDeDup cells are meaningfully unbalanced
+    #  - a decaying per-dim noise spectrum 1/sqrt(1+i) (anisotropy: PQ
+    #    subspaces carry unequal variance, JL projections see correlated
+    #    mass)
+    #  - ~1% near-identical clone pairs (cosine ~0.999): the planted
+    #    positives semantic/near-dup gates should recover
+    # Hierarchy: a weak 10-label macro layer (cos ~0.07 — enough signal
+    # for the label-centroid probe, too weak to flood threshold queries)
+    # over TIGHT micro-clusters (cos ~0.84) whose COUNT scales with n
+    # (constant ~20 members) — so density-sensitive operators see real
+    # cluster structure at every SF while pair-listing queries
+    # (embedding_neardup_pairs' exact all-pairs ground truth) keep
+    # LINEAR output: above-threshold pairs live inside micro-clusters.
+    n_sub = max(n_emb // 20, 10)
+    sub_of = rng.integers(0, n_sub, n_emb)
+    sub_label = rng.integers(0, 10, n_sub).astype("int32")
+    labels = sub_label[sub_of]
+    macro = rng.standard_normal((10, 64))
+    macro /= np.linalg.norm(macro, axis=1, keepdims=True)
+    micro = rng.standard_normal((n_sub, 64))
+    micro /= np.linalg.norm(micro, axis=1, keepdims=True)
+    spectrum = 1.0 / np.sqrt(1.0 + np.arange(64))
+    noise = rng.standard_normal((n_emb, 64)) * spectrum
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    vecs = 0.2 * macro[labels] + 0.65 * micro[sub_of] + 0.3 * noise
+    n_clone = max(int(n_emb * 0.01), 1)
+    dst = rng.choice(np.arange(1, n_emb), n_clone, replace=False)
+    src = (dst * 7919 + 13) % dst  # deterministic earlier index, src < dst
+    vecs[dst] = vecs[src] + 0.02 * rng.standard_normal((n_clone, 64))
+    labels[dst] = labels[src]
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(
+        "float32")
     _write(out_dir, "embeddings", pa.table({
         "vec_id": np.arange(n_emb),
         "embedding": pa.array(list(vecs),
                               type=pa.list_(pa.float32())),
-        "label": pa.array(rng.integers(0, 10, n_emb), type=pa.int32()),
+        "label": pa.array(labels, type=pa.int32()),
     }))
 
 
