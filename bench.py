@@ -33,7 +33,7 @@ def main() -> None:
     # the run pays GC + shuffle spill (measured 18-20 s steady vs 11-15 s
     # at 48g for dedup_corpus_minhash). A real cluster sizes per-executor
     # heaps; this is the local-mode equivalent, not engine tuning.
-    default_mem = "48g" if sf == "1" else "16g"
+    default_mem = {"1": "48g", "10": "64g"}.get(sf, "16g")
 
     spark = (
         SparkSession.builder.appName("entity-etl-spark-bench")
@@ -62,6 +62,30 @@ def main() -> None:
     bench2_queries = [
         name for name, q in REGISTRY.items() if "bench2" in q.tags
     ]
+
+    # sf10 exclusions — NEVER silent (reported in the JSON): the exact
+    # near-dup pair family rides the shared-shingle counting join, whose
+    # work is sum_s C(df_s, 2). The synthetic corpus draws every doc from
+    # ONE 31-token vocabulary, so per-shingle df grows linearly with the
+    # corpus (~130 at sf1 -> ~250M join rows, 28 s; ~1300 at sf10 ->
+    # ~25G rows — runnable on a cluster, not in one local JVM). This is
+    # the stop-shingle regime the production profile's max_shingle_df
+    # cap exists for; the registry/bench keeps these EXACT (uncapped) by
+    # contract, so at sf10 they are excluded rather than silently capped.
+    # Their linear production twins (minhash_near_dups LSH leg,
+    # dedup_exact fp state, triangle_count_doulion) stay in the run.
+    sf10_excluded = {
+        "minhash_recall_gate": "exact-truth pair join (quadratic-by-design measurement gate)",
+        "dedup_corpus_minhash": "exact shingle-pair source (policy contract)",
+        "neardup_keep_best": "exact shingle-pair source (policy contract)",
+        "containment_near_dups": "exact containment counting join",
+        "streaming_neardup_prep": "exact shingle-index state per micro-batch",
+    }
+    if sf == "10":
+        bench_queries = [q for q in bench_queries if q not in sf10_excluded]
+        bench2_queries = [q for q in bench2_queries if q not in sf10_excluded]
+    else:
+        sf10_excluded = {}
 
     # warm-up: JVM + parquet footer reads
     REGISTRY[bench_queries[0]].fn(spark, sf_dir).count()
@@ -205,6 +229,42 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # sf10 factor ratchet (round 7): the second measured decade. Same
+    # per-decade rule as sf1 — every query < 15x its recorded sf1 quiet
+    # best + 3 s absolute slack — so a query that stays ~linear passes
+    # with margin while the superlinear class compounds into a breach.
+    # Reference bests are the r7 sf1 quiet run on the regenerated
+    # (clustered-embedding) twin, BENCH_sf1_r7.json.
+    sf1_ref_bests = SF1_REF_BESTS_R7
+    sf10_breaches = (
+        {
+            name: {
+                "sec": t,
+                "factor_ceiling": round(15.0 * sf1_ref_bests[name] + 3.0, 1),
+            }
+            for name, t in {**timings, **timings2}.items()
+            if name in sf1_ref_bests
+            and t > 15.0 * sf1_ref_bests[name] + 3.0
+        }
+        if sf == "10"
+        else {}
+    )
+    sf10_ungated = (
+        sorted(set({**timings, **timings2}) - set(sf1_ref_bests))
+        if sf == "10"
+        else []
+    )
+    if sf10_breaches:
+        print(
+            f"SF10 FACTOR BREACH: {json.dumps(sf10_breaches)}",
+            file=sys.stderr,
+        )
+    if sf10_ungated:
+        print(
+            f"SF10 RATCHET GAP (no sf1 reference best): {sf10_ungated}",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     # minhash_near_dups history: r6 folded the exact-truth recall gate
     # into this name (~2.5x r1 work); r7 moved the gate to the heavy
@@ -227,6 +287,9 @@ def main() -> None:
                 "heavy_ceiling_breaches": breaches,
                 "sf1_factor_breaches": sf1_breaches,
                 "sf1_ratchet_ungated": sf1_ungated,
+                "sf10_factor_breaches": sf10_breaches,
+                "sf10_ratchet_ungated": sf10_ungated,
+                "sf10_excluded": sf10_excluded,
                 "sf": sf,
             }
         )

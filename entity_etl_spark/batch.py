@@ -105,3 +105,33 @@ def assemble_bodies(
             ),
         )
     )
+
+
+def assemble_bodies_hbs(
+    batched: DataFrame,
+    body_template: str,
+    json_col: str = "json",
+    batch_col: str = BATCH_COL,
+) -> DataFrame:
+    """One request body per batch rendered through a USER body template
+    (the reference's templates/targetBody.hbs migrates unmodified; any
+    single-``{{#each}}`` template works — hbs.compile_hbs_body).
+
+    Same distribution shape as :func:`assemble_bodies` — one groupBy,
+    per-batch collect_list sorted for retry determinism (the sink is an
+    order-insensitive per-id upsert, reference README.md:161-171) — with
+    the body expression compiled from the template instead of the fixed
+    JSON-array form. Still zero UDFs: transform + array_join codegen."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from .hbs import compile_hbs_body
+
+    return (
+        batched.groupBy(batch_col)
+        .agg(F.array_sort(F.collect_list(F.col(json_col))).alias("__items"))
+        .select(
+            F.col(batch_col).alias("batch_id"),
+            F.size("__items").alias("n_items"),
+            compile_hbs_body(body_template, F.col("__items")).alias("body"),
+        )
+    )

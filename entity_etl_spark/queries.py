@@ -334,6 +334,52 @@ def q_batch_assembly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "batch_assembly_hbs",
+    """
+    WITH numbered AS (
+      SELECT '{"id":' || event_id || '}' AS js,
+             CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000)
+                  AS BIGINT) AS batch_id
+      FROM events
+    )
+    SELECT batch_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           '[' || chr(10) || string_agg(js, ',' ORDER BY js) || chr(10)
+               || ']' AS body
+    FROM numbered GROUP BY batch_id
+    """,
+    doc="O10 request bodies through the reference's ACTUAL body template "
+    "(templates/targetBody.hbs:1-3, inlined verbatim): {{#each}} compiled "
+    "to transform+array_join Column expressions (hbs.compile_hbs_body / "
+    "batch.assemble_bodies_hbs) — a migrating user's custom body template "
+    "runs unmodified, distributed, zero UDFs. Byte-equal oracle (chr(10) "
+    "prefix/suffix from the template literal; items sorted for retry "
+    "determinism — the sink is an order-insensitive per-id upsert, "
+    "reference README.md:161-171).",
+    tags=("core",),
+)
+def q_batch_assembly_hbs(spark: SparkSession, sf: str) -> DataFrame:
+    from .batch import assemble_bodies_hbs
+
+    # templates/targetBody.hbs, byte-verbatim (no trailing newline)
+    tpl = (
+        "[\n{{#each entities}}{{{.}}}"
+        "{{#unless @last}},{{/unless}}{{/each}}\n]"
+    )
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.orderBy("event_id")
+    batched = ev.select(
+        F.concat(
+            F.lit('{"id":'), F.col("event_id").cast("string"), F.lit("}")
+        ).alias("json"),
+        F.floor((F.row_number().over(w) - 1) / F.lit(1000)).alias(
+            "__batch_id"
+        ),
+    )
+    return assemble_bodies_hbs(batched, tpl)
+
+
+@register(
     "state_merge_upsert",
     f"""
     WITH unioned AS (

@@ -12,6 +12,7 @@ asked for): {"sf_dir", "testdata_mtime", "generated_unix", "queries":
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -57,10 +58,16 @@ def main() -> int:
     only = set(args[1:])
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.driver.memory", "16g")
+        SparkSession.builder.master(
+            os.environ.get("PARITY_MASTER", "local[8]")
+        )
+        # 16g default; sf10 spot runs pass PARITY_DRIVER_MEMORY=64g —
+        # the bench-harness sizing lesson applied to this harness too
+        .config("spark.driver.memory",
+                os.environ.get("PARITY_DRIVER_MEMORY", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("PARITY_SHUFFLE_PARTITIONS", "8"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -71,7 +78,8 @@ def main() -> int:
     # that needs more than 4 GB of temp at these SFs is itself a scale
     # bug we want surfaced as an error, not absorbed by the disk
     con.execute("SET temp_directory='/tmp/duckdb_parity_spill'")
-    con.execute("SET max_temp_directory_size='4GB'")
+    con.execute("SET max_temp_directory_size='"
+            + os.environ.get("PARITY_DUCKDB_TEMP_CAP", "4GB") + "'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
