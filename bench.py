@@ -18,6 +18,54 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# sf1 quiet bests (r7 run on the regenerated clustered-embedding twin,
+# BENCH_sf1_r7.json) — the reference side of the sf10 factor ratchet.
+# Placeholder until the quiet run lands; missing names are REPORTED as
+# sf10_ratchet_ungated, never silently passed.
+SF1_REF_BESTS_R7: dict[str, float] = {
+    "asof_join": 0.504,
+    "bm25_topk": 1.833,
+    "boilerplate_segment_removal": 2.18,
+    "bpe_encode_tokens": 2.496,
+    "changed_rows": 2.237,
+    "chunk_documents_builtin": 1.046,
+    "containment_near_dups": 11.928,
+    "dedup_corpus_minhash": 11.909,
+    "dedup_exact": 0.388,
+    "embedding_pq_topk": 9.882,
+    "embedding_topk": 1.491,
+    "embedding_topk_heap": 1.077,
+    "incremental_scan": 0.381,
+    "item_item_cosine_topk": 10.351,
+    "keep_latest_per_key": 1.423,
+    "kmeans_lloyd_2iter": 3.064,
+    "minhash_near_dups": 12.105,
+    "minhash_recall_gate": 65.31,
+    "neardup_keep_best": 19.666,
+    "q1_pricing_summary": 0.792,
+    "range_join": 1.84,
+    "region_nation_revenue": 2.122,
+    "scd2_user_event_history": 0.985,
+    "semantic_dedup_pairs": 6.067,
+    "session_window_agg": 2.464,
+    "sessionize": 0.304,
+    "state_merge_upsert": 1.505,
+    "streaming_bloom_state": 5.559,
+    "streaming_countmin_state": 5.193,
+    "streaming_dedup_watermark": 5.85,
+    "streaming_kmeans_state": 5.076,
+    "streaming_neardup_prep": 44.462,
+    "streaming_state_pipeline": 7.6,
+    "streaming_topk_state": 3.728,
+    "text_quality": 0.397,
+    "top_customers_per_nation": 1.932,
+    "top_orders_revenue": 4.188,
+    "training_data_prep": 39.75,
+    "triangle_count_copurchase": 44.767,
+    "triangle_count_doulion": 6.651,
+    "variant_shred": 0.205,
+}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -173,6 +221,14 @@ def main() -> None:
     # instead of relying on someone eyeballing the factors. Reference
     # bests are the r6-close quiet sf0.1 run; update them when a query's
     # implementation legitimately changes.
+    #
+    # Queries whose CONTRACT is quadratic-in-corpus (the exact-truth
+    # measurement gates: the exact pair join IS the measurement) get a
+    # documented 110x allowance instead — sum_s C(df_s,2) grows ~100x
+    # per decade on the fixed-vocab corpus; the 15x rule exists to catch
+    # UNINTENDED superlinearity, not the stated contract. (At sf10 these
+    # are excluded entirely, see sf10_excluded.)
+    quadratic_contract = {"minhash_recall_gate"}
     sf01_ref_bests = {
         "incremental_scan": 0.30, "changed_rows": 1.11,
         "keep_latest_per_key": 0.41, "state_merge_upsert": 0.46,
@@ -196,15 +252,18 @@ def main() -> None:
         "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
         "triangle_count_doulion": 3.23,
     }
+    def _sf1_ceiling(name: str) -> float:
+        factor = 110.0 if name in quadratic_contract else 15.0
+        return factor * sf01_ref_bests[name] + 2.0
+
     sf1_breaches = (
         {
             name: {
                 "sec": t,
-                "factor_ceiling": round(15.0 * sf01_ref_bests[name] + 2.0, 1),
+                "factor_ceiling": round(_sf1_ceiling(name), 1),
             }
             for name, t in {**timings, **timings2}.items()
-            if name in sf01_ref_bests
-            and t > 15.0 * sf01_ref_bests[name] + 2.0
+            if name in sf01_ref_bests and t > _sf1_ceiling(name)
         }
         if sf == "1"
         else {}
@@ -234,8 +293,10 @@ def main() -> None:
     # best + 3 s absolute slack — so a query that stays ~linear passes
     # with margin while the superlinear class compounds into a breach.
     # Reference bests are the r7 sf1 quiet run on the regenerated
-    # (clustered-embedding) twin, BENCH_sf1_r7.json.
-    sf1_ref_bests = SF1_REF_BESTS_R7
+    # (clustered-embedding) twin, BENCH_sf1_r7.json. (Filled after that
+    # run; empty entries surface in sf10_ratchet_ungated, never pass
+    # silently.)
+    sf1_ref_bests = dict(SF1_REF_BESTS_R7)
     sf10_breaches = (
         {
             name: {
