@@ -149,6 +149,9 @@ def main() -> None:
                 REGISTRY[name].fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # per-query progress on stderr: a crashed run (the sf10 OOM)
+            # is diagnosable to the query, not just a stage number
+            print(f"## {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return timings
 
     timings = run_group(bench_queries)

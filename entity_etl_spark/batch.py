@@ -35,24 +35,37 @@ def assign_batches(
 
     Guarded: the global unpartitioned window funnels every row through
     one task, so above the active profile's ``assign_batches_max_rows``
-    this raises and points at :func:`assign_batches_distributed` — the
-    guard probe scans at most ``limit(N+1)``, never the full input."""
+    the job FAILS with a pointer at :func:`assign_batches_distributed`.
+    The guard is an in-job ``raise_error`` on the row_number the window
+    computes anyway — zero extra actions, the upstream lineage is never
+    evaluated twice (an earlier ``limit(N+1).count()`` probe re-ran the
+    caller's whole upstream plan once per call; r7 review). It fires
+    when the batch column is EVALUATED — every real consumer does
+    (groupBy/agg on the batch id); an action that prunes the column
+    (a bare count()) skips the window and with it the guard."""
     if max_batch_size <= 0:
         raise ValueError("max_batch_size must be positive")
     from .profile import active_profile
 
     guard = active_profile().assign_batches_max_rows
-    if guard is not None and df.limit(guard + 1).count() > guard:
-        raise ValueError(
-            f"assign_batches is a single-partition global window and the "
-            f"input exceeds the {active_profile().name} profile's "
-            f"{guard}-row guard; use assign_batches_distributed (the "
-            f"scale path) or a smaller input"
-        )
     w = Window.orderBy(*[F.col(c) for c in order_by])
+    rn = F.row_number().over(w)
+    if guard is not None:
+        rn = F.when(
+            rn > F.lit(guard),
+            F.raise_error(
+                F.lit(
+                    f"assign_batches is a single-partition global window "
+                    f"and the input exceeds the "
+                    f"{active_profile().name} profile's {guard}-row "
+                    f"guard; use assign_batches_distributed (the scale "
+                    f"path)"
+                )
+            ).cast("int"),
+        ).otherwise(rn)
     return df.withColumn(
         BATCH_COL,
-        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_batch_size)),
+        F.floor((rn - F.lit(1)) / F.lit(max_batch_size)),
     )
 
 

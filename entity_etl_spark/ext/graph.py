@@ -244,7 +244,9 @@ def sample_edges_portable(
     return edges.filter(coin < F.lit(threshold))
 
 
-def count_triangles_compact_forward(pairs: DataFrame) -> DataFrame:
+def count_triangles_compact_forward(
+    pairs: DataFrame, *, assume_pinned: bool = False
+) -> DataFrame:
     """Exact triangle count of an undirected edge set (columns ``u`` <
     ``v``, distinct) as a 1-row (n_tri bigint) DataFrame.
 
@@ -255,8 +257,12 @@ def count_triangles_compact_forward(pairs: DataFrame) -> DataFrame:
     under degree orientation, hub-proof — and close each wedge with one
     hash-join probe. Never an NLJ. The count is orientation-invariant.
     Edge/degree tables are pinned (localCheckpoint) because each feeds
-    3+ join consumers."""
-    pairs = pairs.select("u", "v").localCheckpoint(eager=True)
+    3+ join consumers; pass ``assume_pinned=True`` when the caller has
+    already materialized ``pairs`` (avoids a second executor-storage
+    copy of the same frame)."""
+    pairs = pairs.select("u", "v")
+    if not assume_pinned:
+        pairs = pairs.localCheckpoint(eager=True)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionByName(pairs.select(F.col("v").alias("node")))
@@ -324,11 +330,11 @@ def doulion_triangle_estimate(
     samp = sample_edges_portable(edges, u, v, p, salt=salt).select(
         F.col(u).alias("u"), F.col(v).alias("v")
     )
-    # sampled-edge count and the triangle count both consume the sampled
-    # set; count_triangles_compact_forward pins it internally, so count
-    # edges off the same pinned frame via a second agg on its input
+    # the sampled set feeds the edge count AND the triangle kernel's 3+
+    # join consumers: pin ONCE here and tell the kernel not to re-pin
+    # (a second localCheckpoint would store the identical frame twice)
     samp = samp.localCheckpoint(eager=True)
-    tri = count_triangles_compact_forward(samp)
+    tri = count_triangles_compact_forward(samp, assume_pinned=True)
     n_edges = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_sampled"))
     inv_p3 = 1.0 / (p * p * p)
     return (

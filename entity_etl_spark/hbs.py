@@ -247,6 +247,23 @@ def compile_hbs_body(template: str, items_col: Column) -> Column:
             raise ValueError(f"nested {guard}}} inside {{{{#each}}}} "
                              "is not part of the body dialect")
 
+    def _reject_mustaches(text: str, where: str) -> None:
+        """Anything `{{...}}`-shaped the dialect does not compile must
+        RAISE, not pass through as literal bytes — a silently un-rendered
+        token corrupts every request body it ships in (r7 review)."""
+        leftover = re.search(r"\{\{.*?\}\}|\{\{", text, re.S)
+        if leftover:
+            raise ValueError(
+                f"unsupported template token {leftover.group(0)!r} in the "
+                f"{where} of a body template; the body dialect supports "
+                "literals, {{{.}}}/{{.}}/{{this}}, {{@index}}, "
+                "{{#unless @last}}...{{/unless}} and "
+                "{{#if @last}}...{{/if}} only"
+            )
+
+    _reject_mustaches(prefix, "prefix")
+    _reject_mustaches(suffix, "suffix")
+
     n = F.size(items_col)
 
     def render_item(x: Column, i: Column) -> Column:
@@ -255,6 +272,7 @@ def compile_hbs_body(template: str, items_col: Column) -> Column:
         is_last = i == (n - F.lit(1))
         for t in _ITEM_TOKEN.finditer(body):
             if t.start() > pos:
+                _reject_mustaches(body[pos: t.start()], "{{#each}} block")
                 cols.append(F.lit(body[pos: t.start()]))
             pos = t.end()
             if t.group("raw") is not None:
@@ -262,12 +280,16 @@ def compile_hbs_body(template: str, items_col: Column) -> Column:
             elif t.group("esc") is not None:
                 cols.append(escape_html(F.coalesce(x, F.lit(""))))
             elif t.group("unless") is not None:
+                _reject_mustaches(
+                    t.group("unless"), "{{#unless @last}} block"
+                )
                 cols.append(
                     F.when(~is_last, F.lit(t.group("unless"))).otherwise(
                         F.lit("")
                     )
                 )
             elif t.group("iflast") is not None:
+                _reject_mustaches(t.group("iflast"), "{{#if @last}} block")
                 cols.append(
                     F.when(is_last, F.lit(t.group("iflast"))).otherwise(
                         F.lit("")
@@ -276,6 +298,7 @@ def compile_hbs_body(template: str, items_col: Column) -> Column:
             else:  # {{@index}}
                 cols.append(i.cast("string"))
         if pos < len(body):
+            _reject_mustaches(body[pos:], "{{#each}} block")
             cols.append(F.lit(body[pos:]))
         if not cols:
             return F.lit("")

@@ -85,10 +85,39 @@ def run_incremental(
     now_epoch_ms: int | None = None,
 ) -> RunResult:
     """One incremental run for one table (reference handleEntityType,
-    app.js:44-60)."""
-    from .profile import activate_profile
+    app.js:44-60).
 
-    activate_profile(config.profile)
+    The config's execution profile is active only for the DURATION of
+    the run (profile_ctx, restored on exit) — RunResult carries scalars
+    and every plan inside is built before return, so a production-
+    profile pipeline cannot leak capped defaults into later same-process
+    parity calls (r7 review)."""
+    from .profile import profile_ctx
+
+    with profile_ctx(config.profile):
+        return _run_incremental_impl(
+            spark,
+            spec,
+            source,
+            projection,
+            config,
+            sink,
+            partial_results=partial_results,
+            now_epoch_ms=now_epoch_ms,
+        )
+
+
+def _run_incremental_impl(
+    spark: SparkSession,
+    spec: TableSpec,
+    source: DataFrame,
+    projection: Sequence[Mapping],
+    config: EngineConfig,
+    sink: Callable[[DataFrame], None],
+    *,
+    partial_results: bool = False,
+    now_epoch_ms: int | None = None,
+) -> RunResult:
     bucketed = bool(config.state_buckets)
     if bucketed:
         state = state_mod.load_state_bucketed(spark, config.state_dir, spec.name)

@@ -72,8 +72,14 @@ PRODUCTION = Profile(
         # hyperplane-LSH top-k corpus buckets (ext/similarity.lsh_topk)
         "lshtopk_max_bucket_size": 10_000,
         # generic within-group pair explode (ext/graph.within_group_pairs:
-        # triangles, item-item baskets, co-occurrence)
+        # default name, plus every call site that pins its OWN metric
+        # name — resolution is keyed by the name actually passed, so each
+        # pinned name needs its own entry or the cap silently never
+        # applies (r7 review finding)
         "pairs_max_group_size": 5_000,
+        "tri_max_order_items": 5_000,       # co-purchase whale orders
+        "ii_max_basket_size": 5_000,        # item-item whale baskets
+        "etc_max_user_types": 5_000,        # co-occurrence whale users
         # entity-resolution clean-side blocks (ext/er.resolve_entities)
         "er_max_block_size": 2_000,
     },

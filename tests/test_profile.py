@@ -84,17 +84,33 @@ def test_production_caps_whale_group_without_kwargs(spark):
         assert within_group_pairs(df, "g", "item").count() == exact
 
 
-def test_assign_batches_guard_raises_over_profile_limit(spark):
+def test_assign_batches_guard_fails_job_over_profile_limit(spark):
+    """The guard is an in-job raise_error on the window's own row_number
+    (no extra action, upstream lineage never evaluated twice — r7
+    review), so the failure surfaces when the plan EXECUTES."""
+    from pyspark.sql import functions as F
+
+    from entity_etl_spark.batch import BATCH_COL
+
     df = spark.range(50).selectExpr("id", "cast(id as string) as s")
     guarded = Profile(name="guarded", assign_batches_max_rows=10)
     with profile_ctx(guarded):
-        with pytest.raises(ValueError, match="assign_batches_distributed"):
-            assign_batches(df, 5, ["id"])
+        batched = assign_batches(df, 5, ["id"])  # plan builds fine
+        with pytest.raises(Exception, match="assign_batches_distributed"):
+            # consume the batch column (as every real caller does —
+            # a bare count() would prune the window away entirely)
+            batched.agg(F.max(BATCH_COL)).collect()
     # parity's generous guard passes small inputs untouched
-    assert assign_batches(df, 5, ["id"]).count() == 50
+    assert (
+        assign_batches(df, 5, ["id"]).agg(F.max(BATCH_COL)).collect()[0][0]
+        == 9
+    )
 
 
-def test_pipeline_activates_config_profile(spark, tmp_path):
+def test_pipeline_scopes_config_profile(spark, tmp_path):
+    """The config profile is active DURING the run and restored after —
+    a production pipeline must not leak capped defaults into later
+    same-process parity calls (r7 review)."""
     from entity_etl_spark.model import TableSpec
     from entity_etl_spark.pipeline import run_incremental
 
@@ -103,15 +119,35 @@ def test_pipeline_activates_config_profile(spark, tmp_path):
         [(1, 10, "a")], "id long, ts long, v string"
     )
     cfg = EngineConfig(state_dir=str(tmp_path), profile="production")
-    try:
-        run_incremental(
-            spark,
-            spec,
-            src,
-            [{"target": "id", "source": "id"}],
-            cfg,
-            sink=lambda d: d.count(),
+    seen_during = []
+    run_incremental(
+        spark,
+        spec,
+        src,
+        [{"target": "id", "source": "id"}],
+        cfg,
+        sink=lambda d: seen_during.append(
+            (active_profile().name, d.count())
+        ),
+    )
+    assert seen_during and seen_during[0][0] == "production"
+    assert active_profile() is PARITY
+
+
+def test_production_caps_cover_every_pinned_metric_name():
+    """Cap resolution is keyed by the max_metric name each call site
+    passes; a pinned name missing from PRODUCTION.caps silently never
+    caps (r7 review finding). Scan the package source for every pinned
+    name and assert coverage."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "entity_etl_spark"
+    names = set()
+    for p in pkg.rglob("*.py"):
+        names |= set(
+            re.findall(r'max_metric="([a-z_]+)"', p.read_text())
         )
-        assert active_profile().name == "production"
-    finally:
-        activate_profile(PARITY)
+    assert names, "no pinned max_metric names found — scan broke?"
+    missing = names - set(PRODUCTION.caps)
+    assert not missing, f"pinned cap names without production defaults: {missing}"

@@ -215,7 +215,12 @@ def generate(sf: float, out_dir: str) -> None:
     vecs = 0.2 * macro[labels] + 0.65 * micro[sub_of] + 0.3 * noise
     n_clone = max(int(n_emb * 0.01), 1)
     dst = rng.choice(np.arange(1, n_emb), n_clone, replace=False)
-    src = (dst * 7919 + 13) % dst  # deterministic earlier index, src < dst
+    # per-clone random earlier source (src < dst). NOT a polynomial in
+    # dst mod dst — any such form collapses to its constant term (the r7
+    # review caught (dst*7919+13)%dst == 13: every clone copied vector
+    # 13, one mega-clique whose pair count grows quadratically with SF
+    # instead of the intended scattered clone PAIRS, linear in n)
+    src = rng.integers(0, dst)
     vecs[dst] = vecs[src] + 0.02 * rng.standard_normal((n_clone, 64))
     labels[dst] = labels[src]
     vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(
