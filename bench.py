@@ -128,6 +128,16 @@ def main() -> None:
         "neardup_keep_best": "exact shingle-pair source (policy contract)",
         "containment_near_dups": "exact containment counting join",
         "streaming_neardup_prep": "exact shingle-index state per micro-batch",
+        # MEASURED infeasible, not assumed: the r7 sf10 attempt ran >30
+        # min and then died filling ~70 GB of disk with wedge-join
+        # shuffle spill (java.io.IOException: No space left on device).
+        # Co-purchase degree grows with SF, so wedge volume grows
+        # ~quadratically per decade; triangle_count_doulion (p=0.25
+        # edge-sampled, 1/64 the wedge work) is the sf10+ path and IS in
+        # this run.
+        "triangle_count_copurchase": "exact wedge counting: >30 min + "
+        "~70 GB shuffle spill filled the disk at sf10 (DOULION twin is "
+        "the scale path)",
     }
     if sf == "10":
         bench_queries = [q for q in bench_queries if q not in sf10_excluded]
@@ -226,12 +236,16 @@ def main() -> None:
     # implementation legitimately changes.
     #
     # Queries whose CONTRACT is quadratic-in-corpus (the exact-truth
-    # measurement gates: the exact pair join IS the measurement) get a
-    # documented 110x allowance instead — sum_s C(df_s,2) grows ~100x
-    # per decade on the fixed-vocab corpus; the 15x rule exists to catch
-    # UNINTENDED superlinearity, not the stated contract. (At sf10 these
-    # are excluded entirely, see sf10_excluded.)
-    quadratic_contract = {"minhash_recall_gate"}
+    # measurement gates: the exact pair computation IS the measurement)
+    # get a documented 110x allowance instead — exact-truth work grows
+    # ~100x per decade; the 15x rule exists to catch UNINTENDED
+    # superlinearity, not the stated contract. minhash_recall_gate's
+    # exact SHINGLE join is additionally row-explosive (~25G join rows
+    # at sf10 — excluded there, see sf10_excluded); semantic_dedup_
+    # pairs' exact truth is a BLAS block matmul, so it RUNS at sf10
+    # (measured 492 s = 81x sf1) under this allowance. The production
+    # semdedup path (auto-k, no in-query truth) stays linear by design.
+    quadratic_contract = {"minhash_recall_gate", "semantic_dedup_pairs"}
     sf01_ref_bests = {
         "incremental_scan": 0.30, "changed_rows": 1.11,
         "keep_latest_per_key": 0.41, "state_merge_upsert": 0.46,
@@ -300,15 +314,19 @@ def main() -> None:
     # run; empty entries surface in sf10_ratchet_ungated, never pass
     # silently.)
     sf1_ref_bests = dict(SF1_REF_BESTS_R7)
+
+    def _sf10_ceiling(name: str) -> float:
+        factor = 110.0 if name in quadratic_contract else 15.0
+        return factor * sf1_ref_bests[name] + 3.0
+
     sf10_breaches = (
         {
             name: {
                 "sec": t,
-                "factor_ceiling": round(15.0 * sf1_ref_bests[name] + 3.0, 1),
+                "factor_ceiling": round(_sf10_ceiling(name), 1),
             }
             for name, t in {**timings, **timings2}.items()
-            if name in sf1_ref_bests
-            and t > 15.0 * sf1_ref_bests[name] + 3.0
+            if name in sf1_ref_bests and t > _sf10_ceiling(name)
         }
         if sf == "10"
         else {}
