@@ -482,19 +482,41 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     """
+    -- money sums ride exact DECIMAL factor-wise (the q9 pattern; the r7
+    -- sf10 spot caught the double sums crossing the 2-dec grid at 1e12
+    -- magnitudes); averages derive from the SAME exact sums so the
+    -- double quotient is bit-identical in both engines, quantized with
+    -- the portable floor form
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sq,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sbase,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(12,4))
+                    - CAST(l_discount AS DECIMAL(12,4)))) AS sdisc,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(12,4))
+                    - CAST(l_discount AS DECIMAL(12,4)))
+                 * (CAST(1 AS DECIMAL(12,4))
+                    + CAST(l_tax AS DECIMAL(12,4)))) AS schg,
+             sum(CAST(l_discount AS DECIMAL(12,2))) AS sdsc,
+             count(*) AS cnt
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-               AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
-           CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           round(CAST(sq AS DOUBLE), 2) AS sum_qty,
+           CAST(floor(sbase * 100 + 0.5) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(floor(sdisc * 100 + 0.5) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(floor(schg * 100 + 0.5) AS DOUBLE) / 100 AS sum_charge,
+           floor(CAST(sq AS DOUBLE) / cnt * 10000 + 0.5) / 10000 AS avg_qty,
+           floor(CAST(sbase AS DOUBLE) / cnt * 10000 + 0.5) / 10000
+             AS avg_price,
+           floor(CAST(sdsc AS DOUBLE) / cnt * 10000 + 0.5) / 10000
+             AS avg_disc,
+           CAST(cnt AS BIGINT) AS count_order
+    FROM g
     """,
     doc="TPC-H Q1 shape: grouped multi-aggregate scan; partial (map-side) "
     "aggregation + single shuffle on the 2-col group key.",
@@ -502,20 +524,50 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     li = read_sf_table(spark, sf, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # exact DECIMAL money sums factor-wise (q9 pattern; the r7 sf10 spot
+    # caught the double sums crossing the 2-dec grid at 1e12 magnitudes);
+    # averages reuse the SAME exact sums -> identical double quotient in
+    # both engines; final quantize via the portable floor form
+    one = F.lit(1).cast("decimal(12,4)")
+    price4 = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc4 = F.col("l_discount").cast("decimal(12,4)")
+    tax4 = F.col("l_tax").cast("decimal(12,4)")
+    half = F.lit("0.5").cast("decimal(2,1)")
+
+    def money2(dec_sum):
+        return F.floor(dec_sum * 100 + half).cast("double") / 100
+
+    def avg4(dec_sum, cnt):
+        return (
+            F.floor(dec_sum.cast("double") / cnt * 10000 + F.lit(0.5))
+            / 10000
+        )
+
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").alias("__sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "__sbase"
+            ),
+            F.sum(price4 * (one - disc4)).alias("__sdisc"),
+            F.sum(price4 * (one - disc4) * (one + tax4)).alias("__schg"),
+            F.sum(F.col("l_discount").cast("decimal(12,2)")).alias("__sdsc"),
+            F.count(F.lit(1)).alias("__cnt"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("__sq").cast("double"), 2).alias("sum_qty"),
+        money2(F.col("__sbase")).alias("sum_base_price"),
+        money2(F.col("__sdisc")).alias("sum_disc_price"),
+        money2(F.col("__schg")).alias("sum_charge"),
+        avg4(F.col("__sq"), F.col("__cnt")).alias("avg_qty"),
+        avg4(F.col("__sbase"), F.col("__cnt")).alias("avg_price"),
+        avg4(F.col("__sdsc"), F.col("__cnt")).alias("avg_disc"),
+        F.col("__cnt").alias("count_order"),
     )
 
 
@@ -566,7 +618,10 @@ def q_top_orders_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "region_nation_revenue",
     """
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(12,4))
+                             - CAST(l_discount AS DECIMAL(12,4))))
+                      * 100 + 0.5) AS DOUBLE) / 100 AS revenue,
            CAST(count(*) AS BIGINT) AS n_lineitems
     FROM region
     JOIN nation ON n_regionkey = r_regionkey
@@ -594,8 +649,19 @@ def q_region_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(dims, cust.c_nationkey == nation.n_nationkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.floor(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (
+                            F.lit(1).cast("decimal(12,4)")
+                            - F.col("l_discount").cast("decimal(12,4)")
+                        )
+                    )
+                    * 100
+                    + F.lit("0.5").cast("decimal(2,1)")
+                ).cast("double")
+                / 100
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -644,7 +710,8 @@ def q_top_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT o_orderpriority, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 + 0.5)
+                AS DOUBLE) / 100 AS total
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
@@ -656,7 +723,13 @@ def q_rollup_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     orders = read_sf_table(spark, sf, "orders")
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+                + F.lit("0.5").cast("decimal(2,1)")
+            ).cast("double")
+            / 100
+        ).alias("total"),
     )
 
 
@@ -1886,7 +1959,8 @@ def q_time_rollup_multi(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT o_orderstatus, c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 + 0.5)
+                AS DOUBLE) / 100 AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE (o_orderstatus, c_mktsegment)
     """,
@@ -1901,7 +1975,13 @@ def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
         .cube("o_orderstatus", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (
+                F.floor(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+                    + F.lit("0.5").cast("decimal(2,1)")
+                ).cast("double")
+                / 100
+            ).alias("total"),
         )
     )
 
@@ -3079,7 +3159,10 @@ def q_least_greatest_bitwise(spark: SparkSession, sf: str) -> DataFrame:
            coalesce(l_linestatus, 'ALL') AS lstatus,
            CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
              AS gid,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(12,4))
+                             - CAST(l_discount AS DECIMAL(12,4))))
+                      * 100 + 0.5) AS DOUBLE) / 100 AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -3097,7 +3180,10 @@ def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
                coalesce(l_linestatus, 'ALL') AS lstatus,
                CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
                  AS gid,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (CAST(1 AS DECIMAL(12,4))
+                             - CAST(l_discount AS DECIMAL(12,4))))
+                      * 100 + 0.5) AS DOUBLE) / 100 AS revenue
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
