@@ -18,10 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# sf1 quiet bests (r7 run on the regenerated clustered-embedding twin,
-# BENCH_sf1_r7.json) — the reference side of the sf10 factor ratchet.
-# Placeholder until the quiet run lands; missing names are REPORTED as
-# sf10_ratchet_ungated, never silently passed.
+# sf1 quiet bests — measured values from the committed BENCH_sf1_r7.json
+# (r7 quiet run on the regenerated clustered-embedding twin) — the
+# reference side of the sf10 factor ratchet. Names missing from this dict
+# are REPORTED as sf10_ratchet_ungated, never silently passed.
 SF1_REF_BESTS_R7: dict[str, float] = {
     "asof_join": 0.504,
     "bm25_topk": 1.833,
@@ -65,6 +65,44 @@ SF1_REF_BESTS_R7: dict[str, float] = {
     "triangle_count_doulion": 6.651,
     "variant_shred": 0.205,
 }
+
+# sf10 exclusions — NEVER silent (reported in the JSON): the exact
+# near-dup pair family rides the shared-shingle counting join, whose
+# work is sum_s C(df_s, 2). The synthetic corpus draws every doc from
+# ONE 31-token vocabulary, so per-shingle df grows linearly with the
+# corpus (~130 at sf1 -> ~250M join rows, 28 s; ~1300 at sf10 ->
+# ~25G rows — runnable on a cluster, not in one local JVM). This is
+# the stop-shingle regime the production profile's max_shingle_df
+# cap exists for; the registry/bench keeps these EXACT (uncapped) by
+# contract, so at sf10 they are excluded rather than silently capped.
+# Their linear production twins (minhash_near_dups LSH leg,
+# dedup_exact fp state, triangle_count_doulion) stay in the run.
+# Module-level so tools (finish_bench_sf10, capped-sf10 runners) import
+# the ONE definition instead of duplicating it (r7 ADVICE).
+SF10_EXCLUDED: dict[str, str] = {
+    "minhash_recall_gate": "exact-truth pair join (quadratic-by-design measurement gate)",
+    "dedup_corpus_minhash": "exact shingle-pair source (policy contract)",
+    "neardup_keep_best": "exact shingle-pair source (policy contract)",
+    "containment_near_dups": "exact containment counting join",
+    "streaming_neardup_prep": "exact shingle-index state per micro-batch",
+    # MEASURED infeasible, not assumed: the r7 sf10 attempt ran >30
+    # min and then died filling ~70 GB of disk with wedge-join
+    # shuffle spill (java.io.IOException: No space left on device).
+    # Co-purchase degree grows with SF, so wedge volume grows
+    # ~quadratically per decade; triangle_count_doulion (p=0.25
+    # edge-sampled, 1/64 the wedge work) is the sf10+ path and IS in
+    # this run.
+    "triangle_count_copurchase": "exact wedge counting: >30 min + "
+    "~70 GB shuffle spill filled the disk at sf10 (DOULION twin is "
+    "the scale path)",
+}
+
+# Queries whose CONTRACT is quadratic-in-corpus (the exact-truth
+# measurement gates: the exact pair computation IS the measurement) get
+# a documented 110x per-decade allowance instead of the 15x rule —
+# exact-truth work grows ~100x per decade; the 15x rule exists to catch
+# UNINTENDED superlinearity, not the stated contract.
+QUADRATIC_CONTRACT = {"minhash_recall_gate", "semantic_dedup_pairs"}
 
 
 def main() -> None:
@@ -111,34 +149,7 @@ def main() -> None:
         name for name, q in REGISTRY.items() if "bench2" in q.tags
     ]
 
-    # sf10 exclusions — NEVER silent (reported in the JSON): the exact
-    # near-dup pair family rides the shared-shingle counting join, whose
-    # work is sum_s C(df_s, 2). The synthetic corpus draws every doc from
-    # ONE 31-token vocabulary, so per-shingle df grows linearly with the
-    # corpus (~130 at sf1 -> ~250M join rows, 28 s; ~1300 at sf10 ->
-    # ~25G rows — runnable on a cluster, not in one local JVM). This is
-    # the stop-shingle regime the production profile's max_shingle_df
-    # cap exists for; the registry/bench keeps these EXACT (uncapped) by
-    # contract, so at sf10 they are excluded rather than silently capped.
-    # Their linear production twins (minhash_near_dups LSH leg,
-    # dedup_exact fp state, triangle_count_doulion) stay in the run.
-    sf10_excluded = {
-        "minhash_recall_gate": "exact-truth pair join (quadratic-by-design measurement gate)",
-        "dedup_corpus_minhash": "exact shingle-pair source (policy contract)",
-        "neardup_keep_best": "exact shingle-pair source (policy contract)",
-        "containment_near_dups": "exact containment counting join",
-        "streaming_neardup_prep": "exact shingle-index state per micro-batch",
-        # MEASURED infeasible, not assumed: the r7 sf10 attempt ran >30
-        # min and then died filling ~70 GB of disk with wedge-join
-        # shuffle spill (java.io.IOException: No space left on device).
-        # Co-purchase degree grows with SF, so wedge volume grows
-        # ~quadratically per decade; triangle_count_doulion (p=0.25
-        # edge-sampled, 1/64 the wedge work) is the sf10+ path and IS in
-        # this run.
-        "triangle_count_copurchase": "exact wedge counting: >30 min + "
-        "~70 GB shuffle spill filled the disk at sf10 (DOULION twin is "
-        "the scale path)",
-    }
+    sf10_excluded = dict(SF10_EXCLUDED)
     if sf == "10":
         bench_queries = [q for q in bench_queries if q not in sf10_excluded]
         bench2_queries = [q for q in bench2_queries if q not in sf10_excluded]
@@ -235,17 +246,13 @@ def main() -> None:
     # bests are the r6-close quiet sf0.1 run; update them when a query's
     # implementation legitimately changes.
     #
-    # Queries whose CONTRACT is quadratic-in-corpus (the exact-truth
-    # measurement gates: the exact pair computation IS the measurement)
-    # get a documented 110x allowance instead — exact-truth work grows
-    # ~100x per decade; the 15x rule exists to catch UNINTENDED
-    # superlinearity, not the stated contract. minhash_recall_gate's
-    # exact SHINGLE join is additionally row-explosive (~25G join rows
-    # at sf10 — excluded there, see sf10_excluded); semantic_dedup_
-    # pairs' exact truth is a BLAS block matmul, so it RUNS at sf10
-    # (measured 492 s = 81x sf1) under this allowance. The production
-    # semdedup path (auto-k, no in-query truth) stays linear by design.
-    quadratic_contract = {"minhash_recall_gate", "semantic_dedup_pairs"}
+    # QUADRATIC_CONTRACT (module level): minhash_recall_gate's exact
+    # SHINGLE join is additionally row-explosive (~25G join rows at sf10
+    # — excluded there, see SF10_EXCLUDED); semantic_dedup_pairs' exact
+    # truth is a BLAS block matmul, so it RUNS at sf10 (measured 492 s =
+    # 81x sf1) under the 110x allowance. The production semdedup path
+    # (auto-k, no in-query truth) stays linear by design.
+    quadratic_contract = QUADRATIC_CONTRACT
     sf01_ref_bests = {
         "incremental_scan": 0.30, "changed_rows": 1.11,
         "keep_latest_per_key": 0.41, "state_merge_upsert": 0.46,

@@ -27,39 +27,63 @@ from pyspark.sql import functions as F
 BATCH_COL = "__batch_id"
 
 
+_PROFILE_GUARD = object()  # sentinel: resolve guard from the active profile
+
+
 def assign_batches(
-    df: DataFrame, max_batch_size: int, order_by: Sequence[str]
+    df: DataFrame,
+    max_batch_size: int,
+    order_by: Sequence[str],
+    guard_rows: int | None | object = _PROFILE_GUARD,
 ) -> DataFrame:
     """Deterministic contiguous batch ids 0..ceil(n/N)-1 (reference
     app.js:95-101 ``entities.slice(i*N, (i+1)*N)``).
 
     Guarded: the global unpartitioned window funnels every row through
-    one task, so above the active profile's ``assign_batches_max_rows``
-    the job FAILS with a pointer at :func:`assign_batches_distributed`.
+    one task, so above the guard threshold the job FAILS with a pointer
+    at :func:`assign_batches_distributed`.
+
+    **Behavior change (r7)**: the guard now applies under EVERY profile
+    — the parity default raises above 5,000,000 rows (production:
+    1,000,000), where earlier rounds succeeded slowly. Callers that
+    genuinely want an unguarded global window pass ``guard_rows=None``
+    (explicit opt-out); ``guard_rows=<int>`` overrides the profile's
+    threshold for one call.
+
     The guard is an in-job ``raise_error`` on the row_number the window
     computes anyway — zero extra actions, the upstream lineage is never
     evaluated twice (an earlier ``limit(N+1).count()`` probe re-ran the
-    caller's whole upstream plan once per call; r7 review). It fires
-    when the batch column is EVALUATED — every real consumer does
+    caller's whole upstream plan once per call; r7 review). Caveat: it
+    fires when the batch column is EVALUATED — every real consumer does
     (groupBy/agg on the batch id); an action that prunes the column
-    (a bare count()) skips the window and with it the guard."""
+    (a bare count()) skips the window and with it the guard, so the
+    guard is protection for the assembly path, not a standalone row
+    limit."""
     if max_batch_size <= 0:
         raise ValueError("max_batch_size must be positive")
     from .profile import active_profile
 
-    guard = active_profile().assign_batches_max_rows
+    guard = (
+        active_profile().assign_batches_max_rows
+        if guard_rows is _PROFILE_GUARD
+        else guard_rows
+    )
     w = Window.orderBy(*[F.col(c) for c in order_by])
     rn = F.row_number().over(w)
     if guard is not None:
+        src = (
+            f"the {active_profile().name} profile's"
+            if guard_rows is _PROFILE_GUARD
+            else "the caller's explicit"
+        )
         rn = F.when(
             rn > F.lit(guard),
             F.raise_error(
                 F.lit(
                     f"assign_batches is a single-partition global window "
-                    f"and the input exceeds the "
-                    f"{active_profile().name} profile's {guard}-row "
+                    f"and the input exceeds {src} {guard}-row "
                     f"guard; use assign_batches_distributed (the scale "
-                    f"path)"
+                    f"path) or pass guard_rows=None to opt out"
                 )
             ).cast("int"),
         ).otherwise(rn)
@@ -104,8 +128,13 @@ def assemble_bodies(
     templates/targetBody.hbs: ``[{{#each entities}}{{{.}}},…{{/each}}]``).
 
     ``collect_list`` order is not deterministic across retries, so the list
-    is sorted before joining — the reference sink is order-insensitive within
-    a batch (each element is an independent upsert by id, README.md:161-171).
+    is sorted before joining. This diverges from the reference's fetch-order
+    body bytes BY DESIGN: distributed retry determinism requires a canonical
+    element order, and the reference's stated target (a per-id REST table
+    API, README.md:161-171 — each element carries its own id) does not
+    depend on element order within a request. A sink that DOES require
+    fetch order cannot use a distributed engine's collect_list at all; it
+    would order by an explicit column instead.
     """
     return (
         batched.groupBy(batch_col)
@@ -125,16 +154,24 @@ def assemble_bodies_hbs(
     body_template: str,
     json_col: str = "json",
     batch_col: str = BATCH_COL,
+    each_name: str | None = None,
 ) -> DataFrame:
     """One request body per batch rendered through a USER body template
     (the reference's templates/targetBody.hbs migrates unmodified; any
     single-``{{#each}}`` template works — hbs.compile_hbs_body).
 
     Same distribution shape as :func:`assemble_bodies` — one groupBy,
-    per-batch collect_list sorted for retry determinism (the sink is an
-    order-insensitive per-id upsert, reference README.md:161-171) — with
-    the body expression compiled from the template instead of the fixed
-    JSON-array form. Still zero UDFs: transform + array_join codegen."""
+    per-batch collect_list sorted for retry determinism (see
+    :func:`assemble_bodies` for why sorted order diverges from the
+    reference's fetch-order bytes and why the reference's per-id REST
+    sink tolerates it) — with the body expression compiled from the
+    template instead of the fixed JSON-array form. Still zero UDFs:
+    transform + array_join codegen.
+
+    ``each_name``: when set, the template's ``{{#each NAME}}`` target
+    must equal it (catches template typos — e.g. a template iterating
+    ``{{#each entitys}}`` against a context that binds ``entities``).
+    The reference template binds ``entities`` (app.js:103)."""
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     from .hbs import compile_hbs_body
@@ -145,6 +182,8 @@ def assemble_bodies_hbs(
         .select(
             F.col(batch_col).alias("batch_id"),
             F.size("__items").alias("n_items"),
-            compile_hbs_body(body_template, F.col("__items")).alias("body"),
+            compile_hbs_body(
+                body_template, F.col("__items"), each_name=each_name
+            ).alias("body"),
         )
     )

@@ -215,7 +215,7 @@ def render_hbs(df: DataFrame, template: str, out_col: str = "rendered") -> DataF
 # expressions (transform + array_join): JVM-side, codegen'd, no UDF.
 
 _EACH_BLOCK = re.compile(
-    r"\{\{#each\s+[A-Za-z0-9_.]+\s*\}\}(?P<body>.*?)\{\{/each\s*\}\}",
+    r"\{\{#each\s+(?P<name>[A-Za-z0-9_.]+)\s*\}\}(?P<body>.*?)\{\{/each\s*\}\}",
     re.S,
 )
 _ITEM_TOKEN = re.compile(
@@ -228,17 +228,32 @@ _ITEM_TOKEN = re.compile(
 )
 
 
-def compile_hbs_body(template: str, items_col: Column) -> Column:
+def compile_hbs_body(
+    template: str, items_col: Column, each_name: str | None = None
+) -> Column:
     """Compile a request-body template containing ONE ``{{#each}}`` block
     into a string Column over ``items_col`` (array<string> of
     pre-rendered row payloads).
 
     Element order inside the array is the caller's contract — the
-    batch-assembly path sorts for retry determinism (the reference sink
-    is an order-insensitive per-id upsert, README.md:161-171)."""
+    batch-assembly path sorts for retry determinism (see
+    batch.assemble_bodies for the ordering-divergence rationale).
+
+    ``each_name``: when set, the ``{{#each NAME}}`` target must equal it
+    — Handlebars would render an unknown iteration target as empty, so a
+    typo'd name silently produces empty bodies; validating against the
+    name the caller actually binds (the reference binds ``entities``,
+    app.js:103) turns that into a build-time error."""
     m = _EACH_BLOCK.search(template)
     if m is None:
         raise ValueError("body template has no {{#each}} block")
+    if each_name is not None and m.group("name") != each_name:
+        raise ValueError(
+            f"body template iterates {{{{#each {m.group('name')}}}}} but "
+            f"the context binds {each_name!r} — in Handlebars an unknown "
+            f"target renders as an EMPTY block, so this is almost "
+            f"certainly a template typo"
+        )
     if _EACH_BLOCK.search(template, m.end()) is not None:
         raise ValueError("body template must contain exactly one {{#each}}")
     prefix, body, suffix = template[: m.start()], m.group("body"), template[m.end():]

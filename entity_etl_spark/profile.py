@@ -18,16 +18,24 @@ Caps are keyed by each call site's pinned ``max_metric`` name (the same
 name its Observation reports), so the mapping is auditable one-to-one
 against drop accounting in production logs.
 
-Activation is process-global (``activate_profile``) because cap
-resolution happens deep inside operators that deliberately do not take
-an EngineConfig; ``pipeline.run_incremental``/``run_all`` activate the
-profile named by their EngineConfig on entry. Tests use the
+Activation is per-thread (``activate_profile`` sets a thread-local,
+falling back to the parity default on threads that never activated)
+because cap resolution happens deep inside operators that deliberately
+do not take an EngineConfig; ``pipeline.run_incremental``/``run_all``
+activate the profile named by their EngineConfig on entry. Thread-local
+scope means concurrent runs on threads sharing one SparkSession — a
+normal Spark pattern — each resolve caps under their OWN profile
+instead of racing on a process global. Caps resolve at plan-BUILD time
+on the driver, so the thread that builds the plan is the thread whose
+profile applies; a plan built on one thread and executed on another
+keeps the builder's caps (they are baked into the plan). Tests use the
 ``profile_ctx`` context manager to avoid leaking state.
 """
 
 from __future__ import annotations
 
 import contextlib
+import threading
 from dataclasses import dataclass, field
 
 
@@ -89,33 +97,37 @@ PRODUCTION = Profile(
 
 _PROFILES = {p.name: p for p in (PARITY, PRODUCTION)}
 
-_active: Profile = PARITY
+# Per-thread activation (r8, ADVICE): a process-global Profile raced when
+# concurrent run_incremental calls on threads sharing one SparkSession
+# activated different profiles — caps could resolve under the WRONG
+# thread's profile at plan-build time. Each thread now owns its slot;
+# threads that never activate read the parity default.
+_local = threading.local()
 
 
 def activate_profile(name_or_profile: str | Profile) -> Profile:
-    """Set the process-global profile; returns the activated Profile."""
-    global _active
+    """Set the CURRENT THREAD's active profile; returns the Profile."""
     if isinstance(name_or_profile, Profile):
-        _active = name_or_profile
+        _local.profile = name_or_profile
     else:
         try:
-            _active = _PROFILES[name_or_profile]
+            _local.profile = _PROFILES[name_or_profile]
         except KeyError:
             raise ValueError(
                 f"unknown profile {name_or_profile!r}; "
                 f"choose from {sorted(_PROFILES)}"
             ) from None
-    return _active
+    return _local.profile
 
 
 def active_profile() -> Profile:
-    return _active
+    return getattr(_local, "profile", PARITY)
 
 
 @contextlib.contextmanager
 def profile_ctx(name_or_profile: str | Profile):
     """Temporarily activate a profile (tests; scoped production runs)."""
-    prev = _active
+    prev = active_profile()
     try:
         yield activate_profile(name_or_profile)
     finally:
@@ -127,4 +139,4 @@ def resolve_cap(explicit: int | None, max_metric: str) -> int | None:
     back to the active profile's default for this call site."""
     if explicit is not None:
         return explicit
-    return _active.cap_for(max_metric)
+    return active_profile().cap_for(max_metric)

@@ -425,3 +425,23 @@ def test_row_compiler_each_error_points_at_body_path():
 
     with pytest.raises(ValueError, match="assemble_bodies_hbs"):
         _parse("{{#each entities}}{{{.}}}{{/each}}")
+
+
+def test_compile_hbs_body_each_name_validation():
+    """{{#each NAME}} against a context that binds a different name is a
+    build-time error when the caller declares the bound name — in real
+    Handlebars an unknown target renders an EMPTY block, which would
+    silently ship empty request bodies (r7 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from entity_etl_spark.hbs import compile_hbs_body
+
+    c = F.col("items")
+    t = "[{{#each entities}}{{{.}}}{{/each}}]"
+    compile_hbs_body(t, c, each_name="entities")  # matching name: fine
+    compile_hbs_body(t, c)  # undeclared: any name accepted (compat)
+    with pytest.raises(ValueError, match="binds 'entities'"):
+        compile_hbs_body(
+            "[{{#each entitys}}{{{.}}}{{/each}}]", c, each_name="entities"
+        )

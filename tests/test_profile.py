@@ -151,3 +151,63 @@ def test_production_caps_cover_every_pinned_metric_name():
     assert names, "no pinned max_metric names found — scan broke?"
     missing = names - set(PRODUCTION.caps)
     assert not missing, f"pinned cap names without production defaults: {missing}"
+
+
+def test_activation_is_thread_local():
+    """Concurrent runs on threads sharing one SparkSession must each
+    resolve caps under their OWN profile (r7 ADVICE: a process-global
+    slot raced). Threads that never activate read the parity default."""
+    import threading
+
+    results = {}
+
+    def worker(profile_name: str, key: str):
+        if profile_name:
+            activate_profile(profile_name)
+        barrier.wait()  # both threads hold their profile simultaneously
+        results[key] = (
+            active_profile().name,
+            resolve_cap(None, "lsh_max_bucket_size"),
+        )
+
+    barrier = threading.Barrier(3)
+    threads = [
+        threading.Thread(target=worker, args=("production", "prod")),
+        threading.Thread(target=worker, args=("parity", "par")),
+        threading.Thread(target=worker, args=("", "none")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["prod"] == ("production", 2_000)
+    assert results["par"] == ("parity", None)
+    assert results["none"] == ("parity", None)  # untouched default
+    # the main thread's slot is unaffected by the workers
+    assert active_profile() is PARITY
+
+
+def test_assign_batches_guard_explicit_override_and_opt_out(spark):
+    """guard_rows=<int> overrides the profile threshold for one call;
+    guard_rows=None is the documented explicit opt-out (r7 ADVICE: the
+    parity guard is a behavior change for callers that previously
+    succeeded slowly)."""
+    from pyspark.sql import functions as F
+
+    from entity_etl_spark.batch import BATCH_COL
+
+    df = spark.range(50).withColumnRenamed("id", "id")
+    # explicit tighter guard fires even under parity
+    with pytest.raises(Exception, match="caller's explicit 10-row"):
+        assign_batches(df, 5, ["id"], guard_rows=10).agg(
+            F.max(BATCH_COL)
+        ).collect()
+    # explicit opt-out never fires, even under a tight profile
+    tight = Profile(name="tight", assign_batches_max_rows=10)
+    with profile_ctx(tight):
+        n = (
+            assign_batches(df, 5, ["id"], guard_rows=None)
+            .agg(F.max(BATCH_COL))
+            .collect()[0][0]
+        )
+    assert n == 9

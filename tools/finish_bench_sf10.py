@@ -20,20 +20,16 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from bench import SF1_REF_BESTS_R7  # noqa: E402
+# single source of truth for the gate definitions (r7 ADVICE: the two
+# copies here could drift from bench.py's and produce inconsistent
+# artifacts) — import all three from bench
+from bench import (  # noqa: E402
+    QUADRATIC_CONTRACT,
+    SF1_REF_BESTS_R7,
+    SF10_EXCLUDED,
+)
 
 SF_DIR = "/root/repo/testdata_gen/sf10"
-
-QUADRATIC_CONTRACT = {"minhash_recall_gate", "semantic_dedup_pairs"}
-SF10_EXCLUDED = {
-    "minhash_recall_gate": "exact-truth pair join (quadratic-by-design measurement gate)",
-    "dedup_corpus_minhash": "exact shingle-pair source (policy contract)",
-    "neardup_keep_best": "exact shingle-pair source (policy contract)",
-    "containment_near_dups": "exact containment counting join",
-    "streaming_neardup_prep": "exact shingle-index state per micro-batch",
-    "triangle_count_copurchase": "exact wedge counting: >30 min + ~70 GB "
-    "shuffle spill filled the disk at sf10 (DOULION twin is the scale path)",
-}
 
 
 def main() -> None:
