@@ -244,8 +244,45 @@ def sample_edges_portable(
     return edges.filter(coin < F.lit(threshold))
 
 
+_WEDGE_GUARD_DEFAULT = 2_000_000_000
+
+
+def _wedge_preflight(e_dir: DataFrame, max_wedges: int | None) -> None:
+    """Exact wedge-join volume Σ_src C(outdeg, 2) of an oriented edge
+    table, as one linear agg over the (pinned) frame; raises above
+    ``max_wedges`` with the DOULION pointer. Measured envelope on one
+    local[32]/64g box (r7/r8): 415M wedges = 45 s; 4.15G wedges = JVM
+    death after ~70 GB of shuffle spill (~60M wedges per GB)."""
+    if max_wedges is None:
+        return
+    row = (
+        e_dir.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c").cast("bigint") * (F.col("c") - F.lit(1)) / F.lit(2)
+            ).alias("w")
+        )
+        .collect()[0]
+    )
+    wedges = int(row["w"] or 0)
+    if wedges > max_wedges:
+        raise ValueError(
+            f"exact triangle counting would materialize {wedges:,} wedge "
+            f"rows (> the {max_wedges:,} guard): at the measured ~60M "
+            f"wedges/GB of shuffle spill this exceeds one box's disk "
+            f"(the r7 sf10 attempt died at 4.15G wedges / ~70 GB). Use "
+            f"doulion_triangle_estimate (p^2 wedge reduction, measured-"
+            f"error gated) or raise/disable the guard (max_wedges=None) "
+            f"on a cluster with aggregate disk for the spill"
+        )
+
+
 def count_triangles_compact_forward(
-    pairs: DataFrame, *, assume_pinned: bool = False
+    pairs: DataFrame,
+    *,
+    assume_pinned: bool = False,
+    max_wedges: int | None = _WEDGE_GUARD_DEFAULT,
 ) -> DataFrame:
     """Exact triangle count of an undirected edge set (columns ``u`` <
     ``v``, distinct) as a 1-row (n_tri bigint) DataFrame.
@@ -259,7 +296,19 @@ def count_triangles_compact_forward(
     Edge/degree tables are pinned (localCheckpoint) because each feeds
     3+ join consumers; pass ``assume_pinned=True`` when the caller has
     already materialized ``pairs`` (avoids a second executor-storage
-    copy of the same frame)."""
+    copy of the same frame).
+
+    **Pre-flight wedge guard** (r8, VERDICT item 7): before planning the
+    wedge self-join, one cheap linear agg over the (already pinned)
+    oriented edge table computes the EXACT join volume Σ C(outdeg, 2);
+    above ``max_wedges`` the call raises with a pointer at
+    :func:`doulion_triangle_estimate` instead of dying on disk. The r7
+    sf10 attempt measured the failure mode this prevents: 4.15G wedges
+    filled ~70 GB of shuffle spill and killed the JVM after >30 min,
+    while sf1's 415M wedges completed in 45 s on the same 64g box
+    (~60M wedges per GB of spill; envelope in SCALE.md). The default
+    2e9 sits between those two measured points; ``max_wedges=None``
+    opts out (a real cluster's aggregate disk moves the wall)."""
     pairs = pairs.select("u", "v")
     if not assume_pinned:
         pairs = pairs.localCheckpoint(eager=True)
@@ -286,6 +335,7 @@ def count_triangles_compact_forward(
         )
         .localCheckpoint(eager=True)
     )
+    _wedge_preflight(e_dir, max_wedges)
     dst_rank_lt = (F.col("a.dst_d") < F.col("b.dst_d")) | (
         (F.col("a.dst_d") == F.col("b.dst_d"))
         & (F.col("a.dst") < F.col("b.dst"))

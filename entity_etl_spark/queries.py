@@ -11665,7 +11665,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     "pair explode is C(items-per-order, 2) via ext.graph."
     "within_group_pairs — max_order_items caps whale orders with "
     "Observation accounting, the same contract as the LSH bucket caps; "
-    "registry runs uncapped for oracle parity). "
+    "registry runs uncapped for oracle parity). Pre-flights the exact "
+    "wedge-join volume (one linear agg over the pinned oriented edges) "
+    "and raises above 2e9 wedges with the DOULION pointer instead of "
+    "dying on shuffle spill — feasibility envelope measured in SCALE.md. "
     "Degree stats and the wedge denominator reuse the edge table. The "
     "extension-family recommendation/graph twin of pagerank (E-family, "
     "SURVEY §2.3).",
@@ -11677,8 +11680,16 @@ def q_triangle_count_copurchase(
     *,
     max_order_items: int | None = None,
     observation=None,
+    max_wedges: int | None = None,
 ) -> DataFrame:
-    from .ext.graph import within_group_pairs
+    from .ext.graph import _WEDGE_GUARD_DEFAULT, _wedge_preflight, within_group_pairs
+
+    # None = the measured-envelope default (see ext.graph._wedge_preflight);
+    # <= 0 = explicit opt-out for clusters with aggregate disk for the spill
+    if max_wedges is None:
+        max_wedges = _WEDGE_GUARD_DEFAULT
+    elif max_wedges <= 0:
+        max_wedges = None
 
     li = read_sf_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -11737,6 +11748,11 @@ def q_triangle_count_copurchase(
         # run once
         .localCheckpoint(eager=True)
     )
+    # pre-flight (r8): one linear agg over the pinned oriented edges
+    # computes the EXACT wedge-join volume and raises with the DOULION
+    # pointer instead of dying on disk — the r7 sf10 attempt spilled
+    # ~70 GB and killed the JVM at 4.15G wedges; sf1's 415M ran in 45 s
+    _wedge_preflight(e_dir, max_wedges)
     dst_rank_lt = (F.col("a.dst_d") < F.col("b.dst_d")) | (
         (F.col("a.dst_d") == F.col("b.dst_d"))
         & (F.col("a.dst") < F.col("b.dst"))

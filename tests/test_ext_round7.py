@@ -161,3 +161,42 @@ def test_sample_edges_portable_rejects_bad_p(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             sample_edges_portable(df, p=bad)
+
+
+def test_wedge_preflight_guard_raises_with_doulion_pointer(spark):
+    """The exact-triangle kernel pre-flights its wedge-join volume (one
+    linear agg over the pinned oriented edges) and raises above the
+    guard instead of dying on shuffle spill — the r7 sf10 failure mode
+    (4.15G wedges, ~70 GB spill, JVM death). K10 has sum C(outdeg,2) =
+    120 oriented wedges; a 100-wedge guard must fire, the default and
+    an explicit opt-out must not."""
+    import pytest
+
+    from entity_etl_spark.ext.graph import count_triangles_compact_forward
+    from entity_etl_spark.queries import q_triangle_count_copurchase
+
+    k10 = spark.createDataFrame(
+        [(i, j) for i in range(10) for j in range(i + 1, 10)], "u int, v int"
+    )
+    with pytest.raises(ValueError, match="doulion_triangle_estimate"):
+        count_triangles_compact_forward(k10, max_wedges=100)
+    # default guard (2e9) and explicit opt-out both compute: C(10,3)=120
+    assert (
+        count_triangles_compact_forward(k10).collect()[0]["n_tri"] == 120
+    )
+    assert (
+        count_triangles_compact_forward(k10, max_wedges=None)
+        .collect()[0]["n_tri"]
+        == 120
+    )
+    # registry query: tight guard raises at BUILD time, opt-out (<=0) runs
+    with pytest.raises(ValueError, match="doulion_triangle_estimate"):
+        q_triangle_count_copurchase(
+            spark, "/root/testdata/sf0.001", max_wedges=10
+        )
+    assert (
+        q_triangle_count_copurchase(
+            spark, "/root/testdata/sf0.001", max_wedges=0
+        ).count()
+        == 1
+    )
