@@ -3879,6 +3879,42 @@ def q_image_bmp_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "image_png_features",
+    """
+    -- the Spark side round-trips every embedding through a REAL zlib-
+    -- deflated, scanline-filtered PNG (all five filter types, CRC-checked
+    -- chunks); the oracle re-derives the decoded stats from the source
+    -- floats through the exact byte quantization. paeth_rows pins that
+    -- the decoder read the per-scanline filter bytes: rows 0..7 carry
+    -- filters (0,1,2,3,4,0,1,2) by construction, exactly one Paeth.
+    SELECT vec_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           round(list_sum(list_transform(embedding,
+             x -> greatest(least(floor((CAST(x AS DOUBLE) + 1) / 2 * 255
+                                       + 0.5), 255), 0)))
+                 / len(embedding), 6) AS mean_pixel,
+           CAST(1 AS INT) AS paeth_rows
+    FROM embeddings
+    """,
+    doc="E5 with a REAL COMPRESSED decoder (no codec library): embeddings "
+    "-> 8-bit grayscale PNG blobs (stdlib zlib DEFLATE, filter types "
+    "0-4 cycled per scanline) -> chunk walk with CRC32 verification, "
+    "IDAT inflate, Sub/Up/Average/Paeth defiltering (ext/image.py "
+    "_decode_png) -> per-image features. Two Arrow mapInPandas passes; "
+    "blobs never shuffle (map-only seam, same shape as image_bmp_"
+    "features). The oracle restates the mean through the exact byte "
+    "quantization — a defilter or inflate bug cannot hash-match.",
+    tags=("ext",),
+)
+def q_image_png_features(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.image import decode_png_features, synthesize_png
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return decode_png_features(synthesize_png(emb))
+
+
+@register(
     "bloom_membership_prefilter",
     """
     -- membership truths the sketch must satisfy, restated relationally:
