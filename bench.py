@@ -360,9 +360,17 @@ def main() -> None:
     # group (minhash_recall_gate) and the frozen name benches the linear
     # LSH leg again — at the 64/16 config (r5's recall fix; r1 ran 32/8,
     # about half the signature work) with the portable cross-engine hash
-    # (~0.25 s premium over xxhash64 at sf0.1). The 18-query subtotal
-    # remains the strictly-like-for-like r1 comparison.
-    frozen18 = round(total - timings.get("minhash_near_dups", 0.0), 3)
+    # (~0.25 s premium over xxhash64 at sf0.1). r8 adds
+    # minhash_near_dups_xxh64 — the DEPLOYABLE engine-native leg under
+    # its own headline name (VERDICT r7 item 3) — also excluded from the
+    # frozen-18 subtotal, which remains the strictly-like-for-like r1
+    # comparison.
+    frozen18 = round(
+        total
+        - timings.get("minhash_near_dups", 0.0)
+        - timings.get("minhash_near_dups_xxh64", 0.0),
+        3,
+    )
     print(
         json.dumps(
             {

@@ -861,6 +861,8 @@ def drop_near_dups(
     verify_threshold: float | None = 0.5,
     max_bucket_size: int | None = None,
     signature_path: str | None = None,
+    hash_fn: str | None = None,
+    observation=None,
 ) -> DataFrame:
     """Corpus-level near-dup removal: keep one representative per near-dup
     group (the standard keep-the-smaller-id policy over verified pairs, as
@@ -883,15 +885,19 @@ def drop_near_dups(
 
     Returns df minus dropped docs — the "switch your corpus to the deduped
     one" API; the pair functions are the pair-level forensic view.
-    ``max_bucket_size`` / ``signature_path`` thread through to the LSH
-    candidate stage (hot-bucket cap; storage-backed signature persist) and
-    are REJECTED with the exact methods: a caller that tuned the r5-default
-    MinHash path (this became ``method='exact'`` in r6) must not silently
-    lose its signature persist or hot-bucket cap."""
+    ``max_bucket_size`` / ``signature_path`` / ``hash_fn`` /
+    ``observation`` thread through to the LSH candidate stage (hot-bucket
+    cap + drop accounting; storage-backed signature persist; md5 portable
+    vs xxhash64 engine-native hash family) and are REJECTED with the
+    exact methods: a caller that tuned the r5-default MinHash path (this
+    became ``method='exact'`` in r6) must not silently lose its signature
+    persist or hot-bucket cap."""
     if method != "minhash":
         lsh_only = {
             "max_bucket_size": max_bucket_size,
             "signature_path": signature_path,
+            "hash_fn": hash_fn,
+            "observation": observation,
         }
         passed = [name for name, v in lsh_only.items() if v is not None]
         if passed:
@@ -919,6 +925,8 @@ def drop_near_dups(
             verify_threshold=verify_threshold,
             max_bucket_size=max_bucket_size,
             signature_path=signature_path,
+            observation=observation,
+            **({} if hash_fn is None else {"hash_fn": hash_fn}),
         )
     else:
         raise ValueError(f"unknown near-dup method: {method!r}")

@@ -1060,6 +1060,59 @@ _MINHASH_ORACLE = f"""
     """
 
 
+# Capped-LSH pair CTE chain (shared by the production dedup twins): the
+# same portable md5 pipeline as _MINHASH_ORACLE with the hot-bucket cap
+# restated relationally — buckets holding more than max_bucket_size docs
+# are dropped whole BEFORE the pair join (cap_hot_groups semantics).
+_MINHASH_CAPPED_CTES = f"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS doc, array_to_string(w[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+    ),
+    hh AS (
+      SELECT doc,
+             CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS lo,
+             CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT) AS hi
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc,
+         {_MH_SIG}
+      FROM hh GROUP BY doc
+    ),
+    bucket AS MATERIALIZED (
+      SELECT doc, unnest([
+        {_MH_BANDS}]) AS key
+      FROM sig
+    ),
+    bkept AS (SELECT key FROM bucket GROUP BY key
+              HAVING count(*) <= 2000),
+    bucketc AS (SELECT b.doc, b.key FROM bucket b JOIN bkept USING (key)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bucketc a JOIN bucketc b ON a.key = b.key AND a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc = c.doc_a
+      JOIN sh sb ON sb.doc = c.doc_b AND sb.s = sa.s
+      GROUP BY 1, 2
+    ),
+    vpairs AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc = i.doc_a
+      JOIN sizes sb ON sb.doc = i.doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    )"""
+
+
 @register(
     "minhash_near_dups",
     _MINHASH_ORACLE,
@@ -1086,6 +1139,39 @@ def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         bands=16,
         verify_threshold=0.5,
         hash_fn="md5",
+    )
+
+
+@register(
+    "minhash_near_dups_xxh64",
+    None,  # engine-native xxhash64 has no ANSI restatement (that is WHY
+    # the frozen headline runs the portable md5 family); correctness is
+    # pinned instead by tests/test_ext_round7.py: every emitted pair is
+    # exact-Jaccard >= 0.5 BY CONSTRUCTION (subset-of-exact asserted) and
+    # recall vs the exact pair set is gated at the same 0.75 floor the
+    # relational recall gate uses
+    doc="E2 MinHash(64)+LSH(16x4) near-dup pairs on the DEPLOYABLE "
+    "engine-native hash family (hash_fn='xxhash64', the "
+    "ext/dedup.minhash_near_dups default): one xxhash64 per shingle "
+    "folded 64 ways map-side, xxhash64 band keys, bucket join, exact "
+    "verify on candidates only. Identical plan shape to the frozen "
+    "headline minhash_near_dups — only the hash family differs — so "
+    "this entry benches the production form's constant factor while "
+    "the md5 twin keeps the full relational oracle (VERDICT r7 item 3).",
+    tags=("ext", "bench"),
+)
+def q_minhash_near_dups_xxh64(spark: SparkSession, sf: str) -> DataFrame:
+    from .ext.dedup import minhash_near_dups
+
+    docs = read_sf_table(spark, sf, "documents")
+    return minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.5,
+        hash_fn="xxhash64",
     )
 
 
@@ -2339,6 +2425,49 @@ def q_dedup_corpus_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_sf_table(spark, sf, "documents")
     out = drop_near_dups(docs, "doc_id", "text")
+    return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "dedup_corpus_minhash_prod",
+    f"""
+    -- PRODUCTION twin of dedup_corpus_minhash (VERDICT r7 item 4): the
+    -- pair source is banded MinHash-LSH with the hot-bucket cap, NOT the
+    -- exact shingle equi-join — the exact join's work is sum_s C(df_s,2)
+    -- and this corpus's shingle df is ~uniform (~888 median at sf10,
+    -- measured), so it is ~25G join rows at sf10 while the LSH leg stays
+    -- linear. Same portable md5 family as the minhash_near_dups oracle,
+    -- so the capped candidate set, exact verification, and keep-min-id
+    -- policy all restate relationally at any SF.
+    WITH {_MINHASH_CAPPED_CTES},
+    losers AS (SELECT DISTINCT doc_b FROM vpairs)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+    """,
+    doc="E2 corpus dedup, production profile: drop_near_dups(method="
+    "'minhash', max_bucket_size=2000, portable md5 family) — banded LSH "
+    "candidates (hot buckets dropped whole with Observation accounting), "
+    "exact-Jaccard verify on candidates only, keep-min-id policy. The "
+    "linear at-scale alternative recorded for the sf10 exclusion of the "
+    "exact pair source (policy contract keeps that name exact). Recall "
+    "vs the exact pair set is measured by minhash_recall_gate.",
+    tags=("ext", "bench2"),
+)
+def q_dedup_corpus_minhash_prod(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from .ext.dedup import drop_near_dups
+
+    docs = read_sf_table(spark, sf, "documents")
+    out = drop_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        method="minhash",
+        hash_fn="md5",
+        max_bucket_size=2000,
+        observation=Observation("dedup_prod_drops"),
+    )
     return out.select("doc_id", "lang", "source")
 
 
@@ -9476,6 +9605,80 @@ def q_neardup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "neardup_keep_best_prod",
+    f"""
+    -- PRODUCTION twin of neardup_keep_best (VERDICT r7 item 4): the
+    -- pair source is capped banded MinHash-LSH (linear at any SF; the
+    -- exact shingle equi-join is ~25G rows at sf10 on this corpus's
+    -- ~uniform shingle df), then the same connected-component closure
+    -- and keep-longest policy over the LSH pair set.
+    WITH RECURSIVE {_MINHASH_CAPPED_CTES},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    groups AS MATERIALIZED (
+      SELECT u AS doc, CAST(least(u, min(v)) AS BIGINT) AS group_rep
+      FROM reach GROUP BY u
+    ),
+    gk AS MATERIALIZED (
+      SELECT g.doc AS doc_id, g.group_rep,
+             row_number() OVER (PARTITION BY g.group_rep
+                                ORDER BY d.n_chars DESC, g.doc) = 1 AS kept
+      FROM groups g JOIN documents d ON d.doc_id = g.doc
+    )
+    SELECT doc_id, group_rep, kept FROM gk
+    UNION ALL
+    SELECT doc_id, CAST(doc_id AS BIGINT) AS group_rep, true AS kept
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM gk)
+    """,
+    doc="E2 canonical selection, production profile: the keep-best "
+    "policy (longest doc per connected component, doc_id tie-break) "
+    "over the CAPPED MinHash-LSH pair set instead of the exact shingle "
+    "join — the linear at-scale alternative recorded for the sf10 "
+    "exclusion of neardup_keep_best (which stays exact by contract). "
+    "Same portable md5 family as the minhash_near_dups oracle, so the "
+    "whole pipeline incl. the hot-bucket cap restates relationally.",
+    tags=("ext", "bench2"),
+)
+def q_neardup_keep_best_prod(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from .ext.dedup import minhash_near_dups
+    from .ext.graph import keep_best_per_group, near_dup_groups
+
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        num_hashes=64,
+        bands=16,
+        verify_threshold=0.5,
+        hash_fn="md5",
+        max_bucket_size=2000,
+        observation=Observation("nkb_prod_drops"),
+    )
+    grouped = near_dup_groups(pairs)
+    d = docs.select("doc_id", "n_chars")
+    g = grouped.join(d, grouped["doc"] == d["doc_id"]).select(
+        "doc_id", "group_rep", "n_chars"
+    )
+    gk = keep_best_per_group(g)
+    rest = d.join(gk.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("doc_id").alias("group_rep"),
+        F.lit(True).alias("kept"),
+    )
+    return gk.unionByName(rest)
+
+
+@register(
     "curriculum_quality_buckets",
     r"""
     -- same pinned classifier score as quality_classifier_gate; bucket
@@ -12012,6 +12215,71 @@ def q_item_item_cosine_topk(
             "cosine",
             F.col("rn").cast("int").alias("rank"),
         )
+    )
+
+
+@register(
+    "item_item_cosine_topk_capped",
+    """
+    -- the PRODUCTION-PROFILE twin: whale customers (baskets over the cap)
+    -- are dropped whole BEFORE the pair explode — cap_hot_groups
+    -- semantics, restated here as a HAVING filter on basket size. Cap 40
+    -- = this corpus's ~p50: it keeps 53% of customers carrying 28% of the
+    -- uncapped 1.32G-row fan-out at sf10 (measured), which is what turns
+    -- the r7 one-box memory-wall breach (208 s, sort-spill on ~800M
+    -- unique keys) into an in-ceiling run. Supports stay UNCAPPED —
+    -- cosine denominators are true item supports, so kept-pair scores
+    -- are exact; only pairs whose co-count lived in dropped baskets are
+    -- missing, and those are Observation-accounted in the engine run.
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    support AS (SELECT p, count(*) AS n FROM cp GROUP BY p),
+    kept AS (SELECT c FROM cp GROUP BY c HAVING count(*) <= 40),
+    cpk AS (SELECT cp.* FROM cp JOIN kept USING (c)),
+    co AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS n_co
+      FROM cpk a JOIN cpk b ON a.c = b.c AND a.p < b.p
+      GROUP BY a.p, b.p
+    ),
+    scored AS (
+      SELECT co.pa, co.pb, co.n_co,
+             floor(co.n_co / sqrt(sa.n * sb.n) * 1000000 + 0.5)
+               / 1000000 AS cosine
+      FROM co
+      JOIN support sa ON sa.p = co.pa
+      JOIN support sb ON sb.p = co.pb
+      WHERE co.n_co >= 3
+    )
+    SELECT pa, pb, CAST(n_co AS BIGINT) AS n_co, cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY cosine DESC, pa, pb) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+    doc="Production-profile item-item similarity (VERDICT r7 item 2): "
+    "identical scoring/ranking to item_item_cosine_topk but whale "
+    "baskets above max_basket_size=40 drop whole (within_group_pairs -> "
+    "cap_hot_groups, Observation drop accounting) before the pair "
+    "explode, bounding the co-occurrence agg's unique-key working set "
+    "on one box. The uncapped exact contract stays in the registry; "
+    "this twin is the recorded at-scale alternative for the sf10 "
+    "memory-wall breach. Oracle restates the cap as a HAVING filter on "
+    "basket size, so the capped output is fully relationally pinned.",
+    tags=("ext", "bench2"),
+)
+def q_item_item_cosine_topk_capped(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from pyspark.sql import Observation
+
+    return q_item_item_cosine_topk(
+        spark,
+        sf,
+        max_basket_size=40,
+        observation=Observation("ii_capped_drops"),
     )
 
 

@@ -249,3 +249,49 @@ def test_paeth_predictor_reference_vectors():
     assert _paeth(3, 0, 1) == 3  # p=2: pa=1, pb=2, pc=1 -> tie a/c -> LEFT
     assert _paeth(3, 0, 2) == 0  # p=1: pa=2, pb=1, pc=1 -> tie b/c -> UP
     assert _paeth(5, 5, 9) == 5  # p=1: pa=4, pb=4, pc=8 -> tie a/b -> left
+
+
+def test_minhash_xxh64_leg_subset_and_recall(spark):
+    """Correctness gate for the oracle-less deployable leg
+    (minhash_near_dups_xxh64): the emitted pair set must be a SUBSET of
+    the exact Jaccard pair set (exact verify makes precision 1.0 by
+    construction — any non-subset pair is a verify bug) and recall vs
+    exact must clear the same 0.75 floor the relational recall gate
+    uses. Run at sf0.001 AND sf0.01 so the gate sees two corpus shapes."""
+    from entity_etl_spark.ext.dedup import jaccard_pairs
+    from entity_etl_spark.queries import REGISTRY
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5
+            ).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in REGISTRY["minhash_near_dups_xxh64"].fn(spark, sf).collect()
+        }
+        assert got <= exact, f"non-exact pairs emitted at {sf}: {got - exact}"
+        if exact:
+            recall = len(got) / len(exact)
+            assert recall >= 0.75, f"recall {recall:.3f} < 0.75 at {sf}"
+
+
+def test_drop_near_dups_rejects_lsh_knobs_on_exact_methods(spark):
+    """hash_fn / observation are LSH-stage knobs; passing them with an
+    exact method must raise, not silently ignore (same contract as
+    max_bucket_size / signature_path)."""
+    import pytest
+    from pyspark.sql import Observation
+
+    from entity_etl_spark.ext.dedup import drop_near_dups
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_fn"):
+        drop_near_dups(docs, "doc_id", "text", hash_fn="md5")
+    with pytest.raises(ValueError, match="observation"):
+        drop_near_dups(
+            docs, "doc_id", "text", observation=Observation("x")
+        )
