@@ -222,6 +222,10 @@ def main() -> None:
         # r7: DOULION sampled-triangle twin, 3.23 s quiet (2x + 0.5 s);
         # measured sf1 factor 2.8x vs exact's 6.4x — the ~linear path
         "triangle_count_doulion": 7.0,
+        # r8: the production twins (BENCH_sf01_r8_quiet.json; 2x + 0.5 s)
+        "dedup_corpus_minhash_prod": 5.7,
+        "neardup_keep_best_prod": 9.0,
+        "item_item_cosine_topk_capped": 4.6,
     }
     breaches = (
         {
@@ -275,6 +279,11 @@ def main() -> None:
         "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
         "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
         "triangle_count_doulion": 3.23,
+        # r8 additions (quiet bests, BENCH_sf01_r8_quiet.json)
+        "minhash_near_dups_xxh64": 1.58,
+        "dedup_corpus_minhash_prod": 2.60,
+        "neardup_keep_best_prod": 4.26,
+        "item_item_cosine_topk_capped": 2.05,
     }
     def _sf1_ceiling(name: str) -> float:
         factor = 110.0 if name in quadratic_contract else 15.0
