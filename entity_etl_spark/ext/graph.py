@@ -384,7 +384,14 @@ def doulion_triangle_estimate(
     # join consumers: pin ONCE here and tell the kernel not to re-pin
     # (a second localCheckpoint would store the identical frame twice)
     samp = samp.localCheckpoint(eager=True)
-    tri = count_triangles_compact_forward(samp, assume_pinned=True)
+    # max_wedges=None: DOULION IS the fallback the wedge guard points
+    # at, and its p² wedge reduction is the bound — pre-flighting the
+    # sampled graph would charge every estimate an extra linear pass
+    # (measured +1.6 s at sf1) to defend against the regime the sampler
+    # exists to prevent. Exact callers keep the guard.
+    tri = count_triangles_compact_forward(
+        samp, assume_pinned=True, max_wedges=None
+    )
     n_edges = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_sampled"))
     inv_p3 = 1.0 / (p * p * p)
     return (
