@@ -6,9 +6,11 @@ fields computed by bench.py's committed rules.
 
 One-shot round-7 tool; the artifact records its provenance in a "note".
 
-Usage: python tools/finish_bench_sf10.py DONE_TIMINGS.json OUT.json
+Usage: python tools/finish_bench_sf10.py DONE_TIMINGS.json OUT.json [NOTE]
   DONE_TIMINGS.json: {"queries": {...}, "heavy_queries": {...}} parsed
   from the aborted run's ## lines.
+  NOTE: provenance sentence for the artifact's "note" field (r8: the
+  note must describe THIS merge, not the r7 abort it was written for).
 """
 
 from __future__ import annotations
@@ -113,12 +115,11 @@ def main() -> None:
         "sf10_ratchet_ungated": ungated,
         "sf10_excluded": SF10_EXCLUDED,
         "sf": "10",
-        "note": "timings merged from two runs: the first sf10 attempt "
-        "completed 19 headline + 8 heavy queries, then exact triangle "
-        "counting aborted the JVM by filling the disk with wedge-join "
-        "spill (now a documented sf10 exclusion); this tool re-ran the "
-        "remaining bench2 queries under the identical session config "
-        "and computed the gate fields with bench.py's committed rules.",
+        "note": sys.argv[3]
+        if len(sys.argv) > 3
+        else "timings merged from an aborted run plus a same-config "
+        "completion run in a fresh JVM; gate fields computed with "
+        "bench.py's committed rules.",
     }
     with open(out_path, "w") as f:
         f.write(json.dumps(artifact) + "\n")
