@@ -18,53 +18,62 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# sf1 quiet bests — measured values from the committed BENCH_sf1_r7.json
-# (r7 quiet run on the regenerated clustered-embedding twin) — the
-# reference side of the sf10 factor ratchet. Names missing from this dict
-# are REPORTED as sf10_ratchet_ungated, never silently passed.
-SF1_REF_BESTS_R7: dict[str, float] = {
-    "asof_join": 0.504,
-    "bm25_topk": 1.833,
-    "boilerplate_segment_removal": 2.18,
-    "bpe_encode_tokens": 2.496,
-    "changed_rows": 2.237,
-    "chunk_documents_builtin": 1.046,
-    "containment_near_dups": 11.928,
-    "dedup_corpus_minhash": 11.909,
-    "dedup_exact": 0.388,
-    "embedding_pq_topk": 9.882,
-    "embedding_topk": 1.491,
-    "embedding_topk_heap": 1.077,
-    "incremental_scan": 0.381,
-    "item_item_cosine_topk": 10.351,
-    "keep_latest_per_key": 1.423,
-    "kmeans_lloyd_2iter": 3.064,
-    "minhash_near_dups": 12.105,
-    "minhash_recall_gate": 65.31,
-    "neardup_keep_best": 19.666,
-    "q1_pricing_summary": 0.792,
-    "range_join": 1.84,
-    "region_nation_revenue": 2.122,
-    "scd2_user_event_history": 0.985,
-    "semantic_dedup_pairs": 6.067,
-    "session_window_agg": 2.464,
-    "sessionize": 0.304,
-    "state_merge_upsert": 1.505,
-    "streaming_bloom_state": 5.559,
-    "streaming_countmin_state": 5.193,
-    "streaming_dedup_watermark": 5.85,
-    "streaming_kmeans_state": 5.076,
-    "streaming_neardup_prep": 44.462,
-    "streaming_state_pipeline": 7.6,
-    "streaming_topk_state": 3.728,
-    "text_quality": 0.397,
-    "top_customers_per_nation": 1.932,
-    "top_orders_revenue": 4.188,
-    "training_data_prep": 39.75,
-    "triangle_count_copurchase": 44.767,
-    "triangle_count_doulion": 6.651,
-    "variant_shred": 0.205,
+# sf1 quiet bests — per-query MIN of the round-8 quiet runs
+# (BENCH_sf1_r8.json = final run on the post-doulion-fix code;
+# BENCH_sf1_r8a.json = first r8 quiet run, same data) — the reference
+# side of the sf10 factor ratchet. The r7 dict was retired after
+# SF1_AB_r8.json proved its numbers ~1.6x host-inflated. Names missing
+# from this dict are REPORTED as sf10_ratchet_ungated, never silently
+# passed.
+SF1_REF_BESTS_R8: dict[str, float] = {
+    "asof_join": 0.266,
+    "bm25_topk": 1.68,
+    "boilerplate_segment_removal": 2.045,
+    "bpe_encode_tokens": 1.921,
+    "changed_rows": 1.308,
+    "chunk_documents_builtin": 0.676,
+    "containment_near_dups": 8.194,
+    "dedup_corpus_minhash": 10.583,
+    "dedup_corpus_minhash_prod": 5.494,
+    "dedup_exact": 0.336,
+    "embedding_pq_topk": 6.487,
+    "embedding_topk": 0.516,
+    "embedding_topk_heap": 0.457,
+    "incremental_scan": 0.283,
+    "item_item_cosine_topk": 9.864,
+    "item_item_cosine_topk_capped": 4.674,
+    "keep_latest_per_key": 0.976,
+    "kmeans_lloyd_2iter": 2.26,
+    "minhash_near_dups": 5.69,
+    "minhash_near_dups_xxh64": 3.8,
+    "minhash_recall_gate": 14.867,
+    "neardup_keep_best": 17.002,
+    "neardup_keep_best_prod": 7.025,
+    "q1_pricing_summary": 0.531,
+    "range_join": 1.071,
+    "region_nation_revenue": 1.653,
+    "scd2_user_event_history": 0.956,
+    "semantic_dedup_pairs": 5.499,
+    "session_window_agg": 1.012,
+    "sessionize": 0.251,
+    "state_merge_upsert": 0.857,
+    "streaming_bloom_state": 4.973,
+    "streaming_countmin_state": 4.739,
+    "streaming_dedup_watermark": 4.949,
+    "streaming_kmeans_state": 4.829,
+    "streaming_neardup_prep": 39.115,
+    "streaming_state_pipeline": 7.464,
+    "streaming_topk_state": 3.475,
+    "text_quality": 0.222,
+    "top_customers_per_nation": 1.546,
+    "top_orders_revenue": 2.028,
+    "training_data_prep": 35.653,
+    "triangle_count_copurchase": 39.267,
+    "triangle_count_doulion": 6.437,
+    "variant_shred": 0.131,
 }
+# retained alias: tools imported the r7 name
+SF1_REF_BESTS_R7 = SF1_REF_BESTS_R8
 
 # sf10 exclusions — NEVER silent (reported in the JSON): the exact
 # near-dup pair family rides the shared-shingle counting join, whose
