@@ -130,6 +130,18 @@ def main() -> None:
     # heaps; this is the local-mode equivalent, not engine tuning.
     default_mem = {"1": "48g", "10": "64g"}.get(sf, "16g")
 
+    # AQE partition sizing, the SCALE.md posture made real: start wide,
+    # let coalescePartitions shrink small shuffles back down. At sf10 the
+    # biggest final aggregation (item_item_cosine_topk's (pa,pb) key set,
+    # ~800M unique keys uncapped / ~200M capped) at 32 shuffle partitions
+    # puts 25M keys in one task's hash map — past the execution-memory
+    # share, so the agg degrades to sort-spill (the r7 diagnosed breach).
+    # 512 initial partitions cap the per-task map at ~1.6M keys (~75 MB)
+    # while AQE's 64 MB advisory target coalesces every small shuffle to
+    # the same counts as before; sf0.1 keeps the plain cpus count so the
+    # ratchet's reference numbers stay strictly comparable.
+    initial_parts = {"1": "128", "10": "512"}.get(sf, cpus)
+
     spark = (
         SparkSession.builder.appName("entity-etl-spark-bench")
         .master(f"local[{cpus}]")
@@ -137,6 +149,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            initial_parts,
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # small test-scale files must still split across all cores; at real
         # scale files exceed this and the default behavior is identical

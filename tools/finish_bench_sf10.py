@@ -50,6 +50,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # mirror bench.py's sf10 AQE sizing (wide initial, coalesce down)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "512",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config(
