@@ -455,18 +455,33 @@ def q_video_frame_features(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "sql_udf_funcs",
     """
+    -- money sums ride exact DECIMAL (the q9/q1 pattern): the widened r8
+    -- sf10 spot caught this query's double sums crossing the 2-dec grid
+    -- at 1e12 magnitudes (one-cent drift, summation order). The UDFs
+    -- themselves are decimal-exact: (14,2)x(8,4) -> (22,6) and
+    -- (22,6)x(8,4) -> (30,10), both within 38 digits, so every product
+    -- and the sums are exact in both engines; portable floor quantize.
     SELECT l_returnflag,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-           round(sum(l_extendedprice * (1.0 - l_discount)
-                     * (1.0 + l_tax)), 2) AS revenue_taxed
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * (CAST(1 AS DECIMAL(8,4))
+                             - CAST(l_discount AS DECIMAL(8,4))))
+                      * 100 + 0.5) AS DOUBLE) / 100 AS revenue,
+           CAST(floor(sum((CAST(l_extendedprice AS DECIMAL(14,2))
+                           * (CAST(1 AS DECIMAL(8,4))
+                              - CAST(l_discount AS DECIMAL(8,4))))
+                          * (CAST(1 AS DECIMAL(8,4))
+                             + CAST(l_tax AS DECIMAL(8,4))))
+                      * 100 + 0.5) AS DOUBLE) / 100 AS revenue_taxed
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN expr): "
     "business logic named once, inlined by Catalyst into the aggregate — "
     "zero call overhead, full codegen, pushdown-transparent; the "
     "scale-safe alternative to a Python UDF for pure expressions. The "
-    "oracle states the same expressions inline (which is also exactly "
-    "what the optimized plan contains).",
+    "UDFs compute exact DECIMAL money factors (r8 sf10 spot finding: "
+    "the double form drifted one cent across engines at sf10 sums). "
+    "The oracle states the same expressions inline (which is also "
+    "exactly what the optimized plan contains).",
     tags=("functions",),
 )
 def q_sql_udf_funcs(spark: SparkSession, sf: str) -> DataFrame:
@@ -475,19 +490,22 @@ def q_sql_udf_funcs(spark: SparkSession, sf: str) -> DataFrame:
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
-        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+        "RETURNS DECIMAL(22,6) RETURN CAST(p AS DECIMAL(14,2)) "
+        "* (CAST(1 AS DECIMAL(8,4)) - CAST(d AS DECIMAL(8,4)))"
     )
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION taxed(p DOUBLE, t DOUBLE) "
-        "RETURNS DOUBLE RETURN p * (1.0 + t)"
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed(p DECIMAL(22,6), "
+        "t DOUBLE) RETURNS DECIMAL(31,10) RETURN p "
+        "* (CAST(1 AS DECIMAL(8,4)) + CAST(t AS DECIMAL(8,4)))"
     )
     return spark.sql(
         """
         SELECT l_returnflag,
-               round(sum(disc_price(l_extendedprice, l_discount)), 2)
-                 AS revenue,
-               round(sum(taxed(disc_price(l_extendedprice, l_discount),
-                               l_tax)), 2) AS revenue_taxed
+               CAST(floor(sum(disc_price(l_extendedprice, l_discount))
+                          * 100 + 0.5) AS DOUBLE) / 100 AS revenue,
+               CAST(floor(sum(taxed(disc_price(l_extendedprice, l_discount),
+                                    l_tax)) * 100 + 0.5) AS DOUBLE) / 100
+                 AS revenue_taxed
         FROM udf_lineitem GROUP BY l_returnflag
         """
     )
