@@ -40,8 +40,10 @@ SF1_REF_BESTS_R8: dict[str, float] = {
     "embedding_topk": 0.516,
     "embedding_topk_heap": 0.457,
     "incremental_scan": 0.283,
-    "item_item_cosine_topk": 9.864,
-    "item_item_cosine_topk_capped": 4.674,
+    # post-rework quiet bests (SF10_COSINE_r8.json; the r8-run values
+    # 9.864 / 4.674 measured the pre-rework plan)
+    "item_item_cosine_topk": 6.436,
+    "item_item_cosine_topk_capped": 5.124,
     "keep_latest_per_key": 0.976,
     "kmeans_lloyd_2iter": 2.26,
     "minhash_near_dups": 5.69,
@@ -137,10 +139,13 @@ def main() -> None:
     # puts 25M keys in one task's hash map — past the execution-memory
     # share, so the agg degrades to sort-spill (the r7 diagnosed breach).
     # 512 initial partitions cap the per-task map at ~1.6M keys (~75 MB)
-    # while AQE's 64 MB advisory target coalesces every small shuffle to
-    # the same counts as before; sf0.1 keeps the plain cpus count so the
-    # ratchet's reference numbers stay strictly comparable.
-    initial_parts = {"1": "128", "10": "512"}.get(sf, cpus)
+    # while AQE's 64 MB advisory target coalesces every small shuffle.
+    # sf10 ONLY: the same lever MEASURED HARMFUL at sf1 (128 initial made
+    # both item-item legs ~3x slower, 5.1->15.9 s / 6.4->23.0 s quiet;
+    # at sf1 every agg fits at 32 partitions so the wide start is pure
+    # overhead), so sf0.1/sf1 keep the plain cpus count and the ratchet
+    # references stay strictly comparable.
+    initial_parts = {"10": "512"}.get(sf, cpus)
 
     spark = (
         SparkSession.builder.appName("entity-etl-spark-bench")
@@ -223,7 +228,9 @@ def main() -> None:
         # 12.5 s after the micro-batch fixes (was 37.7 s before them)
         "streaming_neardup_prep": 25.5,
         "triangle_count_copurchase": 15.3,
-        "item_item_cosine_topk": 10.8,
+        # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
+        # 3.653 s; 2x + 0.5 s)
+        "item_item_cosine_topk": 7.8,
         # r5: O12/O13 streaming e2e, 15.7 s quiet at sf0.1 (2x + 0.5 s)
         "streaming_state_pipeline": 31.9,
         # r6: watermark-dedup streaming e2e, 5.9 s quiet (2x + 0.5 s)
@@ -250,7 +257,9 @@ def main() -> None:
         # r8: the production twins (BENCH_sf01_r8_quiet.json; 2x + 0.5 s)
         "dedup_corpus_minhash_prod": 5.7,
         "neardup_keep_best_prod": 9.0,
-        "item_item_cosine_topk_capped": 4.6,
+        # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
+        # 1.794 s; 2x + 0.5 s)
+        "item_item_cosine_topk_capped": 4.1,
     }
     breaches = (
         {
@@ -298,7 +307,8 @@ def main() -> None:
         "streaming_state_pipeline": 4.53, "bm25_topk": 0.90,
         "bpe_encode_tokens": 0.70, "neardup_keep_best": 3.73,
         "boilerplate_segment_removal": 0.62,
-        "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 5.40,
+        # item_item legs: post-rework quiet bests (BENCH_sf01_r8_final)
+        "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 3.65,
         "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
         "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
         "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
@@ -308,7 +318,7 @@ def main() -> None:
         "minhash_near_dups_xxh64": 1.58,
         "dedup_corpus_minhash_prod": 2.60,
         "neardup_keep_best_prod": 4.26,
-        "item_item_cosine_topk_capped": 2.05,
+        "item_item_cosine_topk_capped": 1.79,
     }
     def _sf1_ceiling(name: str) -> float:
         factor = 110.0 if name in quadratic_contract else 15.0

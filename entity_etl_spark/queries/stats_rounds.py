@@ -578,42 +578,86 @@ def q_item_item_cosine_topk(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        # cp is consumed 4x (support agg, basket-size agg, both self-join
-        # sides); per-consumer column pruning rewrites the shared subtree
-        # differently in each branch, so ReuseExchange can NOT dedupe it
-        # (verified: 0 ReusedExchange, 4 scans-per-table). Materialize
-        # once. MEMORY_AND_DESER persist beats localCheckpoint's
-        # serialized RDD disk write ~2x at sf10 (60M rows, ~1.5 GB —
-        # comfortably in-memory even on a 4 GB executor at 100 TB scale
-        # because cp is per-partition-bounded by the shuffle).
-        .persist()
     )
-    cp.count()  # eager: materialize before the 4 consumers fork
-    support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    co = (
-        within_group_pairs(
+    if max_basket_size is None:
+        # EXACT leg: cp is consumed 4x (support agg, basket-size agg,
+        # both self-join sides); per-consumer column pruning rewrites the
+        # shared subtree differently per branch, so ReuseExchange cannot
+        # dedupe it (verified: 0 ReusedExchange, 4 scans-per-table) —
+        # materialize once. The self-join (not an array explode) is the
+        # right shape here BECAUSE baskets are unbounded: a whale basket
+        # materialized as a C(n,2) pair array is one giant row, while
+        # join output is row-at-a-time bounded.
+        cp = cp.persist()
+        cp.count()  # eager: materialize before the consumers fork
+        support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+        pair_src = within_group_pairs(
             cp,
             "c",
             "p",
             item_a="pa",
             item_b="pb",
-            max_group_size=max_basket_size,
+            max_group_size=None,
             observation=observation,
             dropped_metric="ii_rows_in_dropped_baskets",
             max_metric="ii_max_basket_size",
-        )
         # pack the pair key into ONE bigint for the big shuffle: the
         # pair-count exchange moves ~1.3G mostly-singleton keys at sf10
         # (the dominant cost), and one 8-byte key vs two 8-byte columns
         # is ~1/3 less row width + one hash/compare instead of two.
         # Precondition: partkey in [0, 2^32) — TPC-H partkeys reach
         # 2^32 around sf≈21000, far past any one-box or bench scale.
-        .select(
-            F.shiftleft(F.col("pa"), 32).bitwiseOR(F.col("pb")).alias(
-                "pk"
-            )
+        ).select(
+            F.shiftleft(F.col("pa"), 32).bitwiseOR(F.col("pb")).alias("pk")
         )
-        .groupBy("pk")
+    else:
+        # CAPPED (production) leg: with baskets bounded by the cap, the
+        # per-basket pair ARRAY is bounded too (C(40,2) = 780 longs), so
+        # the whole pair explode becomes one codegen'd higher-order
+        # expression over collect_list — no self-join, no window, no
+        # 60M-row materialization (the persist form cost ~10 s at sf1
+        # just building the cache). support stays UNCAPPED from its own
+        # cp branch (true denominators; the distinct's exchange is
+        # shared lineage the cache would otherwise have to carry).
+        cpg = cp.groupBy("c").agg(
+            F.sort_array(F.collect_list("p")).alias("ps")
+        ).select("ps", F.size("ps").alias("bn"))
+        if observation is not None:
+            cpg = cpg.observe(
+                observation,
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("bn") > max_basket_size, F.col("bn")
+                        ).otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                ).alias("ii_rows_in_dropped_baskets"),
+                F.coalesce(F.max("bn"), F.lit(0)).alias(
+                    "ii_max_basket_size"
+                ),
+            )
+        kept = cpg.filter(F.col("bn") <= max_basket_size)
+        # sorted distinct items: strict upper-triangle slices give
+        # pa < pb for free, packed at generation time
+        pair_src = kept.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"), i + F.lit(2), F.size("ps")
+                            ),
+                            lambda y: F.shiftleft(x, 32).bitwiseOR(y),
+                        ),
+                    )
+                )
+            ).alias("pk")
+        )
+        support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    co = (
+        pair_src.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 3)
         .select(
