@@ -108,7 +108,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "frozen18_subtotal_sec": round(
-            total - timings.get("minhash_near_dups", 0.0), 3
+            total
+            - timings.get("minhash_near_dups", 0.0)
+            - timings.get("minhash_near_dups_xxh64", 0.0),
+            3,
         ),
         "queries": timings,
         "heavy_total_sec": round(sum(timings2.values()), 3),
