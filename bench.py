@@ -40,10 +40,14 @@ SF1_REF_BESTS_R8: dict[str, float] = {
     "embedding_topk": 0.516,
     "embedding_topk_heap": 0.457,
     "incremental_scan": 0.283,
-    # post-rework quiet bests (SF10_COSINE_r8.json; the r8-run values
-    # 9.864 / 4.674 measured the pre-rework plan)
-    "item_item_cosine_topk": 6.436,
-    "item_item_cosine_topk_capped": 5.124,
+    # post-rework IN-BENCH quiet values (BENCH_sf1_r8b.json) — r9: the
+    # r8 dict briefly held solo-quiet time_query numbers (6.436/5.124)
+    # for these two, mixing measurement contexts with the rest of the
+    # dict (in-bench warm-JVM values run ~2x faster than solo fresh-JVM
+    # for sub-10s queries); all ratchet references now share the one
+    # in-bench context
+    "item_item_cosine_topk": 7.523,
+    "item_item_cosine_topk_capped": 2.94,
     "keep_latest_per_key": 0.976,
     "kmeans_lloyd_2iter": 2.26,
     "minhash_near_dups": 5.69,
@@ -106,6 +110,15 @@ SF10_EXCLUDED: dict[str, str] = {
     "triangle_count_copurchase": "exact wedge counting: >30 min + "
     "~70 GB shuffle spill filled the disk at sf10 (DOULION twin is "
     "the scale path)",
+    # r9: the exact leg is now GUARDED, not just slow — its pair-volume
+    # pre-flight (queries/stats_rounds._pair_volume_preflight, the
+    # wedge-guard pattern) raises at sf10's measured 1.32G packed pairs
+    # (> the 600M default): ~800M unique pair keys degrade the final
+    # agg to sort-spill on one box (measured 150-156 s vs the 99.5 s
+    # 15x ceiling). The capped production twin IS in the run.
+    "item_item_cosine_topk": "exact pair self-join guarded by the "
+    "pair-volume pre-flight (1.32G pairs > 600M guard at sf10; capped "
+    "twin benched)",
 }
 
 # Queries whose CONTRACT is quadratic-in-corpus (the exact-truth
@@ -132,20 +145,25 @@ def main() -> None:
     # heaps; this is the local-mode equivalent, not engine tuning.
     default_mem = {"1": "48g", "10": "64g"}.get(sf, "16g")
 
-    # AQE partition sizing, the SCALE.md posture made real: start wide,
-    # let coalescePartitions shrink small shuffles back down. At sf10 the
-    # biggest final aggregation (item_item_cosine_topk's (pa,pb) key set,
-    # ~800M unique keys uncapped / ~200M capped) at 32 shuffle partitions
-    # puts 25M keys in one task's hash map — past the execution-memory
-    # share, so the agg degrades to sort-spill (the r7 diagnosed breach).
-    # 512 initial partitions cap the per-task map at ~1.6M keys (~75 MB)
-    # while AQE's 64 MB advisory target coalesces every small shuffle.
-    # sf10 ONLY: the same lever MEASURED HARMFUL at sf1 (128 initial made
-    # both item-item legs ~3x slower, 5.1->15.9 s / 6.4->23.0 s quiet;
-    # at sf1 every agg fits at 32 partitions so the wide start is pure
-    # overhead), so sf0.1/sf1 keep the plain cpus count and the ratchet
-    # references stay strictly comparable.
-    initial_parts = {"10": "512"}.get(sf, cpus)
+    # AQE partition sizing: r9 promoted the r8 lesson (512 initial at
+    # sf10 fixes the final-agg sort-spill; the same wide start measured
+    # ~3x HARMFUL at sf1) from this harness into the ENGINE —
+    # session.aqe_initial_partitions keys the start width on scanned
+    # input bytes (1 GiB threshold, ~4 MiB compressed per partition,
+    # pow2, clamped). The bench consumes the engine policy so the
+    # numbers measure what a deployment actually gets; at the measured
+    # anchors it reproduces the r8 confs exactly (sf10 1.81 GB -> 512,
+    # sf1 172 MB -> cpus, sf0.1 -> cpus).
+    from entity_etl_spark.session import (
+        aqe_initial_partitions,
+        estimate_input_bytes,
+    )
+
+    initial_parts = str(
+        aqe_initial_partitions(
+            estimate_input_bytes(sf_dir), int(cpus) if cpus.isdigit() else 32
+        )
+    )
 
     spark = (
         SparkSession.builder.appName("entity-etl-spark-bench")
@@ -200,6 +218,11 @@ def main() -> None:
                 REGISTRY[name].fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # a query that persists internally (item_item_cosine_topk's
+            # 4-consumer cp set) must not pin executor storage for every
+            # LATER query's memory budget — clear between queries (no-op
+            # when nothing is cached)
+            spark.catalog.clearCache()
             # per-query progress on stderr: a crashed run (the sf10 OOM)
             # is diagnosable to the query, not just a stage number
             print(f"## {name}: {timings[name]}s", file=sys.stderr, flush=True)

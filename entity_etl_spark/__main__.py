@@ -64,7 +64,15 @@ def main(argv: list[str] | None = None) -> int:
 
     setup_logger(os.environ.get("ENGINE_LOG_LEVEL", "info"))
     owns_session = SparkSession.getActiveSession() is None
-    spark = get_spark(app_name="entity-etl-spark-cli")
+    # key the AQE start width on the input size (session.py policy): a
+    # big input starts shuffles wide so no final agg outgrows one task's
+    # hash map; a small one keeps the plain core count
+    from .session import estimate_input_bytes
+
+    spark = get_spark(
+        app_name="entity-etl-spark-cli",
+        input_bytes=estimate_input_bytes(sf_dir),
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     specs = [TableSpec(name="events", id_field="event_id", ts_field="ts")]

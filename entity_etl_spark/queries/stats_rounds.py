@@ -519,6 +519,52 @@ def q_triangle_count_doulion(spark: SparkSession, sf: str) -> DataFrame:
     return doulion_triangle_estimate(edges, p=0.25)
 
 
+# Pair-volume guard for the EXACT item-item leg (the wedge-guard pattern,
+# ext/graph._wedge_preflight): one cheap linear agg over the already
+# persisted (customer, part) set computes the EXACT pair fan-out
+# sum_c C(basket_c, 2) before the self-join is planned. Measured envelope
+# on one local[32]/64g box (r8/r9, packed-bigint pair shuffle):
+#   sf0.1 =  13.1M pairs ->  ~3.7 s quiet
+#   sf1   = 132.1M pairs ->  ~6.4 s quiet (in-ceiling)
+#   sf10  = 1.320G pairs -> 150-156 s quiet — completes, but breaches the
+#           15x-per-decade one-box factor ceiling (99.5 s): ~800M unique
+#           keys in the final agg outgrow one JVM's execution memory and
+#           the agg degrades to sort-spill even at AQE 512 partitions.
+# The default sits between the two measured decades. This is a CEILING
+# envelope, not a disk-death one (contrast the triangle guard): the
+# exact leg still RUNS at 1.3G pairs; it just stops being the plan you
+# want on one box — item_item_cosine_topk_capped is the at-scale twin.
+_PAIR_GUARD_DEFAULT = 600_000_000
+
+
+def _pair_volume_preflight(cp: DataFrame, max_pairs: int | None) -> None:
+    if max_pairs is None:
+        return
+    row = (
+        cp.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                F.col("n").cast("bigint") * (F.col("n") - F.lit(1)) / F.lit(2)
+            ).alias("w")
+        )
+        .collect()[0]
+    )
+    pairs = int(row["w"] or 0)
+    if pairs > max_pairs:
+        raise ValueError(
+            f"exact item-item cosine would shuffle {pairs:,} packed pair "
+            f"rows (> the {max_pairs:,} guard): measured on one "
+            f"local[32]/64g box, 1.32G pairs runs 150-156 s — past the "
+            f"15x-per-decade ceiling — because ~800M unique pair keys "
+            f"degrade the final count agg to sort-spill. Use "
+            f"item_item_cosine_topk_capped (whale baskets dropped whole, "
+            f"true supports, Observation drop accounting) or raise/"
+            f"disable the guard (max_pairs=None) on a cluster whose "
+            f"aggregate execution memory holds the pair key set"
+        )
+
+
 @register(
     "item_item_cosine_topk",
     """
@@ -560,7 +606,12 @@ def q_triangle_count_doulion(spark: SparkSession, sf: str) -> DataFrame:
     "Observation accounting (registry runs uncapped for oracle "
     "parity); supports are a broadcast-sized dim; ranking is "
     "on the ROUNDED cosine with (pa, pb) tie-break so cross-engine "
-    "sqrt ulp can't flip the top-k; TakeOrderedAndProject caps output.",
+    "sqrt ulp can't flip the top-k; TakeOrderedAndProject caps output. "
+    "Pre-flight pair-volume guard (r9, the wedge-guard pattern): one "
+    "linear agg computes the exact fan-out before the self-join plans; "
+    "above max_pairs (default 600M — between the measured sf1 132M "
+    "in-ceiling and sf10 1.32G ceiling-breach decades) it raises with "
+    "a pointer at the capped at-scale twin.",
     tags=("ext", "bench2"),
 )
 def q_item_item_cosine_topk(
@@ -568,6 +619,7 @@ def q_item_item_cosine_topk(
     sf: str,
     *,
     max_basket_size: int | None = None,
+    max_pairs: int | None = _PAIR_GUARD_DEFAULT,
     observation=None,
 ) -> DataFrame:
     from ..ext.graph import within_group_pairs
@@ -588,8 +640,15 @@ def q_item_item_cosine_topk(
         # right shape here BECAUSE baskets are unbounded: a whale basket
         # materialized as a C(n,2) pair array is one giant row, while
         # join output is row-at-a-time bounded.
+        #
+        # Cache lifetime: this persist is intentionally session-scoped
+        # (the returned frame is lazy, so the function cannot unpersist
+        # after the caller's action); bench/parity harnesses call
+        # spark.catalog.clearCache() between queries so it never pins
+        # unified memory for unrelated work.
         cp = cp.persist()
         cp.count()  # eager: materialize before the consumers fork
+        _pair_volume_preflight(cp, max_pairs)
         support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
         pair_src = within_group_pairs(
             cp,
@@ -607,6 +666,9 @@ def q_item_item_cosine_topk(
         # is ~1/3 less row width + one hash/compare instead of two.
         # Precondition: partkey in [0, 2^32) — TPC-H partkeys reach
         # 2^32 around sf≈21000, far past any one-box or bench scale.
+        # (pa >= 2^31 sets the bigint sign bit; the bit pattern is still
+        # unique and groupBy-safe, and the unpack below uses
+        # shiftrightunsigned so pa round-trips without sign extension.)
         ).select(
             F.shiftleft(F.col("pa"), 32).bitwiseOR(F.col("pb")).alias("pk")
         )
@@ -661,7 +723,9 @@ def q_item_item_cosine_topk(
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 3)
         .select(
-            F.shiftright(F.col("pk"), 32).alias("pa"),
+            # unsigned shift: arithmetic shiftright would sign-extend
+            # once pa >= 2^31 (sf~10700), silently emitting negative ids
+            F.shiftrightunsigned(F.col("pk"), 32).alias("pa"),
             F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("pb"),
             "n_co",
         )
@@ -743,10 +807,15 @@ def q_item_item_cosine_topk(
     """,
     doc="Production-profile item-item similarity (VERDICT r7 item 2): "
     "identical scoring/ranking to item_item_cosine_topk but whale "
-    "baskets above max_basket_size=40 drop whole (within_group_pairs -> "
-    "cap_hot_groups, Observation drop accounting) before the pair "
-    "explode, bounding the co-occurrence agg's unique-key working set "
-    "on one box. The uncapped exact contract stays in the registry; "
+    "baskets above max_basket_size=40 drop whole BEFORE the pair "
+    "explode (r8 array-pair form: collect_list per customer, basket-"
+    "size filter, then one codegen'd higher-order slice/transform "
+    "expression emits the packed strict-upper-triangle pair array — "
+    "no self-join, no cap window; the Observation drop metrics are "
+    "restated on basket sizes), bounding the co-occurrence agg's "
+    "unique-key working set on one box. Supports stay uncapped from "
+    "their own branch, so kept-pair cosines are exact. "
+    "The uncapped exact contract stays in the registry; "
     "this twin is the recorded at-scale alternative for the sf10 "
     "memory-wall breach. Oracle restates the cap as a HAVING filter on "
     "basket size, so the capped output is fully relationally pinned.",

@@ -28,3 +28,40 @@ def test_operators_md_covers_registry():
         committed = fh.read()
     for name in REGISTRY:
         assert f"`{name}`" in committed, name
+
+
+def test_queries_package_has_no_cross_module_name_collisions():
+    """The queries/ package hoists every submodule's top-level names into
+    the package namespace via globals().update (round-8 split); a name
+    defined in two submodules would resolve silently last-import-wins.
+    Pin that no two submodules export the same non-dunder name (names
+    re-exported FROM _base — register, REGISTRY, F, read_sf_table, … —
+    are shared plumbing, identical objects, and excluded by identity)."""
+    import entity_etl_spark.queries as qpkg
+    from entity_etl_spark.queries import _base
+
+    submodules = [
+        getattr(qpkg, n)
+        for n in dir(qpkg)
+        if n.startswith("_m_")
+    ]
+    assert len(submodules) >= 8, "expected the 8 split submodules"
+    base_names = {
+        k: id(v) for k, v in vars(_base).items() if not k.startswith("__")
+    }
+    owner: dict[str, str] = {}
+    dupes = []
+    for m in submodules:
+        for k, v in vars(m).items():
+            if k.startswith("__"):
+                continue
+            # identical object shared from _base (or module imports like
+            # F/Window that resolve to the same module object) — not a
+            # collision
+            if base_names.get(k) == id(v):
+                continue
+            if k in owner and owner[k][1] != id(v):
+                dupes.append((k, owner[k][0], m.__name__))
+            else:
+                owner.setdefault(k, (m.__name__, id(v)))
+    assert not dupes, f"cross-submodule name collisions: {dupes}"

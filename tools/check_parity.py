@@ -131,6 +131,10 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # queries that persist internally (item_item_cosine_topk's cp
+        # set) must not pin executor storage across the rest of a
+        # ~250-query sweep — clear before each (no-op when empty)
+        spark.catalog.clearCache()
         t0 = time.time()
         s_cols, s_rows, err = run_spark_side(fn, name)
         if err is not None:
