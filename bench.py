@@ -51,7 +51,10 @@ SF1_REF_BESTS_R8: dict[str, float] = {
     "keep_latest_per_key": 0.976,
     "kmeans_lloyd_2iter": 2.26,
     "minhash_near_dups": 5.69,
-    "minhash_near_dups_xxh64": 3.8,
+    # r9: carried over from the retired minhash_near_dups_xxh64 bench
+    # name — identical computation (raw xxhash64 LSH pairs), renamed when
+    # that name became the oracle-paired gate row (VERDICT r8 item 2)
+    "minhash_near_dups_xxh64_pairs": 3.8,
     "minhash_recall_gate": 14.867,
     "neardup_keep_best": 17.002,
     "neardup_keep_best_prod": 7.025,
@@ -126,7 +129,14 @@ SF10_EXCLUDED: dict[str, str] = {
 # a documented 110x per-decade allowance instead of the 15x rule —
 # exact-truth work grows ~100x per decade; the 15x rule exists to catch
 # UNINTENDED superlinearity, not the stated contract.
-QUADRATIC_CONTRACT = {"minhash_recall_gate", "semantic_dedup_pairs"}
+QUADRATIC_CONTRACT = {
+    "minhash_recall_gate",
+    "semantic_dedup_pairs",
+    # r9: the oracle-paired xxh64 gate row computes the same exact-truth
+    # pair join as minhash_recall_gate (not in any bench group; listed
+    # here so the sf10 parity sweep's exclusion set covers it)
+    "minhash_near_dups_xxh64",
+}
 
 
 def main() -> None:
@@ -337,8 +347,9 @@ def main() -> None:
         "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
         "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
         "triangle_count_doulion": 3.23,
-        # r8 additions (quiet bests, BENCH_sf01_r8_quiet.json)
-        "minhash_near_dups_xxh64": 1.58,
+        # r8 additions (quiet bests, BENCH_sf01_r8_quiet.json);
+        # *_xxh64_pairs = the r9 rename of the raw-pairs leg
+        "minhash_near_dups_xxh64_pairs": 1.58,
         "dedup_corpus_minhash_prod": 2.60,
         "neardup_keep_best_prod": 4.26,
         "item_item_cosine_topk_capped": 1.79,
@@ -427,15 +438,16 @@ def main() -> None:
     # group (minhash_recall_gate) and the frozen name benches the linear
     # LSH leg again — at the 64/16 config (r5's recall fix; r1 ran 32/8,
     # about half the signature work) with the portable cross-engine hash
-    # (~0.25 s premium over xxhash64 at sf0.1). r8 adds
-    # minhash_near_dups_xxh64 — the DEPLOYABLE engine-native leg under
-    # its own headline name (VERDICT r7 item 3) — also excluded from the
-    # frozen-18 subtotal, which remains the strictly-like-for-like r1
-    # comparison.
+    # (~0.25 s premium over xxhash64 at sf0.1). r8 added the DEPLOYABLE
+    # engine-native leg under its own headline name (VERDICT r7 item 3);
+    # r9 renamed that bench entry to minhash_near_dups_xxh64_pairs when
+    # the original name became the oracle-paired gate row (VERDICT r8
+    # item 2). Both legs stay excluded from the frozen-18 subtotal,
+    # which remains the strictly-like-for-like r1 comparison.
     frozen18 = round(
         total
         - timings.get("minhash_near_dups", 0.0)
-        - timings.get("minhash_near_dups_xxh64", 0.0),
+        - timings.get("minhash_near_dups_xxh64_pairs", 0.0),
         3,
     )
     print(

@@ -253,11 +253,12 @@ def test_paeth_predictor_reference_vectors():
 
 def test_minhash_xxh64_leg_subset_and_recall(spark):
     """Correctness gate for the oracle-less deployable leg
-    (minhash_near_dups_xxh64): the emitted pair set must be a SUBSET of
-    the exact Jaccard pair set (exact verify makes precision 1.0 by
-    construction — any non-subset pair is a verify bug) and recall vs
-    exact must clear the same 0.75 floor the relational recall gate
-    uses. Run at sf0.001 AND sf0.01 so the gate sees two corpus shapes."""
+    (minhash_near_dups_xxh64_pairs — the r9 rename; the original name is
+    now the oracle-paired gate row): the emitted pair set must be a
+    SUBSET of the exact Jaccard pair set (exact verify makes precision
+    1.0 by construction — any non-subset pair is a verify bug) and
+    recall vs exact must clear the same 0.75 floor the relational recall
+    gate uses. Run at sf0.001 AND sf0.01 for two corpus shapes."""
     from entity_etl_spark.ext.dedup import jaccard_pairs
     from entity_etl_spark.queries import REGISTRY
 
@@ -271,7 +272,9 @@ def test_minhash_xxh64_leg_subset_and_recall(spark):
         }
         got = {
             (r["doc_a"], r["doc_b"])
-            for r in REGISTRY["minhash_near_dups_xxh64"].fn(spark, sf).collect()
+            for r in REGISTRY["minhash_near_dups_xxh64_pairs"]
+            .fn(spark, sf)
+            .collect()
         }
         assert got <= exact, f"non-exact pairs emitted at {sf}: {got - exact}"
         if exact:

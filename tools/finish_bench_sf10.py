@@ -110,7 +110,7 @@ def main() -> None:
         "frozen18_subtotal_sec": round(
             total
             - timings.get("minhash_near_dups", 0.0)
-            - timings.get("minhash_near_dups_xxh64", 0.0),
+            - timings.get("minhash_near_dups_xxh64_pairs", 0.0),
             3,
         ),
         "queries": timings,
