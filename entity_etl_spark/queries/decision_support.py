@@ -343,23 +343,30 @@ _PAGERANK_EDGE_SQL = """
 @register(
     "pagerank_customer_supplier",
     f"""
-    WITH edges AS ({_PAGERANK_EDGE_SQL}),
-    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    -- MATERIALIZED per-iteration temps (r9, VERDICT r8 item 5): the
+    -- plain unrolled CTE chain re-inlines edges/deg into every
+    -- iteration, blowing DuckDB's 24 GB temp cap at sf10; pinning each
+    -- iteration (the neardup_groups precedent) keeps the oracle inside
+    -- the cap — measured 471 s at sf10 on this box
+    WITH edges AS MATERIALIZED ({_PAGERANK_EDGE_SQL}),
+    deg AS MATERIALIZED (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     n AS (SELECT count(DISTINCT src) AS n FROM edges),
-    r0 AS (SELECT src AS node, 1.0 / n.n AS rank FROM deg, n),
-    r1 AS (
+    r0 AS MATERIALIZED (
+      SELECT src AS node, 1.0 / n.n AS rank FROM deg, n),
+    r1 AS MATERIALIZED (
       SELECT e.dst AS node,
              0.15 / min(n.n) + 0.85 * sum(r.rank / d.outdeg) AS rank
       FROM edges e JOIN r0 r ON e.src = r.node
                    JOIN deg d ON e.src = d.src, n
       GROUP BY e.dst),
-    r2 AS (
+    r2 AS MATERIALIZED (
       SELECT e.dst AS node,
              0.15 / min(n.n) + 0.85 * sum(r.rank / d.outdeg) AS rank
       FROM edges e JOIN r1 r ON e.src = r.node
                    JOIN deg d ON e.src = d.src, n
       GROUP BY e.dst),
-    r3 AS (
+    r3 AS MATERIALIZED (
       SELECT e.dst AS node,
              0.15 / min(n.n) + 0.85 * sum(r.rank / d.outdeg) AS rank
       FROM edges e JOIN r2 r ON e.src = r.node

@@ -45,10 +45,10 @@ exclude = set(SF10_EXCLUDED) | set(QUADRATIC_CONTRACT) | {
     # The production profile's max_bucket_size cap is the at-scale path;
     # sf1 full-sweep parity covers the operator (PARITY_sf1_full_r6).
     "minhash_dedup_incremental",
-    # Spark side runs (402 s) but the ORACLE's iterative rank joins blow
-    # the 24 GB DuckDB temp cap at sf10 — oracle-infeasible on one box,
-    # MATCH at sf1 in the full sweep.
-    "pagerank_customer_supplier",
+    # pagerank_customer_supplier is back IN the sweep since r9: the
+    # oracle's per-iteration CTEs are MATERIALIZED now, which keeps
+    # DuckDB inside the 24 GB temp cap (measured 471 s at sf10). Spark
+    # side measured 402 s in r7 — budget ~15 min for its chunk.
 }
 names = [n for n in e.queries()
          if n not in exclude and rows_sf01.get(n, 0) <= 5000]
