@@ -1,0 +1,488 @@
+"""Pure-Python Avro Object Container Files — the format gap the env
+probe keeps reporting, closed without spark-avro.
+
+Spark ships Avro core jars but not the ``spark-avro`` DSv2 module, and
+no Python ``avro``/``fastavro`` is installed (ENV_PROBES_r9.json), so
+`.format("avro")` fails. The Avro 1.11 specification is public and the
+binary encoding is small: zigzag-varint ints/longs, little-endian IEEE
+floats, length-prefixed bytes/strings, block-encoded arrays, and
+union-index-prefixed values; an Object Container File is a one-record
+header (magic ``Obj\\x01``, metadata map carrying the writer schema
+JSON and codec, 16-byte sync marker) followed by sync-framed row
+blocks. This module implements that encoding directly and exposes it
+Spark-first, the :mod:`rest_datasource` precedent:
+
+- ``spark.read.format("avro_py").load(path)`` — batch reader, ONE input
+  partition per ``.avro`` file (files scan executor-parallel; at real
+  scale a writer produces many files, so parallelism is the file count,
+  the same contract as spark-avro). Schema is inferred from the first
+  file's embedded writer schema, or passed explicitly.
+- ``df.write.format("avro_py").save(path)`` — one container file per
+  task partition, staged to temp names and renamed at job commit (the
+  fail-fast temp/commit shape RestEntitiesWriter uses).
+- :func:`spark_schema_to_avro` / :func:`avro_schema_to_spark` — the
+  type mapping, incl. nullable unions and the timestamp-micros /
+  local-timestamp-micros logical types (events.ts is parquet NTZ —
+  TIMESTAMP_NTZ in Spark 4 — which maps to local-timestamp-micros).
+
+Scale notes: the codec is row-at-a-time Python by nature (it IS the
+format implementation, not an expression in a hot path); it lives at
+the SOURCE/SINK boundary exactly like the REST connector, reads each
+file once sequentially, and never shuffles blobs. ``deflate`` codec is
+supported via stdlib zlib (raw DEFLATE, spec's codec name).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from collections.abc import Iterator, Sequence
+from hashlib import md5
+
+from pyspark.sql import types as T
+
+_MAGIC = b"Obj\x01"
+
+
+# --------------------------------------------------------------- encoding
+
+def zigzag_encode(n: int) -> bytes:
+    """Avro int/long: zigzag then base-128 varint, little-endian groups."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(buf: io.BufferedIOBase) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        raw = buf.read(1)
+        if not raw:
+            raise ValueError("EOF inside varint")
+        b = raw[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    out += zigzag_encode(len(b))
+    out += b
+
+
+def _encode_value(out: bytearray, schema, v) -> None:
+    if isinstance(schema, list):  # union: [null, T] by construction
+        if v is None:
+            out += zigzag_encode(schema.index("null"))
+            return
+        idx = 1 if schema[0] == "null" else 0
+        out += zigzag_encode(idx)
+        _encode_value(out, schema[idx], v)
+        return
+    stype = schema["type"] if isinstance(schema, dict) else schema
+    if stype == "null":
+        return
+    if v is None:
+        raise ValueError("null value for non-nullable Avro field")
+    if stype == "boolean":
+        out.append(1 if v else 0)
+    elif stype in ("int", "long"):
+        out += zigzag_encode(int(v))
+    elif stype == "float":
+        out += struct.pack("<f", float(v))
+    elif stype == "double":
+        out += struct.pack("<d", float(v))
+    elif stype == "string":
+        _write_bytes(out, str(v).encode("utf-8"))
+    elif stype == "bytes":
+        _write_bytes(out, bytes(v))
+    elif stype == "array":
+        items = list(v)
+        if items:
+            out += zigzag_encode(len(items))
+            for it in items:
+                _encode_value(out, schema["items"], it)
+        out += zigzag_encode(0)
+    elif stype == "record":
+        for f in schema["fields"]:
+            _encode_value(out, f["type"], v[f["name"]] if isinstance(v, dict) else getattr(v, f["name"]))
+    else:
+        raise ValueError(f"unsupported Avro type {stype!r}")
+
+
+def _decode_value(buf, schema):
+    if isinstance(schema, list):
+        idx = zigzag_decode(buf)
+        return _decode_value(buf, schema[idx])
+    stype = schema["type"] if isinstance(schema, dict) else schema
+    if stype == "null":
+        return None
+    if stype == "boolean":
+        return buf.read(1)[0] != 0
+    if stype in ("int", "long"):
+        return zigzag_decode(buf)
+    if stype == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if stype == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if stype == "string":
+        return buf.read(zigzag_decode(buf)).decode("utf-8")
+    if stype == "bytes":
+        return buf.read(zigzag_decode(buf))
+    if stype == "array":
+        items = []
+        while True:
+            n = zigzag_decode(buf)
+            if n == 0:
+                return items
+            if n < 0:  # block with byte size prefix (spec: negative count)
+                n = -n
+                zigzag_decode(buf)  # block byte size, unused
+            for _ in range(n):
+                items.append(_decode_value(buf, schema["items"]))
+    if stype == "record":
+        return tuple(_decode_value(buf, f["type"]) for f in schema["fields"])
+    raise ValueError(f"unsupported Avro type {stype!r}")
+
+
+# ----------------------------------------------------- schema conversion
+
+_SPARK_TO_AVRO = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_schema_to_avro(schema: T.StructType, name: str = "row") -> dict:
+    fields = []
+    for f in schema.fields:
+        fields.append(
+            {"name": f.name, "type": _field_avro_type(f.dataType, f.nullable, f.name)}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _field_avro_type(dt: T.DataType, nullable: bool, name: str):
+    if isinstance(dt, T.TimestampNTZType):
+        base: object = {"type": "long", "logicalType": "local-timestamp-micros"}
+    elif isinstance(dt, T.TimestampType):
+        base = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.ArrayType):
+        base = {
+            "type": "array",
+            "items": _field_avro_type(dt.elementType, dt.containsNull, name),
+        }
+    elif type(dt) in _SPARK_TO_AVRO:
+        base = _SPARK_TO_AVRO[type(dt)]
+    else:
+        raise ValueError(f"no Avro mapping for field {name!r}: {dt}")
+    return ["null", base] if nullable else base
+
+
+def avro_schema_to_spark(schema: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f["name"], *_spark_field_type(f["type"]))
+            for f in schema["fields"]
+        ]
+    )
+
+
+_AVRO_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _spark_field_type(avro_type) -> tuple[T.DataType, bool]:
+    nullable = False
+    if isinstance(avro_type, list):
+        nullable = "null" in avro_type
+        avro_type = next(t for t in avro_type if t != "null")
+    if isinstance(avro_type, dict):
+        lt = avro_type.get("logicalType")
+        if lt == "local-timestamp-micros":
+            return T.TimestampNTZType(), nullable
+        if lt == "timestamp-micros":
+            return T.TimestampType(), nullable
+        if avro_type["type"] == "array":
+            elem, elem_null = _spark_field_type(avro_type["items"])
+            return T.ArrayType(elem, elem_null), nullable
+        avro_type = avro_type["type"]
+    return _AVRO_TO_SPARK[avro_type], nullable
+
+
+def _logical_converters(avro_schema: dict):
+    """Per-field (encode, decode) pairs for logical types: Python
+    datetimes <-> microseconds since epoch."""
+    import datetime as _dt
+
+    encs, decs = [], []
+    epoch = _dt.datetime(1970, 1, 1)
+    epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            t = next(x for x in t if x != "null")
+        lt = t.get("logicalType") if isinstance(t, dict) else None
+        if lt == "local-timestamp-micros":
+            encs.append(
+                lambda v, e=epoch: None if v is None else
+                round((v - e).total_seconds() * 1_000_000)
+            )
+            decs.append(
+                lambda v, e=epoch: None if v is None else
+                e + _dt.timedelta(microseconds=v)
+            )
+        elif lt == "timestamp-micros":
+            encs.append(
+                lambda v, e=epoch_utc: None if v is None else
+                round((v.astimezone(_dt.timezone.utc) - e).total_seconds() * 1_000_000)
+            )
+            decs.append(
+                lambda v, e=epoch_utc: None if v is None else
+                (e + _dt.timedelta(microseconds=v)).replace(tzinfo=None)
+            )
+        else:
+            encs.append(None)
+            decs.append(None)
+    return encs, decs
+
+
+# ------------------------------------------------------- container files
+
+def write_container(
+    path: str,
+    avro_schema: dict,
+    rows: Iterator[Sequence],
+    *,
+    codec: str = "null",
+    block_rows: int = 4096,
+) -> int:
+    """Write one Avro OCF; rows are sequences aligned with the schema's
+    field order. Returns the row count. Sync marker is md5(schema JSON)
+    — deterministic, so identical data writes identical bytes."""
+    schema_json = json.dumps(avro_schema, sort_keys=True)
+    sync = md5(schema_json.encode()).digest()
+    encs, _ = _logical_converters(avro_schema)
+    fields = avro_schema["fields"]
+    n = 0
+    with open(path, "wb") as fh:
+        fh.write(_MAGIC)
+        meta = bytearray()
+        meta += zigzag_encode(2)
+        _write_bytes(meta, b"avro.schema")
+        _write_bytes(meta, schema_json.encode())
+        _write_bytes(meta, b"avro.codec")
+        _write_bytes(meta, codec.encode())
+        meta += zigzag_encode(0)
+        fh.write(bytes(meta))
+        fh.write(sync)
+        block: list = []
+
+        def flush() -> None:
+            if not block:
+                return
+            body = bytearray()
+            for row in block:
+                for f, enc, v in zip(fields, encs, row):
+                    _encode_value(body, f["type"], enc(v) if enc else v)
+            data = bytes(body)
+            if codec == "deflate":
+                data = zlib.compress(data)[2:-4]  # raw DEFLATE per spec
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec!r}")
+            fh.write(zigzag_encode(len(block)))
+            fh.write(zigzag_encode(len(data)))
+            fh.write(data)
+            fh.write(sync)
+            block.clear()
+
+        for row in rows:
+            block.append(row)
+            n += 1
+            if len(block) >= block_rows:
+                flush()
+        flush()
+    return n
+
+
+def read_header(path: str) -> tuple[dict, str, bytes, int]:
+    """(writer schema, codec, sync marker, data start offset)."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = zigzag_decode(fh)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                zigzag_decode(fh)
+            for _ in range(n):
+                k = fh.read(zigzag_decode(fh)).decode()
+                meta[k] = fh.read(zigzag_decode(fh))
+        sync = fh.read(16)
+        return (
+            json.loads(meta["avro.schema"]),
+            meta.get("avro.codec", b"null").decode(),
+            sync,
+            fh.tell(),
+        )
+
+
+def read_container(path: str) -> Iterator[tuple]:
+    """Decode every row of one OCF (sync markers verified per block)."""
+    schema, codec, sync, offset = read_header(path)
+    _, decs = _logical_converters(schema)
+    fields = schema["fields"]
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        while True:
+            first = fh.read(1)
+            if not first:
+                return
+            fh.seek(-1, os.SEEK_CUR)
+            n_rows = zigzag_decode(fh)
+            n_bytes = zigzag_decode(fh)
+            data = fh.read(n_bytes)
+            if len(data) != n_bytes:
+                raise ValueError(f"{path}: truncated block")
+            if codec == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec!r}")
+            buf = io.BytesIO(data)
+            for _ in range(n_rows):
+                raw = tuple(_decode_value(buf, f["type"]) for f in fields)
+                yield tuple(
+                    d(v) if d else v for d, v in zip(decs, raw)
+                )
+            if fh.read(16) != sync:
+                raise ValueError(f"{path}: sync marker mismatch")
+
+
+# ------------------------------------------------------ Spark DataSource
+
+from pyspark.sql.datasource import (  # noqa: E402  (grouped with use)
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".avro")
+    )
+
+
+class AvroFilePartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class AvroPyReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.options = options
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = _avro_files(self.options["path"])
+        if not files:
+            raise ValueError(f"no .avro files under {self.options['path']}")
+        return [AvroFilePartition(f) for f in files]
+
+    def read(self, partition: AvroFilePartition) -> Iterator[tuple]:
+        yield from read_container(partition.file_path)
+
+
+class AvroCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, final_file: str):
+        self.tmp_file = tmp_file
+        self.final_file = final_file
+
+
+class AvroPyWriter(DataSourceWriter):
+    """One container file per task partition, temp-staged then renamed at
+    job commit — a failed job leaves only ``.tmp`` litter, never a
+    half-visible dataset (the RestEntitiesWriter contract)."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.path = options["path"]
+        self.codec = options.get("codec", "null")
+        self.avro_schema = spark_schema_to_avro(schema)
+
+    def write(self, rows: Iterator) -> AvroCommit:
+        os.makedirs(self.path, exist_ok=True)
+        stem = f"part-{uuid.uuid4().hex}"
+        tmp = os.path.join(self.path, stem + ".tmp")
+        write_container(
+            tmp, self.avro_schema, (tuple(r) for r in rows), codec=self.codec
+        )
+        return AvroCommit(tmp, os.path.join(self.path, stem + ".avro"))
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.rename(m.tmp_file, m.final_file)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_file)
+            except OSError:
+                pass
+
+
+class AvroPyDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "avro_py"
+
+    def schema(self):
+        files = _avro_files(self.options["path"])
+        if not files:
+            raise ValueError(f"no .avro files under {self.options['path']}")
+        return avro_schema_to_spark(read_header(files[0])[0])
+
+    def reader(self, schema: T.StructType) -> AvroPyReader:
+        return AvroPyReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> AvroPyWriter:
+        return AvroPyWriter(schema, self.options)
+
+
+def register_avro(spark) -> None:
+    spark.dataSource.register(AvroPyDataSource)

@@ -647,8 +647,13 @@ def q_item_item_cosine_topk(
         # spark.catalog.clearCache() between queries so it never pins
         # unified memory for unrelated work.
         cp = cp.persist()
-        cp.count()  # eager: materialize before the consumers fork
-        _pair_volume_preflight(cp, max_pairs)
+        # eager materialization before the consumers fork: the pre-flight
+        # agg itself populates the cache (it consumes cp), so the guard
+        # costs no extra pass; only the guard-disabled path needs count()
+        if max_pairs is not None:
+            _pair_volume_preflight(cp, max_pairs)
+        else:
+            cp.count()
         support = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
         pair_src = within_group_pairs(
             cp,
@@ -1874,4 +1879,64 @@ def q_minhash_near_dups_xxh64_pairs(
         bands=16,
         verify_threshold=0.5,
         hash_fn="xxhash64",
+    )
+
+
+@register(
+    "avro_roundtrip",
+    """
+    -- the Spark side writes the projected events table to Avro object
+    -- container files through the pure-Python avro_py DataSource (one
+    -- container per task partition, zigzag-varint/union/logical-type
+    -- binary encoding, deflate codec via raw DEFLATE) and reads it
+    -- back executor-parallel (one partition per file); the oracle
+    -- restates the aggregate over the ORIGINAL parquet — any encode,
+    -- decode, union-branch, timestamp-epoch, or block-framing bug
+    -- changes rows/values and cannot hash-match. DECIMAL partials keep
+    -- the double sum order-independent (the r8 money-sum lesson).
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+             AS sum_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts_str
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Avro format support without spark-avro (the env probe's missing "
+    "module, closed in pure Python): events -> avro_py writer (Avro 1.11 "
+    "OCF: magic/metadata/sync header, sync-framed blocks, zigzag varints, "
+    "null-union fields, local-timestamp-micros for the NTZ ts, deflate "
+    "codec) -> avro_py reader (one InputPartition per container file) -> "
+    "per-type aggregate compared against the source parquet. "
+    "entity_etl_spark/avro_format.py; the DataSource rides the same "
+    "DSv2 Python API as the REST connector (rest_datasource.py).",
+    tags=("ext",),
+)
+def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..avro_format import register_avro
+
+    register_avro(spark)
+    out = tempfile.mkdtemp(prefix="avro_rt_")
+    atexit.register(shutil.rmtree, out, True)
+    ev = read_sf_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    ev.write.format("avro_py").option("codec", "deflate").mode(
+        "append"
+    ).option("path", out).save()
+    back = spark.read.format("avro_py").option("path", out).load()
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "max_ts_str"
+        ),
     )

@@ -1,0 +1,110 @@
+"""Pure-Python Avro OCF (entity_etl_spark/avro_format.py, round 9).
+
+Codec internals against the Avro 1.11 spec (zigzag varints, union
+branching, block framing, sync markers, deflate) plus the Spark
+DataSource surface: write -> read equality row-for-row, schema
+inference from the embedded writer schema, temp/commit atomicity.
+"""
+
+import datetime
+import io
+import os
+
+import pytest
+
+from entity_etl_spark import avro_format as av
+
+
+def test_zigzag_spec_vectors():
+    # spec examples: 0->00, -1->01, 1->02, -2->03, 2->04
+    assert av.zigzag_encode(0) == b"\x00"
+    assert av.zigzag_encode(-1) == b"\x01"
+    assert av.zigzag_encode(1) == b"\x02"
+    assert av.zigzag_encode(-2) == b"\x03"
+    assert av.zigzag_encode(64) == b"\x80\x01"
+    for n in (0, 1, -1, 63, -64, 300, -300, 2**62, -(2**62)):
+        assert av.zigzag_decode(io.BytesIO(av.zigzag_encode(n))) == n
+
+
+_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "long"}},
+        {"name": "ts", "type": ["null", {
+            "type": "long", "logicalType": "local-timestamp-micros"}]},
+    ],
+}
+_ROWS = [
+    (1, "alice", 1.5, True, [1, 2, 3],
+     datetime.datetime(2024, 3, 1, 12, 30, 0, 123456)),
+    (2, None, -2.25, False, [], None),
+    (3, "bob", 0.0, True, [7],
+     datetime.datetime(1969, 12, 31, 23, 59, 59)),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(tmp_path, codec):
+    p = str(tmp_path / "t.avro")
+    assert av.write_container(
+        p, _SCHEMA, iter(_ROWS), codec=codec, block_rows=2
+    ) == 3
+    assert list(av.read_container(p)) == _ROWS
+    schema, got_codec, sync, _ = av.read_header(p)
+    assert got_codec == codec and len(sync) == 16
+    assert [f["name"] for f in schema["fields"]] == [
+        "id", "name", "score", "ok", "tags", "ts",
+    ]
+
+
+def test_corrupt_sync_marker_detected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    av.write_container(p, _SCHEMA, iter(_ROWS))
+    blob = bytearray(open(p, "rb").read())
+    blob[-1] ^= 0xFF  # last byte is part of the trailing sync marker
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="sync"):
+        list(av.read_container(p))
+
+
+def test_not_avro_rejected(tmp_path):
+    p = str(tmp_path / "x.avro")
+    open(p, "wb").write(b"PAR1not-avro")
+    with pytest.raises(ValueError, match="container"):
+        av.read_header(p)
+
+
+def test_spark_schema_mapping_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, True, [1, 2])],
+        "id long, name string, score double, ok boolean, tags array<bigint>",
+    )
+    avro = av.spark_schema_to_avro(df.schema)
+    back = av.avro_schema_to_spark(avro)
+    assert [f.name for f in back.fields] == [f.name for f in df.schema.fields]
+    assert [type(f.dataType) for f in back.fields] == [
+        type(f.dataType) for f in df.schema.fields
+    ]
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    av.register_avro(spark)
+    out = str(tmp_path / "avro_out")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    src.write.format("avro_py").option("path", out).option(
+        "codec", "deflate"
+    ).mode("append").save()
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert files and not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    back = spark.read.format("avro_py").option("path", out).load()
+    assert back.schema == src.schema
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b  # exact row-for-row equality incl. NTZ timestamps

@@ -17,7 +17,7 @@
 #    neardup_groups, repeated_substring_windows) — same sum C(df,2)
 #    blowup on the one-vocabulary corpus
 #  - outputs over ~500k rows at sf10 (collect-side canon cost, not an
-#    engine limit): rows read from PARITY_r7.json at sf0.1, x100
+#    engine limit): rows read from PARITY_r8.json at sf0.1, x100
 set -u
 cd /root/repo
 SF=${1:-/root/repo/testdata_gen/sf10}
@@ -30,7 +30,7 @@ import __spark_entry__ as e
 from bench import SF10_EXCLUDED, QUADRATIC_CONTRACT
 
 rows_sf01 = {n: v["rows"]
-             for n, v in json.load(open("PARITY_r7.json"))["queries"].items()}
+             for n, v in json.load(open("PARITY_r8.json"))["queries"].items()}
 exclude = set(SF10_EXCLUDED) | set(QUADRATIC_CONTRACT) | {
     "training_data_prep", "item_item_cosine_topk",
     "prefix_filter_pairs", "ngram_jaccard_pairs",
