@@ -438,11 +438,15 @@ class AvroCommit(WriterCommitMessage):
 class AvroPyWriter(DataSourceWriter):
     """One container file per task partition, temp-staged then renamed at
     job commit — a failed job leaves only ``.tmp`` litter, never a
-    half-visible dataset (the RestEntitiesWriter contract)."""
+    half-visible dataset (the RestEntitiesWriter contract). Overwrite
+    mode removes the directory's PRE-EXISTING ``.avro`` files at commit
+    time (after every task has staged successfully), so a failed
+    overwrite leaves the old dataset intact."""
 
-    def __init__(self, schema: T.StructType, options: dict):
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
         self.path = options["path"]
         self.codec = options.get("codec", "null")
+        self.overwrite = overwrite
         self.avro_schema = spark_schema_to_avro(schema)
 
     def write(self, rows: Iterator) -> AvroCommit:
@@ -455,6 +459,11 @@ class AvroPyWriter(DataSourceWriter):
         return AvroCommit(tmp, os.path.join(self.path, stem + ".avro"))
 
     def commit(self, messages) -> None:
+        if self.overwrite:
+            keep = {m.final_file for m in messages}
+            for old in _avro_files(self.path):
+                if old not in keep:
+                    os.remove(old)
         for m in messages:
             os.rename(m.tmp_file, m.final_file)
 
@@ -481,7 +490,7 @@ class AvroPyDataSource(DataSource):
         return AvroPyReader(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> AvroPyWriter:
-        return AvroPyWriter(schema, self.options)
+        return AvroPyWriter(schema, self.options, overwrite)
 
 
 def register_avro(spark) -> None:

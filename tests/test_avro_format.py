@@ -108,3 +108,14 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b  # exact row-for-row equality incl. NTZ timestamps
+
+
+def test_spark_overwrite_replaces_dataset(spark, tmp_path):
+    av.register_avro(spark)
+    out = str(tmp_path / "avro_ow")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df2 = spark.createDataFrame([(9, "z")], "id long, s string")
+    df1.write.format("avro_py").option("path", out).mode("append").save()
+    df2.write.format("avro_py").option("path", out).mode("overwrite").save()
+    back = spark.read.format("avro_py").option("path", out).load()
+    assert [tuple(r) for r in back.collect()] == [(9, "z")]
