@@ -1940,3 +1940,73 @@ def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "max_ts_str"
         ),
     )
+
+
+@register(
+    "warc_wet_roundtrip",
+    """
+    -- the Spark side writes documents as WET conversion records
+    -- (WARC/1.0 framing, one gzip member per record — the CommonCrawl
+    -- container layout) through the pure-Python warc_py DataSource and
+    -- reads them back executor-parallel (one partition per .warc.gz);
+    -- the oracle restates the per-language aggregate over the ORIGINAL
+    -- parquet. Any framing, Content-Length, gzip-member, header, or
+    -- UTF-8 round-trip bug changes rows/values and cannot hash-match:
+    -- sum_bytes checks the byte framing (octet length of the UTF-8
+    -- payload), payload_hashsum checks content fidelity (md5 over the
+    -- round-tripped text), n_ids checks the deterministic
+    -- uuid5(target_uri) record identity.
+    SELECT lang AS content_language,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS payload_hashsum
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="WARC/WET (ISO 28500) corpus container — the CommonCrawl "
+    "ingestion/egress path: documents -> warc_py writer (WET conversion "
+    "records, WARC-Identified-Content-Language annotation, deterministic "
+    "uuid5 record ids, one gzip member per record so readers split at "
+    "member boundaries) -> warc_py reader (one InputPartition per file, "
+    "~64k-files-per-crawl parallelism contract) -> per-language "
+    "aggregate vs the source parquet. entity_etl_spark/warc_format.py; "
+    "rides the same DSv2 Python API as avro_py / the REST connector.",
+    tags=("ext",),
+)
+def q_warc_wet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..warc_format import register_warc
+
+    register_warc(spark)
+    out = tempfile.mkdtemp(prefix="warc_rt_")
+    atexit.register(shutil.rmtree, out, True)
+    docs = read_sf_table(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.col("lang").alias("content_language"),
+        F.col("text").alias("payload"),
+    )
+    docs.write.format("warc_py").mode("append").option("path", out).save()
+    back = spark.read.format("warc_py").option("path", out).load()
+    conv = back.filter(F.col("warc_type") == "conversion")
+    return conv.groupBy("content_language").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("content_length").alias("sum_bytes"),
+        F.countDistinct("record_id").cast("bigint").alias("n_ids"),
+        F.sum(F.length("payload")).cast("bigint").alias("sum_chars"),
+        F.sum(
+            F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+        ).alias("payload_hashsum"),
+    )

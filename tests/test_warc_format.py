@@ -1,0 +1,130 @@
+"""WARC/WET container (entity_etl_spark/warc_format.py, round 9).
+
+Framing internals against ISO 28500 / the CommonCrawl WET layout
+(Content-Length payload framing, per-record gzip members, header
+parsing incl. the language annotation, deterministic record ids) plus
+the Spark DataSource surface: write -> read row fidelity, per-file
+partitioning, overwrite/commit atomicity.
+"""
+
+import glob
+import gzip
+import os
+
+import pytest
+
+from entity_etl_spark import warc_format as wf
+
+ROWS = [
+    ("https://web.example.org/doc/1", "en", "hello world"),
+    # payload containing a blank line AND a WARC version string:
+    # Content-Length framing must carry it through untouched
+    ("https://web.example.org/doc/2", "de", "a\r\n\r\nWARC/1.0\r\nb"),
+    ("https://web.example.org/doc/3", None, "unicode: é中文"),
+    ("https://web.example.org/doc/4", "en", ""),
+]
+
+
+def _write(tmp_path):
+    path = os.path.join(str(tmp_path), "f.warc.gz")
+    n = wf.write_wet_file(path, iter(ROWS))
+    assert n == len(ROWS)
+    return path
+
+
+def test_roundtrip_records(tmp_path):
+    path = _write(tmp_path)
+    recs = list(wf.read_wet_file(path))
+    assert recs[0][1] == "warcinfo"
+    conv = [r for r in recs if r[1] == "conversion"]
+    assert len(conv) == len(ROWS)
+    for (uri, lang, payload), rec in zip(ROWS, conv):
+        rid, wtype, target, language, ctype, length, body = rec
+        assert target == uri
+        assert language == lang
+        assert ctype == "text/plain"
+        assert body == payload
+        assert length == len(payload.encode("utf-8"))
+        assert rid == wf.record_id_for(uri)  # deterministic uuid5
+
+
+def test_record_id_deterministic():
+    a = wf.record_id_for("https://x.example/1")
+    b = wf.record_id_for("https://x.example/1")
+    c = wf.record_id_for("https://x.example/2")
+    assert a == b != c
+    assert a.startswith("<urn:uuid:") and a.endswith(">")
+
+
+def test_one_gzip_member_per_record(tmp_path):
+    # the CommonCrawl layout: warcinfo + one member per record, so a
+    # reader can split work at member boundaries
+    path = _write(tmp_path)
+    assert wf.count_gzip_members(path) == 1 + len(ROWS)
+
+
+def test_reader_accepts_single_member_file(tmp_path):
+    # a WET file recompressed as ONE gzip stream (a common repack)
+    # must parse identically: the parser frames on Content-Length,
+    # not member boundaries
+    path = _write(tmp_path)
+    raw = gzip.decompress(open(path, "rb").read())
+    single = os.path.join(str(tmp_path), "single.warc.gz")
+    with gzip.open(single, "wb") as fh:
+        fh.write(raw)
+    assert list(wf.read_wet_file(single)) == list(wf.read_wet_file(path))
+
+
+def test_truncated_payload_raises(tmp_path):
+    path = _write(tmp_path)
+    raw = gzip.decompress(open(path, "rb").read())
+    trunc = os.path.join(str(tmp_path), "trunc.warc.gz")
+    with gzip.open(trunc, "wb") as fh:
+        fh.write(raw[:-20])
+    with pytest.raises(ValueError):
+        list(wf.read_wet_file(trunc))
+
+
+def test_datasource_roundtrip_and_partitioning(spark, tmp_path):
+    wf.register_warc(spark)
+    out = os.path.join(str(tmp_path), "wet")
+    df = spark.createDataFrame(ROWS, schema=list(wf.WRITE_COLUMNS))
+    df.repartition(3).write.format("warc_py").mode("append").option(
+        "path", out
+    ).save()
+    files = glob.glob(os.path.join(out, "*.warc.gz"))
+    assert len(files) == 3  # one container per task partition
+    back = spark.read.format("warc_py").option("path", out).load()
+    conv = back.filter("warc_type = 'conversion'").collect()
+    assert {(r.target_uri, r.content_language, r.payload) for r in conv} == {
+        (u, l, p) for u, l, p in ROWS
+    }
+    # reader parallelism = file count
+    assert back.rdd.getNumPartitions() == 3
+    info = back.filter("warc_type = 'warcinfo'").count()
+    assert info == 3
+
+
+def test_datasource_overwrite_replaces(spark, tmp_path):
+    wf.register_warc(spark)
+    out = os.path.join(str(tmp_path), "wet")
+    df = spark.createDataFrame(ROWS, schema=list(wf.WRITE_COLUMNS))
+    df.coalesce(1).write.format("warc_py").mode("append").option(
+        "path", out
+    ).save()
+    df.coalesce(1).write.format("warc_py").mode("overwrite").option(
+        "path", out
+    ).save()
+    files = glob.glob(os.path.join(out, "*.warc.gz"))
+    assert len(files) == 1
+    back = spark.read.format("warc_py").option("path", out).load()
+    assert back.filter("warc_type = 'conversion'").count() == len(ROWS)
+
+
+def test_writer_rejects_wrong_columns(spark, tmp_path):
+    wf.register_warc(spark)
+    df = spark.createDataFrame([(1, "x")], schema=["a", "b"])
+    with pytest.raises(Exception, match="warc_py writer needs columns"):
+        df.write.format("warc_py").mode("append").option(
+            "path", os.path.join(str(tmp_path), "bad")
+        ).save()
