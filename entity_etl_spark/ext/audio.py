@@ -128,3 +128,224 @@ def decode_wav_features(
             )
 
     return df.mapInPandas(feats, WAV_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------- IMA ADPCM
+#
+# The first COMPRESSED audio codec in the engine (4.1:1 vs 16-bit PCM):
+# IMA/DVI ADPCM as carried in WAV files (wFormatTag 0x11). The algorithm
+# is public (IMA Digital Audio Pack, 1992; the same tables appear in
+# RFC 3551 §4.5.1's DVI4 registration) and table-driven: a 89-entry
+# adaptive step table, a per-sample 4-bit code (sign + 3 magnitude
+# bits), predictor feedback, and an index-adaptation table. Each WAV
+# block opens with the EXACT first sample (int16) + step index, so one
+# value per block round-trips losslessly — the oracle-pairing anchor —
+# while the remaining samples carry bounded quantization noise (the
+# lossy claim, gated like JPEG's reconstruction bound).
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8) * 2  # low 3 bits + sign
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One decoder state transition (shared by encode feedback)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return predictor, index
+
+
+def _adpcm_encode_block(samples) -> bytes:
+    """One IMA ADPCM block: 4-byte header (first sample int16, step
+    index, reserved) + one 4-bit code per remaining sample, packed
+    low-nibble-first, zero-padded to a whole byte."""
+    first = int(samples[0])
+    predictor, index = first, 0
+    nibbles = []
+    for s in samples[1:]:
+        step = _IMA_STEP_TABLE[index]
+        diff = int(s) - predictor
+        n = 0
+        if diff < 0:
+            n = 8
+            diff = -diff
+        if diff >= step:
+            n |= 4
+            diff -= step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            n |= 1
+        predictor, index = _ima_step(predictor, index, n)
+        nibbles.append(n)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return struct.pack("<hBB", first, 0, 0) + packed
+
+
+def _adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
+    predictor, index = struct.unpack_from("<hB", block, 0)
+    if not 0 <= index <= 88:
+        raise ValueError("ADPCM step index out of range")
+    out = np.empty(n_samples, dtype=np.int16)
+    out[0] = predictor
+    pos = 0
+    for i in range(1, n_samples):
+        b = block[4 + (pos >> 1)]
+        nibble = (b >> 4) if pos & 1 else (b & 0x0F)
+        pos += 1
+        predictor, index = _ima_step(predictor, index, nibble)
+        out[i] = predictor
+    return out
+
+
+def _encode_adpcm_wav(samples: np.ndarray, rate: int = SAMPLE_RATE) -> bytes:
+    """RIFF/WAVE, wFormatTag 0x11 (IMA ADPCM), mono, one block per clip
+    (clips here are embedding-length — far under the 4-byte-header
+    amortization point where real encoders split blocks). fmt carries
+    the spec's cbSize=2 wSamplesPerBlock extension; a fact chunk holds
+    the exact sample count (required for compressed WAV formats)."""
+    n = len(samples)
+    block = _adpcm_encode_block(samples)
+    block_align = len(block)
+    fmt = struct.pack(
+        "<4sI HHIIHH H H",
+        b"fmt ", 20,
+        0x11,            # IMA ADPCM
+        1,               # mono
+        rate,
+        rate * block_align // max(n, 1),   # avg bytes/sec for this layout
+        block_align,
+        4,               # bits per (compressed) sample
+        2,               # cbSize
+        n,               # wSamplesPerBlock
+    )
+    fact = struct.pack("<4sII", b"fact", 4, n)
+    data = struct.pack("<4sI", b"data", len(block)) + block
+    body = b"WAVE" + fmt + fact + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _decode_adpcm_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Chunk-walking parse; returns (rate, n_samples, int16 samples)."""
+    rate, n_samples, block = _parse_adpcm_chunks(blob)
+    return rate, n_samples, _adpcm_decode_block(block, n_samples)
+
+
+def _parse_adpcm_chunks(blob: bytes) -> tuple[int, int, bytes]:
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, rate, n_samples, block = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            if (tag, channels) != (0x11, 1):
+                raise ValueError("decoder supports mono IMA ADPCM (0x11)")
+        elif cid == b"fact":
+            (n_samples,) = struct.unpack_from("<I", body, 0)
+        elif cid == b"data":
+            block = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or n_samples is None or block is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    return rate, n_samples, block
+
+
+def synthesize_adpcm(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, wav binary) — the same half-up int16 quantization as
+    :func:`synthesize_wav`, then IMA ADPCM compression (4-bit codes)."""
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for vec in pdf[vec_col]:
+                x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                s = np.clip(np.floor(x * 32767.0 + 0.5), -32768, 32767)
+                wavs.append(_encode_adpcm_wav(s.astype(np.int64)))
+            yield pd.DataFrame({"vec_id": pdf[id_col], "wav": wavs})
+
+    return df.select(id_col, vec_col).mapInPandas(synth, schema)
+
+
+ADPCM_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_block_bytes", T.IntegerType()),
+        T.StructField("first_sample", T.IntegerType()),
+        T.StructField("refix_ok", T.BooleanType()),
+        T.StructField("samples", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_adpcm_samples(
+    df: DataFrame, id_col: str = "vec_id", wav_col: str = "wav"
+) -> DataFrame:
+    """Real compressed decode → per-clip decoded samples (for the
+    JVM-side error gate) + exactly-restatable header facts.
+    ``n_block_bytes`` is the ACTUAL data-chunk size read from the
+    container (not recomputed from n). ``refix_ok`` pins the codec's
+    fixed-point property: re-encoding the decoded signal and decoding
+    again must reproduce it EXACTLY (each already-reconstructable diff
+    re-quantizes to the same 4-bit code, so the second pass is
+    lossless — verified across seeds in tests). One Arrow pass; blobs
+    never leave the map seam."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[wav_col]):
+                rate, n, block = _parse_adpcm_chunks(bytes(blob))
+                data = _adpcm_decode_block(block, n)
+                refix = _adpcm_decode_block(
+                    _adpcm_encode_block(data.astype(np.int64)), n
+                )
+                rows.append(
+                    (
+                        int(vid),
+                        rate,
+                        n,
+                        len(block),
+                        int(data[0]) if n else 0,
+                        bool(np.array_equal(data, refix)),
+                        [int(v) for v in data],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "sample_rate", "n_samples", "n_block_bytes",
+                    "first_sample", "refix_ok", "samples",
+                ],
+            )
+
+    return df.mapInPandas(dec, ADPCM_SAMPLES_SCHEMA)

@@ -3514,3 +3514,79 @@ def q_event_type_cooccurrence(
     )
 
 
+
+
+@register(
+    "audio_adpcm_roundtrip",
+    """
+    -- the Spark side round-trips every embedding through a REAL
+    -- COMPRESSED audio codec (IMA/DVI ADPCM in WAV, wFormatTag 0x11:
+    -- 4-bit adaptive-step codes, 4.1:1 vs 16-bit PCM). ADPCM is LOSSY
+    -- on arbitrary signals, so like JPEG the decidable cross-engine
+    -- claims are the container facts (rate, sample count, actual
+    -- data-chunk size = 4 + n//2), the losslessly-carried block-header
+    -- first sample, the codec's fixed-point property (re-encoding the
+    -- decoded signal is EXACT — refix_ok), and a measured error bound
+    -- (per-clip err^2 <= 4x signal energy, i.e. SNR > -6 dB; measured
+    -- worst clip -2.71 dB and corpus ~6.0 dB on both fixture decades).
+    SELECT vec_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(len(embedding) AS INT) AS n_samples,
+           CAST(4 + len(embedding) // 2 AS INT) AS n_block_bytes,
+           CAST(greatest(least(floor(CAST(embedding[1] AS DOUBLE) * 32767
+                                     + 0.5), 32767), -32768) AS INT)
+             AS first_sample,
+           true AS refix_ok,
+           true AS err_bounded
+    FROM embeddings
+    """,
+    doc="E5 fourth REAL COMPRESSED decoder and the first compressed "
+    "AUDIO one (IMA/DVI ADPCM, the RFC 3551 DVI4 tables, stdlib+numpy "
+    "only; ext/audio.py _adpcm_encode_block/_adpcm_decode_block): "
+    "embeddings -> int16 PCM (the synthesize_wav quantization) -> IMA "
+    "ADPCM WAV blobs (fmt 0x11 + cbSize extension, fact chunk, one "
+    "block per clip) -> chunk walk, predictor/step-index state machine "
+    "decode -> per-clip facts + decoded samples. The error gate runs "
+    "JVM-side (zip_with/aggregate vs the relationally-derived source "
+    "samples); the fixed-point gate re-encodes in the same Arrow seam. "
+    "One mapInPandas pass per direction; blobs never shuffle.",
+    tags=("ext",),
+)
+def q_audio_adpcm_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ext.audio import decode_adpcm_samples, synthesize_adpcm
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    dec = decode_adpcm_samples(synthesize_adpcm(emb))
+    src_q = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.least(
+                F.floor(x.cast("double") * 32767.0 + 0.5), F.lit(32767.0)
+            ),
+            F.lit(-32768.0),
+        ).cast("int"),
+    )
+    src = read_sf_table(spark, sf, "embeddings").select(
+        "vec_id", src_q.alias("__src")
+    )
+    joined = dec.join(src, "vec_id")
+    sq = lambda d, s: (d - s).cast("bigint") * (d - s).cast("bigint")  # noqa: E731
+    err2 = F.aggregate(
+        F.zip_with("samples", "__src", sq),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    src2 = F.aggregate(
+        "__src",
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint") * x.cast("bigint"),
+    )
+    return joined.select(
+        "vec_id",
+        "sample_rate",
+        "n_samples",
+        "n_block_bytes",
+        "first_sample",
+        "refix_ok",
+        (err2 <= F.lit(4) * src2).alias("err_bounded"),
+    )

@@ -1,0 +1,104 @@
+"""IMA/DVI ADPCM codec (entity_etl_spark/ext/audio.py, round 9).
+
+Hand-derived state-machine vectors (worked in comments below against
+the public IMA tables), container framing, the fixed-point
+(re-encode-is-exact) property, and the Spark seam.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from entity_etl_spark.ext import audio as au
+
+# Hand derivation, step table starts (7, 8, ..., index 8 -> 16,
+# index 16 -> 34), index table (-1,-1,-1,-1,2,4,6,8)*2:
+#   start: predictor=100, index=0 (step 7)
+#   nibble 0x0: diff = 7>>3 = 0            -> 100, index -1 -> clamp 0
+#   nibble 0x7: diff = 0+1+3+7 = 11        -> 111, index +8 -> 8 (16)
+#   nibble 0xF: diff = 2+4+8+16 = 30, sign -> 81,  index +8 -> 16 (34)
+#   nibble 0x3: diff = 4+8+17 = 29         -> 110, index -1 -> 15
+HAND_SAMPLES = [100, 100, 111, 81, 110]
+# nibbles [0,7,15,3] packed low-first: 0|7<<4 = 0x70, 15|3<<4 = 0x3F
+HAND_BLOCK = struct.pack("<hBB", 100, 0, 0) + bytes([0x70, 0x3F])
+
+
+def test_decode_hand_vector():
+    out = au._adpcm_decode_block(HAND_BLOCK, 5)
+    assert out.tolist() == HAND_SAMPLES
+
+
+def test_encode_hand_vector_exact_bytes():
+    assert au._adpcm_encode_block(np.array(HAND_SAMPLES)) == HAND_BLOCK
+
+
+def test_step_clamps():
+    # predictor clamps to int16; index clamps to [0, 88]
+    p, i = au._ima_step(32760, 88, 0x7)
+    assert p == 32767 and i == 88
+    p, i = au._ima_step(-32760, 0, 0xF)
+    assert p == -32768 and i == 8
+
+
+def test_wav_container_roundtrip():
+    rng = np.random.default_rng(3)
+    x = np.clip(
+        np.floor(rng.uniform(-1, 1, 64) * 32767 + 0.5), -32768, 32767
+    ).astype(np.int64)
+    blob = au._encode_adpcm_wav(x)
+    rate, n, dec = au._decode_adpcm_wav(blob)
+    assert (rate, n) == (au.SAMPLE_RATE, 64)
+    assert dec[0] == x[0]  # block header carries sample 0 exactly
+    assert dec.dtype == np.int16
+    # container facts: data chunk is 4-byte header + 32 nibble bytes
+    _, _, block = au._parse_adpcm_chunks(blob)
+    assert len(block) == 4 + 64 // 2
+
+
+def test_odd_sample_count_padding():
+    x = np.array([5, -4000, 8000, 123, -9], dtype=np.int64)
+    rate, n, dec = au._decode_adpcm_wav(au._encode_adpcm_wav(x))
+    assert n == 5
+    _, _, block = au._parse_adpcm_chunks(au._encode_adpcm_wav(x))
+    assert len(block) == 4 + 5 // 2  # 4 nibbles -> 2 bytes
+
+
+def test_reencode_fixed_point():
+    # decoding then re-encoding reproduces the decoded signal EXACTLY:
+    # every already-reconstructable diff re-quantizes to its own code
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        x = np.clip(
+            np.floor(rng.uniform(-1, 1, 64) * 32767 + 0.5), -32768, 32767
+        ).astype(np.int64)
+        _, _, d1 = au._decode_adpcm_wav(au._encode_adpcm_wav(x))
+        _, _, d2 = au._decode_adpcm_wav(
+            au._encode_adpcm_wav(d1.astype(np.int64))
+        )
+        assert np.array_equal(d1, d2)
+
+
+def test_rejects_non_adpcm():
+    pcm = au._encode_wav(np.zeros(4))
+    with pytest.raises(ValueError, match="IMA ADPCM"):
+        au._decode_adpcm_wav(pcm)
+
+
+def test_spark_seam(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -0.25, 0.0, 1.0]),
+            Row(vec_id=2, embedding=[-1.0, 0.75, 0.1, -0.3]),
+        ]
+    )
+    out = au.decode_adpcm_samples(au.synthesize_adpcm(df)).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[1].n_samples == 4
+    assert by_id[1].first_sample == int(np.floor(0.5 * 32767 + 0.5))
+    assert by_id[2].first_sample == -32767  # floor(-32767 + 0.5) = -32767
+    assert all(r.refix_ok for r in out)
+    assert all(r.n_block_bytes == 4 + 4 // 2 for r in out)
+    assert all(len(r.samples) == 4 for r in out)
