@@ -139,6 +139,86 @@ QUADRATIC_CONTRACT = {
 }
 
 
+HEAVY_CEILINGS_SF01: dict[str, float] = {
+    "training_data_prep": 8.2,
+    "neardup_keep_best": 5.7,
+    "embedding_pq_topk": 3.9,
+    "dedup_corpus_minhash": 3.3,
+    "semantic_dedup_pairs": 3.0,
+    "bm25_topk": 1.8,
+    "boilerplate_segment_removal": 1.7,
+    "scd2_user_event_history": 1.6,
+    "bpe_encode_tokens": 1.1,
+    # r4-close quiet bests (2x + 0.5 s, same rule): streaming prep
+    # 12.5 s after the micro-batch fixes (was 37.7 s before them)
+    "streaming_neardup_prep": 25.5,
+    "triangle_count_copurchase": 15.3,
+    # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
+    # 3.653 s; 2x + 0.5 s)
+    "item_item_cosine_topk": 7.8,
+    # r5: O12/O13 streaming e2e, 15.7 s quiet at sf0.1 (2x + 0.5 s)
+    "streaming_state_pipeline": 31.9,
+    # r6: watermark-dedup streaming e2e, 5.9 s quiet (2x + 0.5 s)
+    "streaming_dedup_watermark": 12.3,
+    # r6b: exact containment pair join, 1.99 s quiet (2x + 0.5 s)
+    "containment_near_dups": 4.5,
+    # r6b: 2-iter Lloyd's, 1.49 s quiet (2x + 0.5 s) — the ceiling
+    # exists to catch the generator/expensive-expression recompute
+    # class (the fused-select form read ~17x at sf1)
+    "kmeans_lloyd_2iter": 3.5,
+    # r6b: the exactly-mergeable streaming-state family (quiet bests
+    # 3.34 / 4.60 / 3.89 / 3.52 s; 2x + 0.5 s)
+    "streaming_countmin_state": 7.2,
+    "streaming_kmeans_state": 9.7,
+    "streaming_bloom_state": 8.3,
+    "streaming_topk_state": 7.5,
+    # r7: the exact-truth recall gate moved out of the headline group
+    # (quadratic by design — the exact pair join IS the measurement);
+    # 4.40 s quiet (2x + 0.5 s)
+    "minhash_recall_gate": 9.3,
+    # r7: DOULION sampled-triangle twin, 3.23 s quiet (2x + 0.5 s);
+    # measured sf1 factor 2.8x vs exact's 6.4x — the ~linear path
+    "triangle_count_doulion": 7.0,
+    # r8: the production twins (BENCH_sf01_r8_quiet.json; 2x + 0.5 s)
+    "dedup_corpus_minhash_prod": 5.7,
+    "neardup_keep_best_prod": 9.0,
+    # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
+    # 1.794 s; 2x + 0.5 s)
+    "item_item_cosine_topk_capped": 4.1,
+}
+
+SF01_REF_BESTS: dict[str, float] = {
+    "incremental_scan": 0.30, "changed_rows": 1.11,
+    "keep_latest_per_key": 0.41, "state_merge_upsert": 0.46,
+    "q1_pricing_summary": 0.37, "top_orders_revenue": 0.86,
+    "region_nation_revenue": 0.99, "top_customers_per_nation": 0.71,
+    "sessionize": 0.25, "dedup_exact": 0.24,
+    "minhash_near_dups": 3.85, "embedding_topk": 0.51,
+    "text_quality": 0.25, "asof_join": 0.32, "range_join": 0.48,
+    "session_window_agg": 0.35, "embedding_topk_heap": 0.39,
+    "chunk_documents_builtin": 0.28, "variant_shred": 0.15,
+    "dedup_corpus_minhash": 1.91, "embedding_pq_topk": 2.38,
+    "scd2_user_event_history": 0.68, "semantic_dedup_pairs": 1.70,
+    "training_data_prep": 4.41, "streaming_neardup_prep": 11.93,
+    "streaming_state_pipeline": 4.53, "bm25_topk": 0.90,
+    "bpe_encode_tokens": 0.70, "neardup_keep_best": 3.73,
+    "boilerplate_segment_removal": 0.62,
+    # item_item legs: post-rework quiet bests (BENCH_sf01_r8_final)
+    "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 3.65,
+    "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
+    "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
+    "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
+    "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
+    "triangle_count_doulion": 3.23,
+    # r8 additions (quiet bests, BENCH_sf01_r8_quiet.json);
+    # *_xxh64_pairs = the r9 rename of the raw-pairs leg
+    "minhash_near_dups_xxh64_pairs": 1.58,
+    "dedup_corpus_minhash_prod": 2.60,
+    "neardup_keep_best_prod": 4.26,
+    "item_item_cosine_topk_capped": 1.79,
+}
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -247,53 +327,7 @@ def main() -> None:
     # from reading as a regression while a real blowup — the 10-100x
     # class bench2 caught twice in r3 — still goes red). Breaches are
     # REPORTED in the JSON (and on stderr), never swallowed.
-    heavy_ceilings_sf01 = {
-        "training_data_prep": 8.2,
-        "neardup_keep_best": 5.7,
-        "embedding_pq_topk": 3.9,
-        "dedup_corpus_minhash": 3.3,
-        "semantic_dedup_pairs": 3.0,
-        "bm25_topk": 1.8,
-        "boilerplate_segment_removal": 1.7,
-        "scd2_user_event_history": 1.6,
-        "bpe_encode_tokens": 1.1,
-        # r4-close quiet bests (2x + 0.5 s, same rule): streaming prep
-        # 12.5 s after the micro-batch fixes (was 37.7 s before them)
-        "streaming_neardup_prep": 25.5,
-        "triangle_count_copurchase": 15.3,
-        # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
-        # 3.653 s; 2x + 0.5 s)
-        "item_item_cosine_topk": 7.8,
-        # r5: O12/O13 streaming e2e, 15.7 s quiet at sf0.1 (2x + 0.5 s)
-        "streaming_state_pipeline": 31.9,
-        # r6: watermark-dedup streaming e2e, 5.9 s quiet (2x + 0.5 s)
-        "streaming_dedup_watermark": 12.3,
-        # r6b: exact containment pair join, 1.99 s quiet (2x + 0.5 s)
-        "containment_near_dups": 4.5,
-        # r6b: 2-iter Lloyd's, 1.49 s quiet (2x + 0.5 s) — the ceiling
-        # exists to catch the generator/expensive-expression recompute
-        # class (the fused-select form read ~17x at sf1)
-        "kmeans_lloyd_2iter": 3.5,
-        # r6b: the exactly-mergeable streaming-state family (quiet bests
-        # 3.34 / 4.60 / 3.89 / 3.52 s; 2x + 0.5 s)
-        "streaming_countmin_state": 7.2,
-        "streaming_kmeans_state": 9.7,
-        "streaming_bloom_state": 8.3,
-        "streaming_topk_state": 7.5,
-        # r7: the exact-truth recall gate moved out of the headline group
-        # (quadratic by design — the exact pair join IS the measurement);
-        # 4.40 s quiet (2x + 0.5 s)
-        "minhash_recall_gate": 9.3,
-        # r7: DOULION sampled-triangle twin, 3.23 s quiet (2x + 0.5 s);
-        # measured sf1 factor 2.8x vs exact's 6.4x — the ~linear path
-        "triangle_count_doulion": 7.0,
-        # r8: the production twins (BENCH_sf01_r8_quiet.json; 2x + 0.5 s)
-        "dedup_corpus_minhash_prod": 5.7,
-        "neardup_keep_best_prod": 9.0,
-        # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
-        # 1.794 s; 2x + 0.5 s)
-        "item_item_cosine_topk_capped": 4.1,
-    }
+    heavy_ceilings_sf01 = HEAVY_CEILINGS_SF01
     breaches = (
         {
             name: {"sec": t, "ceiling": heavy_ceilings_sf01[name]}
@@ -324,36 +358,7 @@ def main() -> None:
     # 81x sf1) under the 110x allowance. The production semdedup path
     # (auto-k, no in-query truth) stays linear by design.
     quadratic_contract = QUADRATIC_CONTRACT
-    sf01_ref_bests = {
-        "incremental_scan": 0.30, "changed_rows": 1.11,
-        "keep_latest_per_key": 0.41, "state_merge_upsert": 0.46,
-        "q1_pricing_summary": 0.37, "top_orders_revenue": 0.86,
-        "region_nation_revenue": 0.99, "top_customers_per_nation": 0.71,
-        "sessionize": 0.25, "dedup_exact": 0.24,
-        "minhash_near_dups": 3.85, "embedding_topk": 0.51,
-        "text_quality": 0.25, "asof_join": 0.32, "range_join": 0.48,
-        "session_window_agg": 0.35, "embedding_topk_heap": 0.39,
-        "chunk_documents_builtin": 0.28, "variant_shred": 0.15,
-        "dedup_corpus_minhash": 1.91, "embedding_pq_topk": 2.38,
-        "scd2_user_event_history": 0.68, "semantic_dedup_pairs": 1.70,
-        "training_data_prep": 4.41, "streaming_neardup_prep": 11.93,
-        "streaming_state_pipeline": 4.53, "bm25_topk": 0.90,
-        "bpe_encode_tokens": 0.70, "neardup_keep_best": 3.73,
-        "boilerplate_segment_removal": 0.62,
-        # item_item legs: post-rework quiet bests (BENCH_sf01_r8_final)
-        "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 3.65,
-        "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
-        "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
-        "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
-        "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
-        "triangle_count_doulion": 3.23,
-        # r8 additions (quiet bests, BENCH_sf01_r8_quiet.json);
-        # *_xxh64_pairs = the r9 rename of the raw-pairs leg
-        "minhash_near_dups_xxh64_pairs": 1.58,
-        "dedup_corpus_minhash_prod": 2.60,
-        "neardup_keep_best_prod": 4.26,
-        "item_item_cosine_topk_capped": 1.79,
-    }
+    sf01_ref_bests = SF01_REF_BESTS
     def _sf1_ceiling(name: str) -> float:
         factor = 110.0 if name in quadratic_contract else 15.0
         return factor * sf01_ref_bests[name] + 2.0
