@@ -18,71 +18,66 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# sf1 quiet bests — per-query MIN of the round-8 quiet runs
-# (BENCH_sf1_r8.json = final run on the post-doulion-fix code;
-# BENCH_sf1_r8a.json = first r8 quiet run, same data) — the reference
-# side of the sf10 factor ratchet. The r7 dict was retired after
-# SF1_AB_r8.json proved its numbers ~1.6x host-inflated. Names missing
-# from this dict are REPORTED as sf10_ratchet_ungated, never silently
-# passed.
-SF1_REF_BESTS_R8: dict[str, float] = {
-    "asof_join": 0.266,
-    "bm25_topk": 1.68,
-    "boilerplate_segment_removal": 2.045,
-    "bpe_encode_tokens": 1.921,
-    "changed_rows": 1.308,
-    "chunk_documents_builtin": 0.676,
-    "containment_near_dups": 8.194,
-    "dedup_corpus_minhash": 10.583,
-    "dedup_corpus_minhash_prod": 5.494,
-    "dedup_exact": 0.336,
-    "embedding_pq_topk": 6.487,
-    "embedding_topk": 0.516,
-    "embedding_topk_heap": 0.457,
-    "incremental_scan": 0.283,
-    # post-rework IN-BENCH quiet values (BENCH_sf1_r8b.json) — r9: the
-    # r8 dict briefly held solo-quiet time_query numbers (6.436/5.124)
-    # for these two, mixing measurement contexts with the rest of the
-    # dict (in-bench warm-JVM values run ~2x faster than solo fresh-JVM
-    # for sub-10s queries); all ratchet references now share the one
-    # in-bench context
-    "item_item_cosine_topk": 7.523,
-    "item_item_cosine_topk_capped": 2.94,
-    "keep_latest_per_key": 0.976,
-    "kmeans_lloyd_2iter": 2.26,
-    "minhash_near_dups": 5.69,
-    # r9: carried over from the retired minhash_near_dups_xxh64 bench
-    # name — identical computation (raw xxhash64 LSH pairs), renamed when
-    # that name became the oracle-paired gate row (VERDICT r8 item 2)
-    "minhash_near_dups_xxh64_pairs": 3.8,
-    "minhash_recall_gate": 14.867,
-    "neardup_keep_best": 17.002,
-    "neardup_keep_best_prod": 7.025,
-    "q1_pricing_summary": 0.531,
-    "range_join": 1.071,
-    "region_nation_revenue": 1.653,
-    "scd2_user_event_history": 0.956,
-    "semantic_dedup_pairs": 5.499,
-    "session_window_agg": 1.012,
-    "sessionize": 0.251,
-    "state_merge_upsert": 0.857,
-    "streaming_bloom_state": 4.973,
-    "streaming_countmin_state": 4.739,
-    "streaming_dedup_watermark": 4.949,
-    "streaming_kmeans_state": 4.829,
-    "streaming_neardup_prep": 39.115,
-    "streaming_state_pipeline": 7.464,
-    "streaming_topk_state": 3.475,
-    "text_quality": 0.222,
-    "top_customers_per_nation": 1.546,
-    "top_orders_revenue": 2.028,
-    "training_data_prep": 35.653,
-    "triangle_count_copurchase": 39.267,
-    "triangle_count_doulion": 6.437,
-    "variant_shred": 0.131,
+# sf1 quiet bests — per-query MIN of the round-9 quiet runs
+# (BENCH_sf1_r9.json; merge of two full runs via tools/merge_bench_min).
+# The sf10 factor ratchet compares AGAINST these, so they must share the
+# sf10 run's measurement context: same host, same session design, same
+# round. The r8 dict was measured on a ~1.2x-faster box (median band —
+# BENCH_sf1_r9's commit message records the A/B), which made the r9
+# sf10 comparison measure the HOST, not the per-decade scaling; the
+# r8/r7 values live in git history and the committed BENCH artifacts.
+# Names missing from this dict are REPORTED as sf10_ratchet_ungated,
+# never silently passed.
+SF1_REF_BESTS: dict[str, float] = {
+    "asof_join": 0.405,
+    "bm25_topk": 1.596,
+    "boilerplate_segment_removal": 4.392,
+    "bpe_encode_tokens": 1.856,
+    "changed_rows": 1.733,
+    "chunk_documents_builtin": 0.751,
+    "containment_near_dups": 9.785,
+    "dedup_corpus_minhash": 10.898,
+    "dedup_corpus_minhash_prod": 5.282,
+    "dedup_exact": 0.371,
+    "embedding_pq_topk": 5.671,
+    "embedding_topk": 0.783,
+    "embedding_topk_heap": 0.787,
+    "incremental_scan": 0.378,
+    "item_item_cosine_topk": 12.697,
+    "item_item_cosine_topk_capped": 6.252,
+    "keep_latest_per_key": 1.124,
+    "kmeans_lloyd_2iter": 2.68,
+    "minhash_near_dups": 11.18,
+    "minhash_near_dups_xxh64_pairs": 4.763,
+    "minhash_recall_gate": 58.152,
+    "neardup_keep_best": 15.817,
+    "neardup_keep_best_prod": 9.575,
+    "q1_pricing_summary": 0.749,
+    "range_join": 1.105,
+    "region_nation_revenue": 2.012,
+    "scd2_user_event_history": 0.989,
+    "semantic_dedup_pairs": 5.62,
+    "session_window_agg": 2.263,
+    "sessionize": 0.289,
+    "state_merge_upsert": 1.017,
+    "streaming_bloom_state": 7.046,
+    "streaming_countmin_state": 5.691,
+    "streaming_dedup_watermark": 5.917,
+    "streaming_kmeans_state": 5.975,
+    "streaming_neardup_prep": 36.323,
+    "streaming_state_pipeline": 6.464,
+    "streaming_topk_state": 4.151,
+    "text_quality": 0.292,
+    "top_customers_per_nation": 1.785,
+    "top_orders_revenue": 2.298,
+    "training_data_prep": 25.765,
+    "triangle_count_copurchase": 91.333,
+    "triangle_count_doulion": 8.839,
+    "variant_shred": 0.185,
 }
-# retained alias: tools imported the r7 name
-SF1_REF_BESTS_R7 = SF1_REF_BESTS_R8
+# retained aliases: earlier tools imported the round-suffixed names
+SF1_REF_BESTS_R8 = SF1_REF_BESTS
+SF1_REF_BESTS_R7 = SF1_REF_BESTS
 
 # sf10 exclusions — NEVER silent (reported in the JSON): the exact
 # near-dup pair family rides the shared-shingle counting join, whose
@@ -403,7 +398,7 @@ def main() -> None:
     # (clustered-embedding) twin, BENCH_sf1_r7.json. (Filled after that
     # run; empty entries surface in sf10_ratchet_ungated, never pass
     # silently.)
-    sf1_ref_bests = dict(SF1_REF_BESTS_R7)
+    sf1_ref_bests = dict(SF1_REF_BESTS)
 
     def _sf10_ceiling(name: str) -> float:
         factor = 110.0 if name in quadratic_contract else 15.0
