@@ -2010,3 +2010,76 @@ def q_warc_wet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("payload_hashsum"),
     )
+
+
+@register(
+    "warc_response_extract",
+    """
+    -- raw-crawl ingestion (the step BEFORE WET): documents -> WARC
+    -- `response` records whose payload is the full HTTP/1.1 message
+    -- (status line, headers, Content-Length-framed body) -> warc_py
+    -- reader -> wet_convert, the WARC->WET extraction operator
+    -- (RFC 9112 status/header parse + body framing in an Arrow map
+    -- seam). The oracle restates the per-status aggregate from the
+    -- source parquet: any HTTP framing, status-line, Content-Length,
+    -- or body-extraction bug changes counts/bytes/hashes and cannot
+    -- match. doc_id % 50 plants a deterministic 404 minority class so
+    -- the status parse is exercised on more than one value.
+    SELECT CAST(CASE WHEN doc_id % 50 = 0 THEN 404 ELSE 200 END AS INT)
+             AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS sum_body_bytes,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS body_hashsum
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="WARC raw-crawl `response` records + the WARC->WET conversion "
+    "operator (warc_format.wet_convert): documents -> HTTP/1.1 message "
+    "payloads inside ISO 28500 response records (warc_py writer, "
+    "record_type=response) -> executor-parallel read -> RFC 9112 "
+    "extraction (status, Content-Type, Content-Length-framed body) -> "
+    "per-status aggregate vs the source parquet. This is the step that "
+    "derives WET from raw CommonCrawl WARCs; HTTP payloads never leave "
+    "the Arrow map seam.",
+    tags=("ext",),
+)
+def q_warc_response_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..warc_format import register_warc, wet_convert
+
+    register_warc(spark)
+    out = tempfile.mkdtemp(prefix="warc_resp_")
+    atexit.register(shutil.rmtree, out, True)
+    docs = read_sf_table(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.when(F.col("doc_id") % 50 == 0, F.lit(404))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.col("text").alias("payload"),
+    )
+    docs.write.format("warc_py").option("record_type", "response").mode(
+        "append"
+    ).option("path", out).save()
+    back = spark.read.format("warc_py").option("path", out).load()
+    ext = wet_convert(back)
+    return ext.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("text_bytes").alias("sum_body_bytes"),
+        F.countDistinct("record_id").cast("bigint").alias("n_ids"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+        ).alias("body_hashsum"),
+    )

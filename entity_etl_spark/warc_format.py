@@ -246,15 +246,28 @@ class WarcCommit(WriterCommitMessage):
         self.final_file = final_file
 
 
+RESPONSE_WRITE_COLUMNS = ("target_uri", "status", "content_type", "payload")
+
+
 class WarcPyWriter(DataSourceWriter):
     """One ``.warc.gz`` per task partition, temp-staged then renamed at
     job commit; overwrite removes pre-existing files only after every
-    task staged (the :class:`avro_format.AvroPyWriter` contract)."""
+    task staged (the :class:`avro_format.AvroPyWriter` contract).
+    ``option("record_type", "response")`` switches from WET
+    ``conversion`` records to raw-crawl ``response`` records (HTTP
+    message payloads, :func:`write_response_file`)."""
 
     def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
-        if tuple(schema.fieldNames()) != WRITE_COLUMNS:
+        self.record_type = options.get("record_type", "conversion")
+        expected = (
+            RESPONSE_WRITE_COLUMNS
+            if self.record_type == "response"
+            else WRITE_COLUMNS
+        )
+        if tuple(schema.fieldNames()) != expected:
             raise ValueError(
-                f"warc_py writer needs columns {WRITE_COLUMNS}, "
+                f"warc_py writer needs columns {expected} for "
+                f"record_type={self.record_type}, "
                 f"got {tuple(schema.fieldNames())}"
             )
         self.path = options["path"]
@@ -265,7 +278,12 @@ class WarcPyWriter(DataSourceWriter):
         stem = f"part-{uuid.uuid4().hex}"
         tmp = os.path.join(self.path, stem + ".tmp")
         final = os.path.join(self.path, stem + ".warc.gz")
-        write_wet_file(
+        writer = (
+            write_response_file
+            if self.record_type == "response"
+            else write_wet_file
+        )
+        writer(
             tmp,
             (tuple(r) for r in rows),
             filename=os.path.basename(final),
@@ -306,3 +324,129 @@ class WarcPyDataSource(DataSource):
 
 def register_warc(spark) -> None:
     spark.dataSource.register(WarcPyDataSource)
+
+
+# ------------------------------------------------- response records / WET
+
+# The raw-crawl side of the format: a WARC ``response`` record's payload
+# is the full HTTP message (status line, CRLF headers, blank line, body
+# — RFC 9112 framing inside ISO 28500 framing). The CommonCrawl WET
+# files the engine already reads/writes are DERIVED from these by
+# exactly the extraction below; implementing it closes the loop so raw
+# crawl archives are ingestible, not just the pre-extracted text.
+
+def write_response_file(
+    path: str,
+    rows: Iterator[tuple],
+    *,
+    filename: str | None = None,
+) -> int:
+    """Write ``(target_uri, status, content_type, body_text)`` rows as
+    WARC ``response`` records whose payload is the HTTP message. One
+    gzip member per record, the :func:`write_wet_file` layout."""
+    name = filename or os.path.basename(path)
+    n = 0
+    with open(path, "wb") as fh:
+        fh.write(_gzip_member(_warcinfo_bytes(name)))
+        for target_uri, status, content_type, body in rows:
+            payload_body = ("" if body is None else body).encode("utf-8")
+            http = (
+                f"HTTP/1.1 {status} "
+                f"{'OK' if status == 200 else 'X'}\r\n"
+                f"Content-Type: {content_type}\r\n"
+                f"Content-Length: {len(payload_body)}\r\n\r\n"
+            ).encode("ascii") + payload_body
+            fh.write(
+                _gzip_member(
+                    _record_bytes(
+                        [
+                            ("WARC-Type", "response"),
+                            ("WARC-Record-ID", record_id_for(target_uri)),
+                            ("WARC-Date", _FIXED_DATE),
+                            ("WARC-Target-URI", target_uri),
+                            (
+                                "Content-Type",
+                                "application/http; msgtype=response",
+                            ),
+                        ],
+                        http,
+                    )
+                )
+            )
+            n += 1
+    return n
+
+
+def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
+    """RFC 9112 response parse: (status, content-type, body). The body
+    is taken from the HTTP Content-Length when present (trailing CRLFs
+    from the WARC framing never leak into it), else everything after
+    the header block."""
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0:
+        raise ValueError("no HTTP header terminator in response payload")
+    head_lines = payload[:head_end].split(b"\r\n")
+    status_parts = head_lines[0].split(b" ", 2)
+    if len(status_parts) < 2 or not status_parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line: {head_lines[0][:40]!r}")
+    status = int(status_parts[1])
+    headers: dict[str, str] = {}
+    for ln in head_lines[1:]:
+        k, _, v = ln.decode("utf-8", "replace").partition(":")
+        headers[k.strip().lower()] = v.strip()
+    body = payload[head_end + 4 :]
+    if "content-length" in headers:
+        body = body[: int(headers["content-length"])]
+    return status, headers.get("content-type", ""), body
+
+
+def wet_convert(df, spark=None):
+    """The WARC→WET conversion operator: rows of the :data:`WET_SCHEMA`
+    reader output (``warc_type = 'response'``) → extracted-text rows
+    ``(record_id, target_uri, status, http_content_type, text,
+    text_bytes)``. Arrow ``mapInPandas``; HTTP payloads stay inside the
+    map seam (the multimodal blob discipline) — only extracted text and
+    scalars come out."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("record_id", ST.StringType()),
+            ST.StructField("target_uri", ST.StringType()),
+            ST.StructField("status", ST.IntegerType()),
+            ST.StructField("http_content_type", ST.StringType()),
+            ST.StructField("text", ST.StringType()),
+            ST.StructField("text_bytes", ST.LongType()),
+        ]
+    )
+
+    def conv(batches):
+        for pdf in batches:
+            rows = []
+            for rid, uri, wtype, payload in zip(
+                pdf["record_id"],
+                pdf["target_uri"],
+                pdf["warc_type"],
+                pdf["payload"],
+            ):
+                if wtype != "response":
+                    continue
+                status, ctype, body = parse_http_response(
+                    payload.encode("utf-8")
+                )
+                text = body.decode("utf-8")
+                rows.append(
+                    (rid, uri, status, ctype, text, len(body))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "record_id", "target_uri", "status",
+                    "http_content_type", "text", "text_bytes",
+                ],
+            )
+
+    return df.select(
+        "record_id", "target_uri", "warc_type", "payload"
+    ).mapInPandas(conv, schema)

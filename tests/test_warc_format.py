@@ -128,3 +128,68 @@ def test_writer_rejects_wrong_columns(spark, tmp_path):
         df.write.format("warc_py").mode("append").option(
             "path", os.path.join(str(tmp_path), "bad")
         ).save()
+
+
+RESP_ROWS = [
+    ("https://web.example.org/p/1", 200, "text/html", "hello\r\n\r\nworld"),
+    ("https://web.example.org/p/2", 404, "text/plain", ""),
+    ("https://web.example.org/p/3", 200, "text/html", "é 中文"),
+]
+
+
+def test_response_records_roundtrip(tmp_path):
+    path = os.path.join(str(tmp_path), "r.warc.gz")
+    assert wf.write_response_file(path, iter(RESP_ROWS)) == len(RESP_ROWS)
+    resp = [r for r in wf.read_wet_file(path) if r[1] == "response"]
+    assert len(resp) == len(RESP_ROWS)
+    for (uri, status, ctype, body), rec in zip(RESP_ROWS, resp):
+        assert rec[2] == uri
+        assert rec[4] == "application/http; msgtype=response"
+        st, ct, extracted = wf.parse_http_response(rec[6].encode("utf-8"))
+        assert (st, ct) == (status, ctype)
+        # Content-Length framing carries CRLF-bearing bodies exactly
+        assert extracted.decode("utf-8") == body
+
+
+def test_parse_http_response_rejects_garbage():
+    with pytest.raises(ValueError, match="header terminator"):
+        wf.parse_http_response(b"HTTP/1.1 200 OK\r\nno-blank-line")
+    with pytest.raises(ValueError, match="status line"):
+        wf.parse_http_response(b"not-http\r\n\r\nbody")
+
+
+def test_parse_http_response_without_content_length():
+    # body = everything after the header block when no Content-Length
+    st, ct, body = wf.parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nabc"
+    )
+    assert (st, ct, body) == (200, "text/plain", b"abc")
+
+
+def test_datasource_response_mode_and_wet_convert(spark, tmp_path):
+    wf.register_warc(spark)
+    out = os.path.join(str(tmp_path), "resp")
+    df = spark.createDataFrame(
+        RESP_ROWS, schema=list(wf.RESPONSE_WRITE_COLUMNS)
+    )
+    df.coalesce(1).write.format("warc_py").option(
+        "record_type", "response"
+    ).mode("append").option("path", out).save()
+    back = spark.read.format("warc_py").option("path", out).load()
+    ext = wf.wet_convert(back).collect()
+    got = {(r.target_uri, r.status, r.http_content_type, r.text,
+            r.text_bytes) for r in ext}
+    assert got == {
+        (u, s, c, b, len(b.encode("utf-8"))) for u, s, c, b in RESP_ROWS
+    }
+    # warcinfo rows are dropped by the conversion, not surfaced
+    assert len(ext) == len(RESP_ROWS)
+
+
+def test_response_writer_rejects_wet_columns(spark, tmp_path):
+    wf.register_warc(spark)
+    df = spark.createDataFrame(ROWS, schema=list(wf.WRITE_COLUMNS))
+    with pytest.raises(Exception, match="record_type=response"):
+        df.write.format("warc_py").option("record_type", "response").mode(
+            "append"
+        ).option("path", os.path.join(str(tmp_path), "bad")).save()
