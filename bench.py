@@ -75,10 +75,6 @@ SF1_REF_BESTS: dict[str, float] = {
     "triangle_count_doulion": 8.839,
     "variant_shred": 0.185,
 }
-# retained aliases: earlier tools imported the round-suffixed names
-SF1_REF_BESTS_R8 = SF1_REF_BESTS
-SF1_REF_BESTS_R7 = SF1_REF_BESTS
-
 # sf10 exclusions — NEVER silent (reported in the JSON): the exact
 # near-dup pair family rides the shared-shingle counting join, whose
 # work is sum_s C(df_s, 2). The synthetic corpus draws every doc from

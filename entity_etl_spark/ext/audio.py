@@ -53,20 +53,37 @@ def _encode_wav(samples: np.ndarray, rate: int = SAMPLE_RATE) -> bytes:
     return hdr + pcm
 
 
-def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse a 16-bit mono PCM WAV; returns (sample_rate, n_samples, data)."""
+def _iter_riff_chunks(blob: bytes):
+    """Walk a RIFF/WAVE container chunk by chunk (word-aligned sizes),
+    yielding ``(chunk_id, body)``. One parser for every WAV flavor the
+    module reads — PCM and ADPCM dispatch on the fmt tag, and external
+    files with fmt extensions or LIST/fact chunks before data parse
+    correctly instead of misreading fixed offsets."""
     if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
-    (fmt_size,) = struct.unpack_from("<I", blob, 16)
-    audio_fmt, channels, rate = struct.unpack_from("<HHI", blob, 20)
-    (bits,) = struct.unpack_from("<H", blob, 34)
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        yield cid, blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+
+
+def _decode_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 16-bit mono PCM WAV; returns (sample_rate, n_samples,
+    data). Chunk-walking, so fmt extensions / LIST / fact chunks ahead
+    of data are tolerated."""
+    fmt = data_body = None
+    for cid, body in _iter_riff_chunks(blob):
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data_body = body
+    if fmt is None or data_body is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
     if (audio_fmt, channels, bits) != (1, 1, 16):
         raise ValueError("decoder supports 16-bit mono PCM only")
-    data_off = 20 + fmt_size
-    if blob[data_off : data_off + 4] != b"data":
-        raise ValueError("missing data chunk")
-    (n_bytes,) = struct.unpack_from("<I", blob, data_off + 4)
-    data = np.frombuffer(blob, dtype="<i2", offset=data_off + 8, count=n_bytes // 2)
+    data = np.frombuffer(data_body, dtype="<i2", count=len(data_body) // 2)
     return rate, len(data), data
 
 
@@ -171,10 +188,10 @@ def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
     return predictor, index
 
 
-def _adpcm_encode_block(samples) -> bytes:
-    """One IMA ADPCM block: 4-byte header (first sample int16, step
-    index, reserved) + one 4-bit code per remaining sample, packed
-    low-nibble-first, zero-padded to a whole byte."""
+def _encode_nibbles(samples) -> tuple[int, list[int]]:
+    """Quantize ``samples`` to the IMA 4-bit code stream: returns the
+    exact first sample (block-header anchor) and one nibble per
+    remaining sample."""
     first = int(samples[0])
     predictor, index = first, 0
     nibbles = []
@@ -195,15 +212,32 @@ def _adpcm_encode_block(samples) -> bytes:
             n |= 1
         predictor, index = _ima_step(predictor, index, n)
         nibbles.append(n)
+    return first, nibbles
+
+
+def _pack_nibbles(nibbles: list[int]) -> bytes:
     if len(nibbles) % 2:
-        nibbles.append(0)
-    packed = bytes(
+        nibbles = nibbles + [0]
+    return bytes(
         nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
     )
-    return struct.pack("<hBB", first, 0, 0) + packed
+
+
+def _adpcm_encode_block(samples) -> bytes:
+    """One mono IMA ADPCM block: 4-byte header (first sample int16,
+    step index, reserved) + one 4-bit code per remaining sample, packed
+    low-nibble-first, zero-padded to a whole byte. An empty clip emits
+    a header-only block (first=0) so zero-length vectors don't kill an
+    Arrow batch."""
+    if len(samples) == 0:
+        return struct.pack("<hBB", 0, 0, 0)
+    first, nibbles = _encode_nibbles(samples)
+    return struct.pack("<hBB", first, 0, 0) + _pack_nibbles(nibbles)
 
 
 def _adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
+    if n_samples == 0:
+        return np.empty(0, dtype=np.int16)
     predictor, index = struct.unpack_from("<hB", block, 0)
     if not 0 <= index <= 88:
         raise ValueError("ADPCM step index out of range")
@@ -217,6 +251,67 @@ def _adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
         predictor, index = _ima_step(predictor, index, nibble)
         out[i] = predictor
     return out
+
+
+# Stereo blocks (the RIFF multimedia spec's layout for wFormatTag 0x11,
+# nChannels 2): one 4-byte state header PER CHANNEL (left then right),
+# then the code stream interleaved in 4-byte words — 8 left nibbles,
+# 8 right nibbles, repeating. Each channel runs its own independent
+# predictor/step state, so the mono quantizer applies per channel.
+
+def _decode_nibbles(predictor: int, index: int, nibbles, n: int) -> np.ndarray:
+    if not 0 <= index <= 88:
+        raise ValueError("ADPCM step index out of range")
+    out = np.empty(n, dtype=np.int16)
+    out[0] = predictor
+    for i, nib in zip(range(1, n), nibbles):
+        predictor, index = _ima_step(predictor, index, nib)
+        out[i] = predictor
+    return out
+
+
+def _adpcm_encode_block_stereo(left, right) -> bytes:
+    """One stereo IMA ADPCM block: per-channel headers + 4-byte-word
+    interleave. Both channels must be the same length (sample frames);
+    each channel's trailing word is zero-nibble padded."""
+    n = len(left)
+    if len(right) != n:
+        raise ValueError("stereo channels must have equal length")
+    if n == 0:
+        return struct.pack("<hBBhBB", 0, 0, 0, 0, 0, 0)
+    fl, nl = _encode_nibbles(left)
+    fr, nr = _encode_nibbles(right)
+    groups = (len(nl) + 7) // 8
+    nl += [0] * (groups * 8 - len(nl))
+    nr += [0] * (groups * 8 - len(nr))
+    out = [struct.pack("<hBB", fl, 0, 0), struct.pack("<hBB", fr, 0, 0)]
+    for g in range(groups):
+        out.append(_pack_nibbles(nl[g * 8 : g * 8 + 8]))
+        out.append(_pack_nibbles(nr[g * 8 : g * 8 + 8]))
+    return b"".join(out)
+
+
+def _adpcm_decode_block_stereo(
+    block: bytes, n_samples: int
+) -> tuple[np.ndarray, np.ndarray]:
+    if n_samples == 0:
+        e = np.empty(0, dtype=np.int16)
+        return e, e
+    pl, il = struct.unpack_from("<hB", block, 0)
+    pr, ir = struct.unpack_from("<hB", block, 4)
+    nl: list[int] = []
+    nr: list[int] = []
+    pos = 8
+    while len(nl) < n_samples - 1:
+        for target in (nl, nr):
+            for b in block[pos : pos + 4]:
+                target.append(b & 0x0F)
+                target.append(b >> 4)
+            pos += 4
+    return (
+        _decode_nibbles(pl, il, nl, n_samples),
+        _decode_nibbles(pr, ir, nr, n_samples),
+    )
 
 
 def _encode_adpcm_wav(samples: np.ndarray, rate: int = SAMPLE_RATE) -> bytes:
@@ -248,29 +343,67 @@ def _encode_adpcm_wav(samples: np.ndarray, rate: int = SAMPLE_RATE) -> bytes:
 
 def _decode_adpcm_wav(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Chunk-walking parse; returns (rate, n_samples, int16 samples)."""
-    rate, n_samples, block = _parse_adpcm_chunks(blob)
+    rate, channels, n_samples, block = _parse_adpcm_chunks(blob)
+    if channels != 1:
+        raise ValueError("mono decode path got a multi-channel clip")
     return rate, n_samples, _adpcm_decode_block(block, n_samples)
 
 
-def _parse_adpcm_chunks(blob: bytes) -> tuple[int, int, bytes]:
-    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE blob")
-    pos, rate, n_samples, block = 12, None, None, None
-    while pos + 8 <= len(blob):
-        cid, size = struct.unpack_from("<4sI", blob, pos)
-        body = blob[pos + 8 : pos + 8 + size]
+def _decode_adpcm_wav_stereo(
+    blob: bytes,
+) -> tuple[int, int, np.ndarray, np.ndarray]:
+    """Returns (rate, n_sample_frames, left, right)."""
+    rate, channels, n_samples, block = _parse_adpcm_chunks(blob)
+    if channels != 2:
+        raise ValueError("stereo decode path needs a 2-channel clip")
+    left, right = _adpcm_decode_block_stereo(block, n_samples)
+    return rate, n_samples, left, right
+
+
+def _parse_adpcm_chunks(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Shared RIFF walk for IMA ADPCM WAVs; returns
+    (rate, channels, n_sample_frames, data block)."""
+    rate = channels = n_samples = block = None
+    for cid, body in _iter_riff_chunks(blob):
         if cid == b"fmt ":
             tag, channels, rate = struct.unpack_from("<HHI", body, 0)
-            if (tag, channels) != (0x11, 1):
-                raise ValueError("decoder supports mono IMA ADPCM (0x11)")
+            if tag != 0x11 or channels not in (1, 2):
+                raise ValueError(
+                    "decoder supports mono/stereo IMA ADPCM (0x11)"
+                )
         elif cid == b"fact":
             (n_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             block = body
-        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if rate is None or n_samples is None or block is None:
         raise ValueError("missing fmt/fact/data chunk")
-    return rate, n_samples, block
+    return rate, channels, n_samples, block
+
+
+def _encode_adpcm_wav_stereo(
+    left: np.ndarray, right: np.ndarray, rate: int = SAMPLE_RATE
+) -> bytes:
+    """RIFF/WAVE, wFormatTag 0x11, nChannels 2, one stereo block per
+    clip (per-channel 4-byte headers + 4-byte-word interleave)."""
+    n = len(left)
+    block = _adpcm_encode_block_stereo(left, right)
+    block_align = len(block)
+    fmt = struct.pack(
+        "<4sI HHIIHH H H",
+        b"fmt ", 20,
+        0x11,            # IMA ADPCM
+        2,               # stereo
+        rate,
+        rate * block_align // max(n, 1),
+        block_align,
+        4,               # bits per (compressed) sample
+        2,               # cbSize
+        n,               # wSamplesPerBlock (frames)
+    )
+    fact = struct.pack("<4sII", b"fact", 4, n)
+    data = struct.pack("<4sI", b"data", len(block)) + block
+    body = b"WAVE" + fmt + fact + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
 def synthesize_adpcm(
@@ -324,7 +457,7 @@ def decode_adpcm_samples(
         for pdf in batches:
             rows = []
             for vid, blob in zip(pdf[id_col], pdf[wav_col]):
-                rate, n, block = _parse_adpcm_chunks(bytes(blob))
+                rate, _ch, n, block = _parse_adpcm_chunks(bytes(blob))
                 data = _adpcm_decode_block(block, n)
                 refix = _adpcm_decode_block(
                     _adpcm_encode_block(data.astype(np.int64)), n
@@ -349,3 +482,94 @@ def decode_adpcm_samples(
             )
 
     return df.mapInPandas(dec, ADPCM_SAMPLES_SCHEMA)
+
+
+def synthesize_adpcm_stereo(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, wav binary) — the embedding de-interleaved into L/R sample
+    frames (even 0-based positions left, odd right; a trailing odd
+    element is dropped), each channel quantized half-up to int16 and
+    compressed as one stereo IMA ADPCM block."""
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("wav", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for vec in pdf[vec_col]:
+                x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                s = np.clip(np.floor(x * 32767.0 + 0.5), -32768, 32767)
+                frames = len(s) // 2
+                s = s[: frames * 2].astype(np.int64)
+                wavs.append(_encode_adpcm_wav_stereo(s[0::2], s[1::2]))
+            yield pd.DataFrame({"vec_id": pdf[id_col], "wav": wavs})
+
+    return df.select(id_col, vec_col).mapInPandas(synth, schema)
+
+
+ADPCM_STEREO_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_block_bytes", T.IntegerType()),
+        T.StructField("first_left", T.IntegerType()),
+        T.StructField("first_right", T.IntegerType()),
+        T.StructField("refix_ok", T.BooleanType()),
+        T.StructField("left_samples", T.ArrayType(T.IntegerType())),
+        T.StructField("right_samples", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_adpcm_stereo_samples(
+    df: DataFrame, id_col: str = "vec_id", wav_col: str = "wav"
+) -> DataFrame:
+    """Stereo twin of :func:`decode_adpcm_samples`: per-channel decoded
+    samples + exactly-restatable container facts (both block-header
+    first samples are lossless; ``n_block_bytes`` is the on-disk data
+    chunk: 8 header bytes + 8 bytes per interleave group). ``refix_ok``
+    pins the per-channel fixed point through the stereo interleave."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[wav_col]):
+                rate, ch, n, block = _parse_adpcm_chunks(bytes(blob))
+                if ch != 2:
+                    raise ValueError("stereo decode path needs 2 channels")
+                left, right = _adpcm_decode_block_stereo(block, n)
+                rl, rr = _adpcm_decode_block_stereo(
+                    _adpcm_encode_block_stereo(
+                        left.astype(np.int64), right.astype(np.int64)
+                    ),
+                    n,
+                )
+                rows.append(
+                    (
+                        int(vid),
+                        rate,
+                        n,
+                        len(block),
+                        int(left[0]) if n else 0,
+                        int(right[0]) if n else 0,
+                        bool(
+                            np.array_equal(left, rl)
+                            and np.array_equal(right, rr)
+                        ),
+                        [int(v) for v in left],
+                        [int(v) for v in right],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "sample_rate", "n_frames", "n_block_bytes",
+                    "first_left", "first_right", "refix_ok",
+                    "left_samples", "right_samples",
+                ],
+            )
+
+    return df.mapInPandas(dec, ADPCM_STEREO_SCHEMA)

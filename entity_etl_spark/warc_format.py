@@ -13,10 +13,16 @@ This module implements that framing with stdlib ``gzip``/``zlib`` only
 and exposes it Spark-first, the :mod:`avro_format` /
 :mod:`rest_datasource` precedent:
 
-- ``spark.read.format("warc_py").load(path)`` — one ``InputPartition``
-  per ``.warc.gz`` file (executor-parallel across files, the same
-  parallelism contract CommonCrawl jobs use: ~64k WET files per
-  crawl). Fixed schema :data:`WET_SCHEMA`; every record is a row
+- ``spark.read.format("warc_py").load(path)`` — executor-parallel
+  across files (the parallelism contract CommonCrawl jobs use: ~64k
+  WET files per crawl) AND within a file: because each record is its
+  own gzip member, a large archive is split into byte ranges
+  (``split_size`` option, default 128 MiB — the
+  ``maxPartitionBytes`` role) and each range partition scans forward
+  to the first verified member boundary, then owns every member whose
+  FIRST byte falls inside its range (the classic split-ownership rule,
+  so one outsized ``.warc.gz`` no longer serializes onto one core).
+  Fixed schema :data:`WET_SCHEMA`; every record is a row
   (``warcinfo`` included) so the query layer filters on ``warc_type``.
 - ``df.write.format("warc_py").save(path)`` — input columns
   ``(target_uri, content_language, payload)``; one ``.warc.gz`` per
@@ -69,7 +75,13 @@ WET_SCHEMA = T.StructType(
         T.StructField("content_language", T.StringType()),
         T.StructField("content_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
+        # payload twice: the string leg is a lossless view ONLY for
+        # UTF-8 payloads (invalid sequences are U+FFFD-replaced, never
+        # raised — real crawls carry latin-1/gzip/image bytes);
+        # payload_bytes is the exact on-disk payload, so binary bodies
+        # round-trip and wet_convert can charset-sniff lazily.
         T.StructField("payload", T.StringType()),
+        T.StructField("payload_bytes", T.BinaryType()),
     ]
 )
 
@@ -85,6 +97,16 @@ def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
         + [f"Content-Length: {len(payload)}\r\n\r\n".encode("ascii")]
     )
     return head + payload + b"\r\n\r\n"
+
+
+def _payload_bytes(payload) -> bytes:
+    """Writer payloads may be str (encoded UTF-8) or raw bytes (binary
+    bodies round-trip exactly); None writes an empty payload."""
+    if payload is None:
+        return b""
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        return bytes(payload)
+    return payload.encode("utf-8")
 
 
 def record_id_for(target_uri: str) -> str:
@@ -130,7 +152,7 @@ def write_wet_file(
     with open(path, "wb") as fh:
         fh.write(_gzip_member(_warcinfo_bytes(name)))
         for target_uri, language, payload in rows:
-            body = ("" if payload is None else payload).encode("utf-8")
+            body = _payload_bytes(payload)
             headers = [
                 ("WARC-Type", "conversion"),
                 ("WARC-Record-ID", record_id_for(target_uri)),
@@ -184,7 +206,8 @@ def _parse_records(stream: io.BufferedIOBase) -> Iterator[tuple]:
             headers.get("warc-identified-content-language"),
             headers.get("content-type"),
             length,
-            payload.decode("utf-8"),
+            payload.decode("utf-8", errors="replace"),
+            payload,
         )
 
 
@@ -194,6 +217,71 @@ def read_wet_file(path: str) -> Iterator[tuple]:
     (CommonCrawl) and single-member files both parse."""
     with gzip.open(path, "rb") as gz:
         yield from _parse_records(io.BufferedReader(gz))
+
+
+# ------------------------------------------------ member-boundary splits
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+DEFAULT_SPLIT_SIZE = 128 << 20  # the maxPartitionBytes role
+
+
+def _read_member(fh, pos: int, chunk: int = 1 << 20) -> tuple[bytes, int]:
+    """Decompress exactly one gzip member starting at byte ``pos``.
+    Returns ``(decompressed, next_member_offset)``; streams in
+    ``chunk``-sized reads so memory is bounded by the decompressed
+    member, never the file."""
+    fh.seek(pos)
+    d = zlib.decompressobj(31)
+    out = []
+    fed = 0
+    while not d.eof:
+        data = fh.read(chunk)
+        if not data:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        out.append(d.decompress(data))
+        fed += len(data)
+    return b"".join(out), pos + fed - len(d.unused_data)
+
+
+def _find_member_start(fh, start: int, end: int) -> int | None:
+    """First byte offset in ``[start, end)`` where a gzip member whose
+    payload begins with ``WARC/`` starts, or None. The gzip magic can
+    occur inside compressed data, so every candidate is VERIFIED by
+    decompressing its head — a false positive either raises
+    ``zlib.error`` or yields non-WARC bytes and the scan continues."""
+    fh.seek(start)
+    window = fh.read(max(0, end - start) + len(_GZ_MAGIC) - 1)
+    at = 0
+    while True:
+        hit = window.find(_GZ_MAGIC, at)
+        if hit < 0 or start + hit >= end:
+            return None
+        cand = start + hit
+        fh.seek(cand)
+        probe = fh.read(1 << 16)
+        try:
+            head = zlib.decompressobj(31).decompress(probe, 16)
+        except zlib.error:
+            head = b""
+        if head.startswith(b"WARC/"):
+            return cand
+        at = hit + 1
+
+
+def read_wet_range(path: str, start: int, end: int) -> Iterator[tuple]:
+    """Read the records of every gzip member whose first byte lies in
+    ``[start, end)`` — the split-ownership rule: a member straddling
+    ``end`` is fully read by the partition that owns its start, and a
+    non-zero ``start`` first scans forward to a verified member
+    boundary (so arbitrary byte splits compose to exactly-once
+    coverage). A single-member (repacked) archive yields rows only for
+    the partition containing offset 0."""
+    with open(path, "rb") as fh:
+        pos = 0 if start == 0 else _find_member_start(fh, start, end)
+        while pos is not None and pos < end:
+            data, nxt = _read_member(fh, pos)
+            yield from _parse_records(io.BufferedReader(io.BytesIO(data)))
+            pos = nxt
 
 
 def count_gzip_members(path: str) -> int:
@@ -222,8 +310,10 @@ def _warc_files(path: str) -> list[str]:
 
 
 class WarcFilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    def __init__(self, file_path: str, start: int, end: int):
         self.file_path = file_path
+        self.start = start
+        self.end = end
 
 
 class WarcPyReader(DataSourceReader):
@@ -234,10 +324,25 @@ class WarcPyReader(DataSourceReader):
         files = _warc_files(self.options["path"])
         if not files:
             raise ValueError(f"no .warc.gz files under {self.options['path']}")
-        return [WarcFilePartition(f) for f in files]
+        split = int(self.options.get("split_size", DEFAULT_SPLIT_SIZE))
+        parts: list[WarcFilePartition] = []
+        for f in files:
+            size = os.path.getsize(f)
+            if split <= 0 or size <= split:
+                parts.append(WarcFilePartition(f, 0, size))
+            else:
+                # byte-range splits; each partition resolves its own
+                # member boundary executor-side (no driver decompress)
+                for off in range(0, size, split):
+                    parts.append(
+                        WarcFilePartition(f, off, min(off + split, size))
+                    )
+        return parts
 
     def read(self, partition: WarcFilePartition) -> Iterator[tuple]:
-        yield from read_wet_file(partition.file_path)
+        yield from read_wet_range(
+            partition.file_path, partition.start, partition.end
+        )
 
 
 class WarcCommit(WriterCommitMessage):
@@ -349,7 +454,7 @@ def write_response_file(
     with open(path, "wb") as fh:
         fh.write(_gzip_member(_warcinfo_bytes(name)))
         for target_uri, status, content_type, body in rows:
-            payload_body = ("" if body is None else body).encode("utf-8")
+            payload_body = _payload_bytes(body)
             http = (
                 f"HTTP/1.1 {status} "
                 f"{'OK' if status == 200 else 'X'}\r\n"
@@ -377,11 +482,43 @@ def write_response_file(
     return n
 
 
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked-coding decode: ``size-hex CRLF data CRLF``
+    repeated, terminated by a zero-size chunk (trailers ignored)."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunk-size line")
+        size_field = body[pos:nl].split(b";", 1)[0].strip()
+        size = int(size_field, 16)
+        if size == 0:
+            return b"".join(out)
+        data = body[nl + 2 : nl + 2 + size]
+        if len(data) != size:
+            raise ValueError("truncated chunk data")
+        out.append(data)
+        pos = nl + 2 + size + 2  # skip the chunk-terminating CRLF
+
+
+def charset_of(content_type: str) -> str:
+    """The ``charset=`` parameter of a Content-Type value, lowercased,
+    default ``utf-8`` (the HTML5 default; real crawl extraction would
+    add meta-tag sniffing behind this)."""
+    for part in (content_type or "").split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip('"').lower() or "utf-8"
+    return "utf-8"
+
+
 def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
     """RFC 9112 response parse: (status, content-type, body). The body
     is taken from the HTTP Content-Length when present (trailing CRLFs
     from the WARC framing never leak into it), else everything after
-    the header block."""
+    the header block; ``Transfer-Encoding: chunked`` bodies are
+    de-chunked (crawlers store the wire form verbatim)."""
     head_end = payload.find(b"\r\n\r\n")
     if head_end < 0:
         raise ValueError("no HTTP header terminator in response payload")
@@ -395,7 +532,9 @@ def parse_http_response(payload: bytes) -> tuple[int, str, bytes]:
         k, _, v = ln.decode("utf-8", "replace").partition(":")
         headers[k.strip().lower()] = v.strip()
     body = payload[head_end + 4 :]
-    if "content-length" in headers:
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    elif "content-length" in headers:
         body = body[: int(headers["content-length"])]
     return status, headers.get("content-type", ""), body
 
@@ -406,7 +545,10 @@ def wet_convert(df, spark=None):
     ``(record_id, target_uri, status, http_content_type, text,
     text_bytes)``. Arrow ``mapInPandas``; HTTP payloads stay inside the
     map seam (the multimodal blob discipline) — only extracted text and
-    scalars come out."""
+    scalars come out. Works from ``payload_bytes`` (the exact on-disk
+    payload), decoding the extracted body by the HTTP Content-Type
+    charset with U+FFFD replacement — non-UTF-8 crawl content converts
+    instead of raising."""
     import pandas as pd
     from pyspark.sql import types as ST
 
@@ -428,14 +570,15 @@ def wet_convert(df, spark=None):
                 pdf["record_id"],
                 pdf["target_uri"],
                 pdf["warc_type"],
-                pdf["payload"],
+                pdf["payload_bytes"],
             ):
                 if wtype != "response":
                     continue
-                status, ctype, body = parse_http_response(
-                    payload.encode("utf-8")
-                )
-                text = body.decode("utf-8")
+                status, ctype, body = parse_http_response(bytes(payload))
+                try:
+                    text = body.decode(charset_of(ctype), errors="replace")
+                except LookupError:  # unknown charset label in the wild
+                    text = body.decode("utf-8", errors="replace")
                 rows.append(
                     (rid, uri, status, ctype, text, len(body))
                 )
@@ -448,5 +591,5 @@ def wet_convert(df, spark=None):
             )
 
     return df.select(
-        "record_id", "target_uri", "warc_type", "payload"
+        "record_id", "target_uri", "warc_type", "payload_bytes"
     ).mapInPandas(conv, schema)

@@ -39,11 +39,12 @@ def test_roundtrip_records(tmp_path):
     conv = [r for r in recs if r[1] == "conversion"]
     assert len(conv) == len(ROWS)
     for (uri, lang, payload), rec in zip(ROWS, conv):
-        rid, wtype, target, language, ctype, length, body = rec
+        rid, wtype, target, language, ctype, length, body, raw = rec
         assert target == uri
         assert language == lang
         assert ctype == "text/plain"
         assert body == payload
+        assert raw == payload.encode("utf-8")
         assert length == len(payload.encode("utf-8"))
         assert rid == wf.record_id_for(uri)  # deterministic uuid5
 
@@ -184,6 +185,120 @@ def test_datasource_response_mode_and_wet_convert(spark, tmp_path):
     }
     # warcinfo rows are dropped by the conversion, not surfaced
     assert len(ext) == len(RESP_ROWS)
+
+
+def test_non_utf8_payload_roundtrips_via_bytes(tmp_path):
+    # real crawls carry latin-1 / binary bodies: the bytes column is
+    # exact, the string leg is U+FFFD-replaced instead of raising
+    latin = "caf\xe9".encode("latin-1")
+    path = os.path.join(str(tmp_path), "b.warc.gz")
+    wf.write_wet_file(path, iter([("https://x.example/b", None, latin)]))
+    rec = [r for r in wf.read_wet_file(path) if r[1] == "conversion"][0]
+    assert rec[7] == latin  # exact bytes
+    assert "�" in rec[6]  # replaced, not UnicodeDecodeError
+    assert rec[5] == len(latin)
+
+
+def test_split_range_reading_covers_exactly_once(tmp_path):
+    # arbitrary byte splits compose to exactly-once member coverage
+    rows = [
+        (f"https://web.example.org/s/{i}", "en", f"payload {i} " + "x" * 50)
+        for i in range(40)
+    ]
+    path = os.path.join(str(tmp_path), "s.warc.gz")
+    wf.write_wet_file(path, iter(rows))
+    size = os.path.getsize(path)
+    whole = list(wf.read_wet_file(path))
+    for nsplits in (1, 2, 3, 7, size):  # incl. degenerate 1-byte ranges
+        step = max(1, size // nsplits)
+        got = []
+        for off in range(0, size, step):
+            got.extend(
+                wf.read_wet_range(path, off, min(off + step, size))
+            )
+        assert sorted(got) == sorted(whole), f"nsplits={nsplits}"
+
+
+def test_split_range_single_member_file_owned_by_partition_zero(tmp_path):
+    path = _write(tmp_path)
+    raw = gzip.decompress(open(path, "rb").read())
+    single = os.path.join(str(tmp_path), "single.warc.gz")
+    with gzip.open(single, "wb") as fh:
+        fh.write(raw)
+    size = os.path.getsize(single)
+    mid = size // 2
+    p0 = list(wf.read_wet_range(single, 0, mid))
+    p1 = list(wf.read_wet_range(single, mid, size))
+    assert p1 == []  # no member starts in [mid, size)
+    assert p0 == list(wf.read_wet_file(single))
+
+
+def test_datasource_split_size_partitions(spark, tmp_path):
+    wf.register_warc(spark)
+    out = os.path.join(str(tmp_path), "wet")
+    rows = [
+        (f"https://web.example.org/d/{i}", "en", f"doc {i} " + "y" * 80)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, schema=list(wf.WRITE_COLUMNS))
+    df.coalesce(1).write.format("warc_py").mode("append").option(
+        "path", out
+    ).save()
+    files = glob.glob(os.path.join(out, "*.warc.gz"))
+    assert len(files) == 1
+    back = spark.read.format("warc_py").option("path", out).option(
+        "split_size", "512"
+    ).load()
+    # ONE outsized archive fans out across >1 input partition
+    assert back.rdd.getNumPartitions() > 1
+    conv = back.filter("warc_type = 'conversion'").collect()
+    assert {(r.target_uri, r.payload) for r in conv} == {
+        (u, p) for u, _, p in rows
+    }
+
+
+def test_parse_http_response_chunked():
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\nhello\r\n8;ext=1\r\n, world!\r\n0\r\n\r\n"
+    )
+    st, ct, body = wf.parse_http_response(msg)
+    assert (st, body) == (200, b"hello, world!")
+
+
+def test_charset_of():
+    assert wf.charset_of("text/html; charset=ISO-8859-1") == "iso-8859-1"
+    assert wf.charset_of('text/html; charset="utf-8"') == "utf-8"
+    assert wf.charset_of("text/plain") == "utf-8"
+    assert wf.charset_of(None) == "utf-8"
+
+
+def test_wet_convert_charset_sniffing(spark, tmp_path):
+    # a latin-1 body declared by its Content-Type decodes correctly
+    wf.register_warc(spark)
+    out = os.path.join(str(tmp_path), "resp")
+    body = "d\xe9j\xe0 vu"
+    path = os.path.join(out, "part-0.warc.gz")
+    os.makedirs(out)
+    wf.write_response_file(
+        path,
+        iter(
+            [
+                (
+                    "https://x.example/l1",
+                    200,
+                    "text/html; charset=iso-8859-1",
+                    body.encode("latin-1"),
+                )
+            ]
+        ),
+    )
+    back = spark.read.format("warc_py").option("path", out).load()
+    ext = wf.wet_convert(back).collect()
+    assert len(ext) == 1
+    assert ext[0].text == body
+    assert ext[0].text_bytes == len(body.encode("latin-1"))
 
 
 def test_response_writer_rejects_wet_columns(spark, tmp_path):
