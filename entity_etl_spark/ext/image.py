@@ -761,11 +761,15 @@ def _extend(receive: int, s: int) -> int:
 def _encode_block(
     block: np.ndarray, prev_dc: int, wr: _BitWriter,
     dc_codes: dict[int, tuple[int, int]], ac_codes: dict[int, tuple[int, int]],
+    qt: np.ndarray | None = None,
 ) -> int:
-    """Forward-DCT one level-shifted 8x8 block, quantize (all-ones
-    table: plain half-away rounding), zigzag, entropy-code. Returns the
-    block's DC for the next block's prediction."""
+    """Forward-DCT one level-shifted 8x8 block, quantize by ``qt``
+    (natural-order 8x8; None = all-ones, where quantization reduces to
+    plain half-away rounding), zigzag, entropy-code. Returns the
+    block's quantized DC for the next block's prediction."""
     f = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
+    if qt is not None:
+        f = f / qt
     q = np.floor(np.abs(f) + 0.5) * np.sign(f)  # round half away from 0
     zz = [int(q[r, c]) for r, c in _ZIGZAG]
     diff = zz[0] - prev_dc
@@ -864,12 +868,52 @@ def _read_huff_symbol(
     raise ValueError("invalid Huffman code in scan")
 
 
-def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray, int]:
-    """Parse a baseline single-component JFIF stream: marker walk, DQT /
-    SOF0 / DHT (tables rebuilt FROM the stream) / SOS, entropy-decode
-    every MCU (Huffman, EXTEND, DC prediction), dequantize, inverse DCT,
-    level-shift back, half-up round, clamp. Returns
-    (width, height, HxW uint8, n_blocks)."""
+def _decode_scan_block(rd: _BitReader, dct, act, prev_dc: int):
+    """Entropy-decode one block's 64 zigzag coefficients (Huffman +
+    EXTEND + DC prediction); returns (zz array, new prev_dc)."""
+    zz = np.zeros(64, dtype=np.float64)
+    s = _read_huff_symbol(rd, dct)
+    prev_dc += _extend(rd.bits(s), s) if s else 0
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _read_huff_symbol(rd, act)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("invalid zero-size AC symbol")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i > 63:
+            raise ValueError("AC run past end of block")
+        zz[i] = _extend(rd.bits(size), size)
+        i += 1
+    return zz, prev_dc
+
+
+def _idct_block(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    coeffs = np.zeros((8, 8), dtype=np.float64)
+    for idx, (r, c) in enumerate(_ZIGZAG):
+        coeffs[r, c] = zz[idx] * q[idx]
+    return _DCT_M.T @ coeffs @ _DCT_M + 128.0
+
+
+def _decode_jpeg_planes(
+    blob: bytes,
+) -> tuple[int, int, list[np.ndarray], int]:
+    """Parse a baseline JFIF stream with 1 or 3 components and
+    arbitrary sampling factors (1x1 grayscale and 4:2:0 YCbCr both
+    land here): marker walk, DQT (8-bit, zigzag order) / SOF0 / DHT
+    (tables rebuilt FROM the stream) / SOS, then the interleaved MCU
+    scan — per-component DC prediction, each MCU carrying h*v blocks
+    of every component in SOF order (T.81 A.2.3), dequantize, inverse
+    DCT, level-shift back, half-up round, clamp. Returns (width,
+    height, [per-component planes at that component's OWN resolution —
+    chroma stays subsampled, upsampling is a display concern],
+    n_blocks)."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG blob (missing SOI)")
     pos = 2
@@ -877,7 +921,8 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray, int]:
     dc_tables: dict[int, dict[tuple[int, int], int]] = {}
     ac_tables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}  # cid -> (dc id, ac id)
     while pos < len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -898,11 +943,13 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray, int]:
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
             _prec, height, width, ncomp = struct.unpack_from(">BHHB", payload)
-            if ncomp != 1:
-                raise ValueError("decoder supports 1-component gray only")
-            _cid, sampling, comp_q = payload[6], payload[7], payload[8]
-            if sampling != 0x11:
-                raise ValueError("subsampling unsupported")
+            if ncomp not in (1, 3):
+                raise ValueError("decoder supports 1- or 3-component only")
+            for i in range(ncomp):
+                cid = payload[6 + 3 * i]
+                samp = payload[7 + 3 * i]
+                tq = payload[8 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential DCT (SOF0) supported")
         elif marker == 0xC4:  # DHT
@@ -916,49 +963,202 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray, int]:
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + n
         elif marker == 0xDA:  # SOS: entropy data follows the payload
-            comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0x0F
+            ns = payload[0]
+            for i in range(ns):
+                cid = payload[1 + 2 * i]
+                t = payload[2 + 2 * i]
+                scan_tables[cid] = (t >> 4, t & 0x0F)
             pos += 2 + length
             break
         pos += 2 + length
-    if width is None or not qtables or not dc_tables:
+    if width is None or not qtables or not dc_tables or not scan_tables:
         raise ValueError("missing SOF0/DQT/DHT before SOS")
-    q = qtables[comp_q]
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
-    bx, by = (width + 7) // 8, (height + 7) // 8
-    img = np.zeros((by * 8, bx * 8), dtype=np.float64)
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mx = (width + 8 * hmax - 1) // (8 * hmax)
+    my = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((my * v * 8, mx * h * 8), dtype=np.float64)
+        for _, h, v, _ in comps
+    ]
+    prev_dc = [0] * len(comps)
     rd = _BitReader(blob, pos)
-    prev_dc = 0
     n_blocks = 0
-    for byi in range(by):
-        for bxi in range(bx):
-            zz = np.zeros(64, dtype=np.float64)
-            s = _read_huff_symbol(rd, dct)
-            prev_dc += _extend(rd.bits(s), s) if s else 0
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _read_huff_symbol(rd, act)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid zero-size AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past end of block")
-                zz[i] = _extend(rd.bits(size), size)
-                i += 1
-            coeffs = np.zeros((8, 8), dtype=np.float64)
-            for idx, (r, c) in enumerate(_ZIGZAG):
-                coeffs[r, c] = zz[idx] * q[idx]
-            block = _DCT_M.T @ coeffs @ _DCT_M + 128.0
-            img[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = block
-            n_blocks += 1
-    out = np.clip(np.floor(img + 0.5), 0, 255).astype(np.uint8)
-    return width, height, out[:height, :width], n_blocks
+    for myi in range(my):
+        for mxi in range(mx):
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                dct = dc_tables[scan_tables[cid][0]]
+                act = ac_tables[scan_tables[cid][1]]
+                for dv in range(v):
+                    for dh in range(h):
+                        zz, prev_dc[ci] = _decode_scan_block(
+                            rd, dct, act, prev_dc[ci]
+                        )
+                        block = _idct_block(zz, qtables[tq])
+                        r0 = (myi * v + dv) * 8
+                        c0 = (mxi * h + dh) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+                        n_blocks += 1
+    out = []
+    for (cid, h, v, tq), plane in zip(comps, planes):
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        out.append(
+            np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)[
+                :ch, :cw
+            ]
+        )
+    return width, height, out, n_blocks
+
+
+def _decode_jpeg(blob: bytes) -> tuple[int, int, np.ndarray, int]:
+    """Single-component convenience wrapper over
+    :func:`_decode_jpeg_planes`; returns (width, height, HxW uint8,
+    n_blocks)."""
+    width, height, planes, n_blocks = _decode_jpeg_planes(blob)
+    if len(planes) != 1:
+        raise ValueError("gray decode path got a multi-component image")
+    return width, height, planes[0], n_blocks
+
+
+# ---- color 4:2:0 with real quantization (round 10, VERDICT r9 item 5)
+#
+# The mono fixture uses the all-ones table (finest legal quantization)
+# so its error budget is pure DCT rounding. Real web JPEGs quantize
+# hard; this section adds the ITU-T T.81 Annex K.1/K.2 example tables
+# (the de-facto "quality 50" tables every camera/libjpeg derivative
+# scales) and 4:2:0 YCbCr — luma sampled 2x2, chroma 1x1 — the single
+# most common layout in a web corpus. The error claim changes shape:
+# with quantizer steps q_i, each dequantized coefficient is within
+# q_i/2 of the true one, and the DCT is orthonormal, so per-block
+# pixel-domain L2 error <= sqrt(sum_i (q_i/2)^2), plus sqrt(64*0.5^2)
+# for the final half-up pixel rounding — a PROVABLE per-block SSE
+# bound, a module constant the oracle can restate.
+
+_QT_LUMA = np.array([  # T.81 Table K.1, natural (row-major) order
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+
+_QT_CHROMA = np.array([  # T.81 Table K.2, natural order
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+# T.81 Annex K.3.3 typical CHROMINANCE Huffman specs. As with the
+# luminance tables above, only the encoder consults these — the DHT
+# segments carry them in-stream and the decoder rebuilds from bytes.
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _block_sse_bound(qt: np.ndarray) -> float:
+    """Provable per-block pixel-domain SSE bound for quantizer ``qt``:
+    (||q/2||_2 via Parseval + 0.5-per-pixel rounding L2)^2. Clamping to
+    [0,255] only shrinks error (the true pixel is in range)."""
+    return float(
+        (np.sqrt(np.sum((qt / 2.0) ** 2)) + np.sqrt(64 * 0.25)) ** 2
+    )
+
+
+JPEG420_Y_SSE_BOUND = int(np.ceil(4 * _block_sse_bound(_QT_LUMA)))
+JPEG420_C_SSE_BOUND = int(np.ceil(_block_sse_bound(_QT_CHROMA)))
+
+
+def _zigzag_bytes(qt: np.ndarray) -> bytes:
+    """Natural-order 8x8 table -> the zigzag byte order DQT ships."""
+    return bytes(int(qt[r, c]) for r, c in _ZIGZAG)
+
+
+def _encode_jpeg_420(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+) -> bytes:
+    """Baseline JFIF, 3 components, 4:2:0 (luma 2x2, chroma 1x1), the
+    Annex K.1/K.2 quant tables and K.3.3 luma+chroma Huffman tables.
+    ``y`` is 16x16 (one MCU = four luma blocks in 2x2 order), ``cb`` /
+    ``cr`` are the 8x8 subsampled chroma planes."""
+    if y.shape != (16, 16) or cb.shape != (8, 8) or cr.shape != (8, 8):
+        raise ValueError("fixture shape is y 16x16, cb/cr 8x8")
+    dc_l = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_l = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+    ac_c = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+    wr = _BitWriter()
+    prev = 0
+    for dv in range(2):  # the one MCU: Y blocks in 2x2 raster order
+        for dh in range(2):
+            blk = y[dv * 8 : dv * 8 + 8, dh * 8 : dh * 8 + 8]
+            prev = _encode_block(blk, prev, wr, dc_l, ac_l, _QT_LUMA)
+    prev = _encode_block(cb, 0, wr, dc_c, ac_c, _QT_CHROMA)
+    prev = _encode_block(cr, 0, wr, dc_c, ac_c, _QT_CHROMA)
+    scan = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(
+        0xDB,
+        bytes([0x00]) + _zigzag_bytes(_QT_LUMA)
+        + bytes([0x01]) + _zigzag_bytes(_QT_CHROMA),
+    )
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0])   # Y: 2x2 sampling, quant table 0
+        + bytes([2, 0x11, 1])   # Cb: 1x1, quant table 1
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C)
+        + bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C),
+    )
+    sos = seg(
+        0xDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    jfif = seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    return (
+        b"\xff\xd8" + jfif + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
 
 
 def synthesize_jpeg(
@@ -1019,3 +1219,78 @@ def decode_jpeg_pixels(
             )
 
     return df.mapInPandas(feats, JPEG_DECODE_SCHEMA)
+
+
+def synthesize_jpeg_420(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, jpeg binary) — a color 4:2:0 fixture from the embedding's
+    half-up byte gray g (8x8): Y is the 16x16 quadrant tiling
+    [g, rev(g); rev(g), g], Cb the byte complement 255-g, Cr the
+    element reversal rev(g) — every plane exactly derivable
+    relationally from the source floats."""
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("jpeg", T.BinaryType())]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for vec in pdf[vec_col]:
+                x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                g = np.clip(
+                    np.floor((x + 1.0) / 2.0 * 255.0 + 0.5), 0, 255
+                ).astype(np.uint8)
+                gb = g.reshape(8, 8)
+                rb = g[::-1].reshape(8, 8)
+                y = np.vstack([np.hstack([gb, rb]), np.hstack([rb, gb])])
+                blobs.append(_encode_jpeg_420(y, 255 - gb, rb))
+            yield pd.DataFrame({"vec_id": pdf[id_col], "jpeg": blobs})
+
+    return df.select(id_col, vec_col).mapInPandas(synth, schema)
+
+
+JPEG420_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("y_pixels", T.ArrayType(T.IntegerType())),
+        T.StructField("cb_pixels", T.ArrayType(T.IntegerType())),
+        T.StructField("cr_pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def decode_jpeg_420_planes(
+    df: DataFrame, id_col: str = "vec_id", jpeg_col: str = "jpeg"
+) -> DataFrame:
+    """Real 3-component 4:2:0 decode → per-plane row-major pixels at
+    each plane's own resolution (chroma stays subsampled). The planes
+    go back to the caller so the per-plane SSE gates (the provable
+    quantizer bounds ``JPEG420_Y_SSE_BOUND`` / ``JPEG420_C_SSE_BOUND``)
+    run JVM-side against the relationally-derived sources."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[jpeg_col]):
+                w, h, planes, n_blocks = _decode_jpeg_planes(bytes(blob))
+                if len(planes) != 3:
+                    raise ValueError("expected a 3-component image")
+                rows.append(
+                    (int(vid), w, h, n_blocks)
+                    + tuple(
+                        [int(v) for v in p.reshape(-1)] for p in planes
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "vec_id", "width", "height", "n_blocks",
+                    "y_pixels", "cb_pixels", "cr_pixels",
+                ],
+            )
+
+    return df.mapInPandas(feats, JPEG420_DECODE_SCHEMA)

@@ -658,6 +658,126 @@ def q_image_jpeg_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "image_jpeg_420_color",
+    """
+    -- color 4:2:0 JPEG with REAL quantization (the T.81 Annex K.1/K.2
+    -- example tables — the de-facto quality-50 tables web JPEGs scale)
+    -- and separate luma/chroma Huffman tables, all carried in-stream.
+    -- One MCU: four 8x8 luma blocks (2x2 sampling) + subsampled Cb/Cr.
+    -- Decidable cross-engine claims: dims, total block count, the
+    -- SOURCE luma mean through the exact byte quantization (the Y
+    -- tiling [g,rev;rev,g] averages to mean(g)), and per-plane SSE
+    -- bounds PROVABLE from the quantizer (per coeff |err| <= q_i/2,
+    -- DCT orthonormal => per-block SSE <= (||q/2||_2 + 4)^2; module
+    -- constants JPEG420_Y_SSE_BOUND / JPEG420_C_SSE_BOUND; measured
+    -- ~0.3x the bound on every fixture decade).
+    SELECT vec_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(6 AS INT) AS n_blocks,
+           round(list_sum(list_transform(embedding,
+             x -> greatest(least(floor((CAST(x AS DOUBLE) + 1) / 2 * 255
+                                       + 0.5), 255), 0)))
+                 / len(embedding), 6) AS src_mean_pixel,
+           true AS y_err_bounded,
+           true AS cb_err_bounded,
+           true AS cr_err_bounded
+    FROM embeddings
+    """,
+    doc="E5 color upgrade of image_jpeg_features (VERDICT r9 item 5): "
+    "embeddings -> byte gray g -> Y=[g,rev;rev,g] 16x16, Cb=255-g, "
+    "Cr=rev(g) 8x8 -> 3-component 4:2:0 baseline JFIF (Annex K quant "
+    "+ luma/chroma Huffman tables; ext/image.py _encode_jpeg_420) -> "
+    "the generalized multi-component MCU decoder "
+    "(_decode_jpeg_planes: SOF sampling factors, per-component DC "
+    "prediction, interleaved 2x2+1+1 block order, per-table dequant) "
+    "-> per-plane pixels. SSE gates run JVM-side vs the relationally "
+    "derived planes. Two Arrow passes; blobs never shuffle.",
+    tags=("ext",),
+)
+def q_image_jpeg_420_color(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ext.image import (
+        JPEG420_C_SSE_BOUND,
+        JPEG420_Y_SSE_BOUND,
+        decode_jpeg_420_planes,
+        synthesize_jpeg_420,
+    )
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    dec = decode_jpeg_420_planes(synthesize_jpeg_420(emb))
+    g = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.least(
+                F.floor((x.cast("double") + 1.0) / 2.0 * 255.0 + 0.5),
+                F.lit(255.0),
+            ),
+            F.lit(0.0),
+        ).cast("int"),
+    )
+
+    def rows_of(left, right):
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda r: F.concat(
+                    F.slice(left, r * 8 + 1, 8),
+                    F.slice(right, r * 8 + 1, 8),
+                ),
+            )
+        )
+
+    gc = F.col("__g")
+    rev = F.reverse(F.col("__g"))
+    src = (
+        read_sf_table(spark, sf, "embeddings")
+        .select("vec_id", g.alias("__g"))
+        .select(
+            "vec_id",
+            F.concat(rows_of(gc, rev), rows_of(rev, gc)).alias("__expy"),
+            F.transform(gc, lambda x: F.lit(255) - x).alias("__expcb"),
+            rev.alias("__expcr"),
+            (
+                F.aggregate(
+                    gc,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x.cast("bigint"),
+                )
+                / F.size(gc)
+            ).alias("__src_mean"),
+        )
+    )
+
+    def sse(dec_col, exp_col):
+        return F.aggregate(
+            F.zip_with(
+                F.col(dec_col),
+                F.col(exp_col),
+                lambda a, b: (a - b).cast("bigint") * (a - b).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    return dec.join(src, "vec_id").select(
+        "vec_id",
+        "width",
+        "height",
+        "n_blocks",
+        F.round(F.col("__src_mean"), 6).alias("src_mean_pixel"),
+        (sse("y_pixels", "__expy") <= F.lit(JPEG420_Y_SSE_BOUND)).alias(
+            "y_err_bounded"
+        ),
+        (sse("cb_pixels", "__expcb") <= F.lit(JPEG420_C_SSE_BOUND)).alias(
+            "cb_err_bounded"
+        ),
+        (sse("cr_pixels", "__expcr") <= F.lit(JPEG420_C_SSE_BOUND)).alias(
+            "cr_err_bounded"
+        ),
+    )
+
+
+@register(
     "bloom_membership_prefilter",
     """
     -- membership truths the sketch must satisfy, restated relationally:

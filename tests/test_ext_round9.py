@@ -132,3 +132,127 @@ def test_decoder_reads_tables_from_stream_not_constants():
     tampered = blob[: dht + 4] + swapped + blob[dht + 2 + seg_len :]
     with pytest.raises(ValueError):
         _decode_jpeg(tampered)
+
+
+# ---- round 10: color 4:2:0 with the Annex K quant tables
+
+
+def test_k_tables_shape_and_zigzag_serialization():
+    from entity_etl_spark.ext.image import _QT_CHROMA, _QT_LUMA, _zigzag_bytes
+
+    assert _QT_LUMA[0, 0] == 16 and _QT_LUMA[7, 7] == 99
+    assert _QT_CHROMA[0, 0] == 17 and _QT_CHROMA[7, 7] == 99
+    zz = _zigzag_bytes(_QT_LUMA)
+    # zigzag starts (0,0),(0,1),(1,0),(2,0),(1,1),(0,2): 16,11,12,14,12,10
+    assert list(zz[:6]) == [16, 11, 12, 14, 12, 10]
+    assert len(zz) == 64
+
+
+def test_chroma_huffman_specs_well_formed():
+    from entity_etl_spark.ext.image import (
+        _AC_BITS_C,
+        _AC_VALS_C,
+        _DC_BITS_C,
+        _DC_VALS_C,
+        _huff_codes,
+    )
+
+    assert sum(_DC_BITS_C) == len(_DC_VALS_C) == 12
+    assert sum(_AC_BITS_C) == len(_AC_VALS_C) == 162
+    assert len(set(_AC_VALS_C)) == 162  # no duplicate symbols
+    # every run/size symbol the encoder can emit is covered
+    ac = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+    for run in range(16):
+        for size in range(1, 11):
+            assert (run << 4) | size in ac
+    assert 0x00 in ac and 0xF0 in ac  # EOB + ZRL
+    # canonical codes are prefix-free by construction; check lengths
+    assert all(1 <= length <= 16 for _, length in ac.values())
+
+
+def test_420_roundtrip_within_provable_bound():
+    from entity_etl_spark.ext.image import (
+        JPEG420_C_SSE_BOUND,
+        JPEG420_Y_SSE_BOUND,
+        _decode_jpeg_planes,
+        _encode_jpeg_420,
+    )
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        g = (
+            np.clip(np.floor(rng.uniform(0, 1, 64) * 255 + 0.5), 0, 255)
+            .astype(np.uint8)
+        )
+        gb, rb = g.reshape(8, 8), g[::-1].reshape(8, 8)
+        y = np.vstack([np.hstack([gb, rb]), np.hstack([rb, gb])])
+        cb, cr = 255 - gb, rb
+        w, h, planes, n_blocks = _decode_jpeg_planes(
+            _encode_jpeg_420(y, cb, cr)
+        )
+        assert (w, h, n_blocks) == (16, 16, 6)
+        assert [p.shape for p in planes] == [(16, 16), (8, 8), (8, 8)]
+        ysse = float(((planes[0].astype(float) - y) ** 2).sum())
+        assert ysse <= JPEG420_Y_SSE_BOUND
+        for p, src in ((planes[1], cb), (planes[2], cr)):
+            assert float(((p.astype(float) - src) ** 2).sum()) <= (
+                JPEG420_C_SSE_BOUND
+            )
+
+
+def test_420_smooth_block_decodes_near_exact():
+    # a constant image quantizes to DC-only blocks; with q[0,0]=16 the
+    # DC step bounds the flat-field error at q/2 * (1/8 DC basis) < 1.5
+    from entity_etl_spark.ext.image import _decode_jpeg_planes, _encode_jpeg_420
+
+    y = np.full((16, 16), 200, dtype=np.uint8)
+    cb = np.full((8, 8), 30, dtype=np.uint8)
+    cr = np.full((8, 8), 99, dtype=np.uint8)
+    _, _, planes, _ = _decode_jpeg_planes(_encode_jpeg_420(y, cb, cr))
+    assert np.abs(planes[0].astype(int) - 200).max() <= 2
+    assert np.abs(planes[1].astype(int) - 30).max() <= 2
+    assert np.abs(planes[2].astype(int) - 99).max() <= 2
+
+
+def test_420_decoder_reads_sampling_from_sof():
+    # tamper the SOF luma sampling byte 0x22 -> 0x11: the MCU geometry
+    # changes and the scan cannot parse as 6 valid blocks
+    from entity_etl_spark.ext.image import _decode_jpeg_planes, _encode_jpeg_420
+
+    y = np.arange(256, dtype=np.float64).reshape(16, 16) % 256
+    blob = bytearray(
+        _encode_jpeg_420(y, np.full((8, 8), 7.0), np.full((8, 8), 9.0))
+    )
+    sof = bytes(blob).index(b"\xff\xc0")
+    assert blob[sof + 11] == 0x22
+    blob[sof + 11] = 0x11
+    try:
+        w, h, planes, _ = _decode_jpeg_planes(bytes(blob))
+        # if it parses at all, the luma plane must now be wrong
+        assert planes[0].shape != (16, 16) or not np.allclose(
+            planes[0].astype(float), y, atol=3
+        )
+    except ValueError:
+        pass  # invalid codes mid-scan is the other acceptable outcome
+
+
+def test_420_spark_seam(spark):
+    from pyspark.sql import Row
+
+    from entity_etl_spark.ext.image import (
+        decode_jpeg_420_planes,
+        synthesize_jpeg_420,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[((i * 37) % 128) / 64.0 - 1.0 for i in range(64)]),
+            Row(vec_id=2, embedding=[((i * 11) % 97) / 48.0 - 1.0 for i in range(64)]),
+        ]
+    )
+    out = decode_jpeg_420_planes(synthesize_jpeg_420(df)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r.width, r.height, r.n_blocks) == (16, 16, 6)
+        assert len(r.y_pixels) == 256
+        assert len(r.cb_pixels) == len(r.cr_pixels) == 64
