@@ -161,6 +161,143 @@ def _decode_value(buf, schema):
     raise ValueError(f"unsupported Avro type {stype!r}")
 
 
+# ------------------------------------------------------ schema resolution
+#
+# Avro 1.11 "Schema Resolution": data written with one schema is read
+# with another — fields are matched BY NAME, writer-only fields are
+# decoded and discarded, reader-only fields take their declared
+# default, and primitives promote along int -> long -> float -> double
+# plus string <-> bytes. This is how real pipelines survive producers
+# and consumers deploying at different times.
+
+_PROMOTIONS = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _type_name(t) -> str:
+    return t["type"] if isinstance(t, dict) else t
+
+
+def _branch_matches(w, r) -> bool:
+    wt, rt = _type_name(w), _type_name(r)
+    return wt == rt or (wt, rt) in _PROMOTIONS
+
+
+def _default_value(rtype, default):
+    """JSON default -> runtime value. For unions the default matches
+    the FIRST branch (spec); bytes defaults are latin-1 JSON strings."""
+    if isinstance(rtype, list):
+        return _default_value(rtype[0], default)
+    rt = _type_name(rtype)
+    if rt == "null":
+        return None
+    if rt == "bytes":
+        return default.encode("latin-1")
+    if rt in ("int", "long"):
+        return int(default)
+    if rt in ("float", "double"):
+        return float(default)
+    if rt == "boolean":
+        return bool(default)
+    if rt == "array":
+        return [_default_value(rtype["items"], d) for d in default]
+    return default
+
+
+def _resolver(w, r):
+    """Build fn(buf) -> value: decode by the WRITER type, convert to
+    the READER type. Raises at build time on unresolvable pairs, never
+    mid-stream."""
+    if isinstance(w, list):  # writer union: index then resolve branch
+        subs = [_resolver(b, r) for b in w]
+
+        def dec_union(buf, subs=subs):
+            return subs[zigzag_decode(buf)](buf)
+
+        return dec_union
+    if isinstance(r, list):  # writer non-union vs reader union
+        for rb in r:
+            if _branch_matches(w, rb):
+                return _resolver(w, rb)
+        raise ValueError(
+            f"writer type {w!r} matches no reader union branch {r!r}"
+        )
+    wt, rt = _type_name(w), _type_name(r)
+    if wt == "record" and rt == "record":
+        return _record_resolver(w, r)
+    if wt == "array" and rt == "array":
+        item = _resolver(w["items"], r["items"])
+
+        def dec_array(buf, item=item):
+            items = []
+            while True:
+                n = zigzag_decode(buf)
+                if n == 0:
+                    return items
+                if n < 0:
+                    n = -n
+                    zigzag_decode(buf)
+                for _ in range(n):
+                    items.append(item(buf))
+
+        return dec_array
+    if wt == rt:
+        return lambda buf, w=w: _decode_value(buf, w)
+    conv = _PROMOTIONS.get((wt, rt))
+    if conv is None:
+        raise ValueError(f"cannot resolve writer {wt!r} to reader {rt!r}")
+
+    def dec_promote(buf, w=w, conv=conv):
+        v = _decode_value(buf, w)
+        return None if v is None else conv(v)
+
+    return dec_promote
+
+
+def _record_resolver(w: dict, r: dict):
+    """Field-by-name record resolution: writer order drives the decode,
+    reader order drives the output tuple."""
+    rindex = {f["name"]: i for i, f in enumerate(r["fields"])}
+    wnames = {f["name"] for f in w["fields"]}
+    steps = []  # (reader position | None, decode fn)
+    for wf in w["fields"]:
+        fn = (
+            _resolver(wf["type"], r["fields"][rindex[wf["name"]]]["type"])
+            if wf["name"] in rindex
+            else _resolver(wf["type"], wf["type"])  # decode-and-discard
+        )
+        steps.append((rindex.get(wf["name"]), fn))
+    defaults = {}
+    for i, rf in enumerate(r["fields"]):
+        if rf["name"] not in wnames:
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer "
+                    "schema and has no default"
+                )
+            defaults[i] = _default_value(rf["type"], rf["default"])
+
+    def dec(buf):
+        out = [None] * len(r["fields"])
+        for i, fn in steps:
+            v = fn(buf)
+            if i is not None:
+                out[i] = v
+        for i, d in defaults.items():
+            out[i] = d
+        return tuple(out)
+
+    return dec
+
+
 # ----------------------------------------------------- schema conversion
 
 _SPARK_TO_AVRO = {
@@ -188,6 +325,15 @@ def _field_avro_type(dt: T.DataType, nullable: bool, name: str):
         base: object = {"type": "long", "logicalType": "local-timestamp-micros"}
     elif isinstance(dt, T.TimestampType):
         base = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.DateType):
+        base = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.DecimalType):
+        base = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     elif isinstance(dt, T.ArrayType):
         base = {
             "type": "array",
@@ -231,6 +377,13 @@ def _spark_field_type(avro_type) -> tuple[T.DataType, bool]:
             return T.TimestampNTZType(), nullable
         if lt == "timestamp-micros":
             return T.TimestampType(), nullable
+        if lt == "date":
+            return T.DateType(), nullable
+        if lt == "decimal":
+            return (
+                T.DecimalType(avro_type["precision"], avro_type["scale"]),
+                nullable,
+            )
         if avro_type["type"] == "array":
             elem, elem_null = _spark_field_type(avro_type["items"])
             return T.ArrayType(elem, elem_null), nullable
@@ -238,20 +391,57 @@ def _spark_field_type(avro_type) -> tuple[T.DataType, bool]:
     return _AVRO_TO_SPARK[avro_type], nullable
 
 
+def _decimal_encode(v, scale: int) -> bytes:
+    """Avro decimal: unscaled two's-complement big-endian bytes,
+    minimal length (spec 1.11 'Decimal')."""
+    from decimal import Decimal
+
+    unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
+    length = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def _decimal_decode(b: bytes, scale: int):
+    from decimal import Decimal
+
+    unscaled = int.from_bytes(b, "big", signed=True)
+    return Decimal(unscaled).scaleb(-scale)
+
+
 def _logical_converters(avro_schema: dict):
     """Per-field (encode, decode) pairs for logical types: Python
-    datetimes <-> microseconds since epoch."""
+    datetimes <-> microseconds since epoch, dates <-> epoch days,
+    decimals <-> unscaled two's-complement bytes."""
     import datetime as _dt
 
     encs, decs = [], []
     epoch = _dt.datetime(1970, 1, 1)
     epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    epoch_day = _dt.date(1970, 1, 1)
     for f in avro_schema["fields"]:
         t = f["type"]
         if isinstance(t, list):
             t = next(x for x in t if x != "null")
         lt = t.get("logicalType") if isinstance(t, dict) else None
-        if lt == "local-timestamp-micros":
+        if lt == "date":
+            encs.append(
+                lambda v, e=epoch_day: None if v is None else (v - e).days
+            )
+            decs.append(
+                lambda v, e=epoch_day: None if v is None else
+                e + _dt.timedelta(days=v)
+            )
+        elif lt == "decimal":
+            scale = t.get("scale", 0)
+            encs.append(
+                lambda v, s=scale: None if v is None else
+                _decimal_encode(v, s)
+            )
+            decs.append(
+                lambda v, s=scale: None if v is None else
+                _decimal_decode(v, s)
+            )
+        elif lt == "local-timestamp-micros":
             encs.append(
                 lambda v, e=epoch: None if v is None else
                 round((v - e).total_seconds() * 1_000_000)
@@ -358,11 +548,25 @@ def read_header(path: str) -> tuple[dict, str, bytes, int]:
         )
 
 
-def read_container(path: str) -> Iterator[tuple]:
-    """Decode every row of one OCF (sync markers verified per block)."""
+def read_container(
+    path: str, reader_schema: dict | None = None
+) -> Iterator[tuple]:
+    """Decode every row of one OCF (sync markers verified per block).
+    With ``reader_schema``, Avro 1.11 schema resolution applies: rows
+    come out in READER field order with writer-only fields dropped,
+    reader defaults filled, and primitive promotions applied; logical
+    decoding follows the reader schema."""
     schema, codec, sync, offset = read_header(path)
-    _, decs = _logical_converters(schema)
-    fields = schema["fields"]
+    if reader_schema is not None and reader_schema != schema:
+        row_dec = _record_resolver(schema, reader_schema)
+        _, decs = _logical_converters(reader_schema)
+    else:
+        fields = schema["fields"]
+
+        def row_dec(buf, fields=fields):
+            return tuple(_decode_value(buf, f["type"]) for f in fields)
+
+        _, decs = _logical_converters(schema)
     with open(path, "rb") as fh:
         fh.seek(offset)
         while True:
@@ -381,7 +585,7 @@ def read_container(path: str) -> Iterator[tuple]:
                 raise ValueError(f"unsupported codec {codec!r}")
             buf = io.BytesIO(data)
             for _ in range(n_rows):
-                raw = tuple(_decode_value(buf, f["type"]) for f in fields)
+                raw = row_dec(buf)
                 yield tuple(
                     d(v) if d else v for d, v in zip(decs, raw)
                 )
@@ -418,6 +622,12 @@ class AvroFilePartition(InputPartition):
 class AvroPyReader(DataSourceReader):
     def __init__(self, schema: T.StructType, options: dict):
         self.options = options
+        # option("reader_schema", <avro json>): every file resolves its
+        # OWN embedded writer schema against this reader schema — the
+        # mixed-generation-dataset contract (files written before and
+        # after a field was added read back uniformly)
+        rs = options.get("reader_schema")
+        self.reader_schema = json.loads(rs) if rs else None
 
     def partitions(self) -> Sequence[InputPartition]:
         files = _avro_files(self.options["path"])
@@ -426,7 +636,9 @@ class AvroPyReader(DataSourceReader):
         return [AvroFilePartition(f) for f in files]
 
     def read(self, partition: AvroFilePartition) -> Iterator[tuple]:
-        yield from read_container(partition.file_path)
+        yield from read_container(
+            partition.file_path, reader_schema=self.reader_schema
+        )
 
 
 class AvroCommit(WriterCommitMessage):
@@ -481,6 +693,9 @@ class AvroPyDataSource(DataSource):
         return "avro_py"
 
     def schema(self):
+        rs = self.options.get("reader_schema")
+        if rs:
+            return avro_schema_to_spark(json.loads(rs))
         files = _avro_files(self.options["path"])
         if not files:
             raise ValueError(f"no .avro files under {self.options['path']}")

@@ -1943,6 +1943,100 @@ def q_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "avro_schema_evolution",
+    """
+    -- Avro 1.11 SCHEMA RESOLUTION (the producer/consumer-deploy-skew
+    -- contract): data written under schema v1 (id int, price
+    -- decimal(12,2), day date, legacy string) is read under schema v2
+    -- — id PROMOTED int->long, legacy DROPPED, category ADDED with
+    -- default 'unknown' — plus the decimal (two's-complement unscaled
+    -- bytes) and date (epoch days) logical types round-tripping
+    -- exactly. The oracle restates every aggregate from the ORIGINAL
+    -- parquet: a resolution bug (wrong field matched, default not
+    -- applied, promotion misdecoded) or a logical-codec bug changes
+    -- values and cannot hash-match. sum_price stays in DECIMAL the
+    -- whole way — exactness IS the decimal claim.
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_id,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                AS DECIMAL(38,2)) AS sum_price,
+           CAST(min(o_orderdate) AS DATE) AS min_day,
+           CAST(max(o_orderdate) AS DATE) AS max_day,
+           CAST(count(DISTINCT 'unknown') AS BIGINT) AS n_categories,
+           true AS default_applied
+    FROM orders
+    """,
+    doc="Avro schema evolution (VERDICT r9 item 4; avro_format.py "
+    "_record_resolver/_resolver): orders -> v1 container files "
+    "(avro_py writer) -> read back under a v2 READER schema via "
+    "option('reader_schema', ...) — field matched by name, int->long "
+    "promotion, writer-only field decoded-and-discarded, reader-only "
+    "field defaulted per the spec — with decimal/date logical types "
+    "(bytes unscaled two's complement; int epoch days). Every file "
+    "resolves its own embedded writer schema, so mixed-generation "
+    "datasets read uniformly.",
+    tags=("ext",),
+)
+def q_avro_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ..avro_format import register_avro
+
+    register_avro(spark)
+    out = tempfile.mkdtemp(prefix="avro_evo_")
+    atexit.register(shutil.rmtree, out, True)
+    v1 = read_sf_table(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("int").alias("id"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_orderstatus").alias("legacy"),
+    )
+    v1.write.format("avro_py").mode("append").option("path", out).save()
+    reader_v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {
+                "name": "price",
+                "type": [
+                    "null",
+                    {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 12,
+                        "scale": 2,
+                    },
+                ],
+            },
+            {
+                "name": "day",
+                "type": ["null", {"type": "int", "logicalType": "date"}],
+            },
+            {"name": "category", "type": "string", "default": "unknown"},
+        ],
+    }
+    back = (
+        spark.read.format("avro_py")
+        .option("path", out)
+        .option("reader_schema", _json.dumps(reader_v2))
+        .load()
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum("price").cast("decimal(38,2)").alias("sum_price"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.countDistinct("category").cast("bigint").alias("n_categories"),
+        (F.max("category") == F.lit("unknown")).alias("default_applied"),
+    )
+
+
+@register(
     "warc_wet_roundtrip",
     """
     -- the Spark side writes documents as WET conversion records

@@ -119,3 +119,137 @@ def test_spark_overwrite_replaces_dataset(spark, tmp_path):
     df2.write.format("avro_py").option("path", out).mode("overwrite").save()
     back = spark.read.format("avro_py").option("path", out).load()
     assert [tuple(r) for r in back.collect()] == [(9, "z")]
+
+
+# ---- round 10: schema resolution + decimal/date logical types
+
+V1 = {
+    "type": "record", "name": "row",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "price", "type": {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 12, "scale": 2}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "legacy", "type": "string"},
+    ],
+}
+V2 = {
+    "type": "record", "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},          # int -> long promotion
+        {"name": "price", "type": {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 12, "scale": 2}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "category", "type": "string", "default": "unknown"},
+        # legacy: dropped
+    ],
+}
+
+
+def _v1_file(tmp_path):
+    from decimal import Decimal
+
+    rows = [
+        (1, Decimal("19.99"), datetime.date(2024, 3, 1), "a"),
+        (2, Decimal("-0.05"), datetime.date(1969, 12, 31), "b"),
+        (3, Decimal("1234567890.12"), datetime.date(1970, 1, 1), "c"),
+    ]
+    p = os.path.join(str(tmp_path), "v1.avro")
+    av.write_container(p, V1, iter(rows))
+    return p, rows
+
+
+def test_decimal_date_logicals_roundtrip(tmp_path):
+    p, rows = _v1_file(tmp_path)
+    assert list(av.read_container(p)) == rows
+
+
+def test_decimal_twos_complement_encoding():
+    from decimal import Decimal
+
+    # -0.05 at scale 2 -> unscaled -5 -> single byte 0xFB
+    assert av._decimal_encode(Decimal("-0.05"), 2) == b"\xfb"
+    assert av._decimal_decode(b"\xfb", 2) == Decimal("-0.05")
+    # 1.28 -> 128 needs a leading zero byte in two's complement
+    enc = av._decimal_encode(Decimal("1.28"), 2)
+    assert enc == b"\x00\x80"
+    assert av._decimal_decode(enc, 2) == Decimal("1.28")
+
+
+def test_schema_resolution_promote_drop_default(tmp_path):
+    from decimal import Decimal
+
+    p, rows = _v1_file(tmp_path)
+    back = list(av.read_container(p, reader_schema=V2))
+    assert back == [
+        (i, pr, d, "unknown") for (i, pr, d, _legacy) in rows
+    ]
+    assert all(isinstance(r[0], int) for r in back)
+
+
+def test_schema_resolution_missing_default_raises(tmp_path):
+    p, _ = _v1_file(tmp_path)
+    bad = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "added", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="no default"):
+        list(av.read_container(p, reader_schema=bad))
+
+
+def test_schema_resolution_incompatible_promotion_raises(tmp_path):
+    p, _ = _v1_file(tmp_path)
+    bad = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "id", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="cannot resolve"):
+        list(av.read_container(p, reader_schema=bad))
+
+
+def test_resolution_through_null_unions(tmp_path):
+    # writer nullable int resolves to reader nullable long branch-wise
+    w = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "x", "type": ["null", "int"]}],
+    }
+    r = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "x", "type": ["null", "long"]}],
+    }
+    p = os.path.join(str(tmp_path), "u.avro")
+    av.write_container(p, w, iter([(None,), (7,)]))
+    assert list(av.read_container(p, reader_schema=r)) == [(None,), (7,)]
+
+
+def test_spark_reader_schema_option(spark, tmp_path):
+    import json
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(str(tmp_path), "evo")
+    av.register_avro(spark)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], schema=["id", "legacy"]
+    ).select(F.col("id").cast("int"), "legacy")
+    df.coalesce(1).write.format("avro_py").mode("append").option(
+        "path", out
+    ).save()
+    r2 = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "id", "type": ["null", "long"]},
+            {"name": "category", "type": "string", "default": "unknown"},
+        ],
+    }
+    back = (
+        spark.read.format("avro_py")
+        .option("path", out)
+        .option("reader_schema", json.dumps(r2))
+        .load()
+    )
+    assert back.schema.simpleString() == "struct<id:bigint,category:string>"
+    got = {(r.id, r.category) for r in back.collect()}
+    assert got == {(1, "unknown"), (2, "unknown")}
