@@ -182,6 +182,166 @@ def cell_pairs_gram(
     return cells.groupBy("cell").applyInPandas(gram, schema)
 
 
+# ------------------------------------------------ incremental state twin
+#
+# The exact and MinHash dedup families have persisted-state incremental
+# twins (dedup.exact_dedup_incremental / minhash_dedup_incremental);
+# this completes the story for SEMANTIC dedup (VERDICT r9 item 6): the
+# persisted state is the trained centroids plus one (cell, id, vector)
+# row per kept doc. A new batch assigns MAP-SIDE against the broadcast
+# centroids and compares only against its probed cells' members — per
+# increment, work is O(|batch| x touched-cell sizes), and with the
+# state table partitioned/bucketed by cell the semi-join below prunes
+# the state read to touched cells only.
+
+def materialize_semantic_state(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int | None = None,
+    target_cell_size: int = 256,
+    iterations: int = 2,
+):
+    """First-run state: (centroids ndarray, cells DataFrame of
+    (cell, id, vector) — each corpus vector in its PRIMARY cell).
+    Persist both; later increments never rescan the corpus."""
+    import math
+
+    if n_clusters is None:
+        n_clusters = max(
+            1, math.ceil(corpus.count() / target_cell_size)
+        )
+    cents = train_centroids(
+        corpus, id_col, vec_col, n_clusters, iterations
+    )
+    cells = assign_cells(
+        corpus.select(id_col, vec_col), cents, id_col, vec_col
+    )
+    return cents, cells
+
+
+def cell_cross_pairs(
+    cells: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    new_col: str = "__new",
+) -> DataFrame:
+    """Per-cell NEW-vs-ALL exact cosine (the incremental twin of
+    :func:`cell_pairs_gram`): one shuffle keyed by cell, each reducer
+    one |new| x |cell| BLAS matmul — state-state pairs were settled in
+    earlier increments and are never recomputed. Emits
+    ``(id_a, id_b, cos_sim)`` where ``id_b`` is the NEW doc that would
+    drop: the partner is a state doc (state precedes batch — the
+    keep-min contract minhash_dedup_incremental documents) or a
+    smaller-id new sibling."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = cells.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def gram(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id_a": pdf[id_col].iloc[:0],
+             "id_b": pdf[id_col].iloc[:0],
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        new = pdf[new_col].to_numpy(dtype=bool)
+        if len(pdf) < 2 or not new.any():
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+        qids = ids[new]
+        qmat = mat[new]
+        frames = []
+        for lo in range(0, len(qids), 1024):
+            sims = qmat[lo : lo + 1024] @ mat.T
+            ii, jj = np.where(sims >= threshold)
+            qa = qids[lo : lo + 1024][ii]
+            mb = ids[jj]
+            # partner drops the new doc iff it is state (any id) or a
+            # smaller-id new sibling; never self
+            keep = (~new[jj]) | (mb < qa)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id_a": mb[keep],
+                        "id_b": qa[keep],
+                        "cos_sim": sims[ii, jj][keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return cells.groupBy("cell").applyInPandas(gram, schema)
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    centroids,
+    state_cells: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_probe: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Drop batch docs semantically near-duplicate to the accumulated
+    state (or to a smaller-id batch sibling). Returns ``(kept_batch,
+    state_delta)`` — the delta is the kept docs' PRIMARY-cell rows;
+    append it to the persisted state (state.append_state), so per-batch
+    persistence costs O(batch).
+
+    The batch multi-probes its ``n_probe`` nearest cells (recovering
+    boundary-straddling pairs against state members stored in their
+    primary cells); the state side is semi-join-pruned to touched
+    cells, so an increment reads state proportional to the batch's
+    cell footprint, not the corpus."""
+    bcells = (
+        assign_cells_multi(
+            batch, centroids, id_col=id_col, vec_col=vec_col,
+            n_probe=n_probe,
+        )
+        if n_probe > 1
+        else assign_cells(
+            batch.select(id_col, vec_col), centroids, id_col, vec_col
+        )
+    ).localCheckpoint(eager=True)  # two consumers: pair gram + touched set
+    touched = bcells.select("cell").distinct()
+    scells = state_cells.join(touched, "cell", "left_semi")
+    all_cells = scells.select(id_col, vec_col, "cell").withColumn(
+        "__new", F.lit(False)
+    ).unionByName(
+        bcells.select(id_col, vec_col, "cell").withColumn(
+            "__new", F.lit(True)
+        )
+    )
+    losers = (
+        cell_cross_pairs(
+            all_cells, threshold, id_col=id_col, vec_col=vec_col
+        )
+        .select(F.col("id_b").alias("__loser"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    kept = batch.join(
+        losers, batch[id_col] == losers["__loser"], "left_anti"
+    )
+    delta = assign_cells(
+        kept.select(id_col, vec_col), centroids, id_col, vec_col
+    )
+    return kept, delta
+
+
 def semdedup_drop_ids(pairs: DataFrame) -> DataFrame:
     """Keep-min-id policy over the pair set: drop the greater id of every
     near-dup pair (transitively safe: any dropped id has a smaller kept or

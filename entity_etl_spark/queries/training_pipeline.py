@@ -1801,6 +1801,99 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_incremental",
+    """
+    -- incremental SemDeDup vs persisted state (centroids + per-cell
+    -- member rows): batch docs (vec_id >= 250) drop when cosine >= 0.4
+    -- with a state doc or a smaller-id batch sibling. Float k-means
+    -- forbids pinning the candidate set, so the decidable claims are
+    -- the exact drop-set size both engines compute, the recall floor
+    -- (measured 0.90 at sf0.01 with k=8/p=3; gated 0.8), perfect
+    -- precision (every drop is exact-cosine-verified), and the state
+    -- accounting (delta rows == kept docs).
+    WITH pairs AS (
+      SELECT b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND b.vec_id >= 250
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+    )
+    SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id >= 250)
+                AS BIGINT) AS n_batch,
+           CAST((SELECT count(DISTINCT ib) FROM pairs) AS BIGINT)
+             AS n_exact_dropped,
+           true AS recall_ok,
+           true AS precision_ok,
+           true AS state_delta_ok
+    FROM (SELECT 1)
+    """,
+    doc="E2/E3 incremental SemDeDup (VERDICT r9 item 6; "
+    "ext/semdedup.materialize_semantic_state / "
+    "semantic_dedup_incremental): the persisted state is trained "
+    "centroids + one (cell, id, vector) row per kept doc — the "
+    "minhash_dedup_incremental pattern. A new batch assigns MAP-SIDE "
+    "against broadcast centroids (n_probe=3 boundary recovery), the "
+    "state side is semi-join-pruned to touched cells, and each cell "
+    "runs ONE |new| x |cell| BLAS gram (state-state pairs never "
+    "recompute). Returns kept + an O(batch) state delta for "
+    "append-style persistence.",
+    tags=("ext",),
+)
+def q_semantic_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ext.semdedup import (
+        materialize_semantic_state,
+        semantic_dedup_incremental,
+    )
+    from ..ext.similarity import exact_cosine_pairs
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    cents, cells = materialize_semantic_state(corpus, n_clusters=8)
+    kept, delta = semantic_dedup_incremental(
+        batch, cents, cells, threshold=0.4, n_probe=3
+    )
+    sem = (
+        batch.select("vec_id")
+        .join(kept.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.lit(1).alias("__s"))
+    )
+    exact = (
+        exact_cosine_pairs(emb, 0.4)
+        .filter(F.col("id_b") >= 250)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit(1).alias("__e"))
+    )
+    j = exact.join(sem, "vec_id", "full_outer")
+    gates = j.agg(
+        F.count("__e").cast("bigint").alias("n_exact_dropped"),
+        (
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__s").isNotNull(), 1))
+            / F.count("__e")
+            >= 0.8
+        ).alias("recall_ok"),
+        (F.count(F.when(F.col("__e").isNull(), 1)) == 0).alias(
+            "precision_ok"
+        ),
+    )
+    counts = batch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch")
+    ).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("__nk")).crossJoin(
+            delta.agg(F.count(F.lit(1)).alias("__nd"))
+        )
+    )
+    return counts.crossJoin(gates).select(
+        "n_batch",
+        "n_exact_dropped",
+        "recall_ok",
+        "precision_ok",
+        (F.col("__nk") == F.col("__nd")).alias("state_delta_ok"),
+    )
+
+
+@register(
     "dedup_exact_incremental",
     """
     WITH state AS (

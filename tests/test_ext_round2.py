@@ -1004,3 +1004,72 @@ def test_statistical_queries_match_reference_implementations(spark):
     )
     sums = {r.f: r.s for r in p.groupBy("f").agg(F.round(F.sum("p"), 9).alias("s")).collect()}
     assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_semdedup_incremental_state_and_drops(spark):
+    from entity_etl_spark.ext.semdedup import (
+        materialize_semantic_state,
+        semantic_dedup_incremental,
+    )
+
+    # state: two tight direction-clusters; batch: near-dups of each
+    # cluster, one near-dup pair WITHIN the batch, one novel vector
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 0.02 * i, 0.0, 0.0]))        # cluster A
+        rows.append((50 + i, [0.0, 0.0, 1.0, 0.02 * i]))   # cluster B
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, [1.0, 0.01, 0.0, 0.0]),    # dup of cluster A -> drop
+            (101, [0.0, 0.0, 1.0, 0.01]),    # dup of cluster B -> drop
+            (102, [0.5, -0.5, 0.5, -0.5]),   # novel -> kept
+            (103, [0.5001, -0.5, 0.5, -0.5]),  # dup of batch 102 -> drop
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents, cells = materialize_semantic_state(corpus, n_clusters=3)
+    kept, delta = semantic_dedup_incremental(
+        batch, cents, cells, threshold=0.99, n_probe=2
+    )
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert kept_ids == {102}
+    # state grows by exactly the kept docs (one primary-cell row each)
+    drows = delta.collect()
+    assert {r.vec_id for r in drows} == {102}
+    assert set(delta.columns) >= {"vec_id", "embedding", "cell"}
+    # a second increment against the grown state drops a dup of the
+    # newly-kept doc — the accumulated state is live, not frozen
+    batch2 = spark.createDataFrame(
+        [(200, [0.5, -0.5, 0.5001, -0.5]), (201, [-1.0, -1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    state2 = cells.unionByName(delta)
+    kept2, delta2 = semantic_dedup_incremental(
+        batch2, cents, state2, threshold=0.99, n_probe=2
+    )
+    assert {r.vec_id for r in kept2.collect()} == {201}
+    assert delta2.count() == 1
+
+
+def test_semdedup_incremental_empty_drop_path(spark):
+    from entity_etl_spark.ext.semdedup import (
+        materialize_semantic_state,
+        semantic_dedup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0, -1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, [9.0, -9.0, 9.0, -9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents, cells = materialize_semantic_state(corpus, n_clusters=2)
+    kept, delta = semantic_dedup_incremental(
+        batch, cents, cells, threshold=0.999, n_probe=1
+    )
+    assert kept.count() == 1 and delta.count() == 1
