@@ -153,11 +153,12 @@ def save_state_bucketed(
 
     spark = state.sparkSession
     meta_path = _bucketed_meta_path(state_dir, table)
-    old_name, gen = None, 0
+    old_name, gen, merges = None, 0, 0
     if os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as fh:
             meta = _json.load(fh)
         old_name, gen = meta["table"], (meta["generation"] + 1) % 2
+        merges = meta.get("merges", 1)  # pre-counter metas: >=1 save
     new_name = f"{table}_state_g{gen}"
     spark.sql(f"DROP TABLE IF EXISTS {new_name}")  # stale leftover of a crash
     # an ORPHANED location (directory present, no catalog entry — e.g. a
@@ -178,10 +179,89 @@ def save_state_bucketed(
     os.makedirs(state_dir, exist_ok=True)
     tmp = meta_path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
-        _json.dump({"table": new_name, "generation": gen}, fh)
+        # merges: cumulative save count — every save after the first
+        # drops one superseded generation, so lifecycle accounting can
+        # report generations_reclaimed = merges - 1 without scanning
+        _json.dump(
+            {"table": new_name, "generation": gen, "merges": merges + 1},
+            fh,
+        )
     os.replace(tmp, meta_path)
     if old_name and old_name != new_name:
         spark.sql(f"DROP TABLE IF EXISTS {old_name}")
+
+
+def state_lifecycle_metrics(
+    spark: SparkSession,
+    state_dir: str,
+    table: str,
+    *,
+    now_epoch_ms: int,
+    bucketed: bool = False,
+) -> DataFrame:
+    """One-row lifecycle accounting over a persisted state table — the
+    observability the reference's ``removeExpiredEntries`` log line
+    provided (cache.js:60-67), as a queryable DataFrame riding the
+    merge job:
+
+    - ``n_keys`` / ``n_live`` / ``n_expired_tombstones``: physical rows
+      vs TTL-live rows vs expired rows still on disk (tombstones purge
+      at the NEXT merge, so between merges the physical table is larger
+      than the logical one — exactly what a vacuum planner needs to
+      see);
+    - ``n_files`` / ``total_bytes``: filesystem footprint (a
+      compaction trigger: many small files after append-style growth);
+    - ``generation`` / ``n_merges`` / ``generations_reclaimed``
+      (bucketed backend): the generation-swap pointer position, the
+      cumulative merge count, and how many superseded generations were
+      dropped (merges - 1 — each save after the first reclaims one).
+
+    The key counts are one distributed aggregate over the state table;
+    the file walk is driver-side metadata (same class of op as a
+    catalog listing), never row data."""
+    if bucketed:
+        import json as _json
+
+        with open(_bucketed_meta_path(state_dir, table), encoding="utf-8") as fh:
+            meta = _json.load(fh)
+        state = spark.table(meta["table"])
+        wh = (spark.conf.get("spark.sql.warehouse.dir") or "").removeprefix(
+            "file:"
+        )
+        root = os.path.join(wh, meta["table"].lower())
+        generation = meta["generation"]
+        n_merges = meta.get("merges", 1)
+    else:
+        root = state_path(state_dir, table)
+        state = spark.read.parquet(root)
+        generation, n_merges = 0, 1
+    n_files = total_bytes = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                total_bytes += os.path.getsize(os.path.join(dirpath, f))
+    counts = state.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.count(F.when(F.col(TTL_COL) >= F.lit(now_epoch_ms), 1))
+        .cast("bigint")
+        .alias("n_live"),
+        F.count(F.when(F.col(TTL_COL) < F.lit(now_epoch_ms), 1))
+        .cast("bigint")
+        .alias("n_expired_tombstones"),
+    )
+    return counts.select(
+        "n_keys",
+        "n_live",
+        "n_expired_tombstones",
+        F.lit(n_files).cast("bigint").alias("n_files"),
+        F.lit(total_bytes).cast("bigint").alias("total_bytes"),
+        F.lit(generation).cast("int").alias("generation"),
+        F.lit(n_merges).cast("int").alias("n_merges"),
+        F.lit(max(0, n_merges - 1)).cast("int").alias(
+            "generations_reclaimed"
+        ),
+    )
 
 
 def merge_state_join(

@@ -150,3 +150,61 @@ def test_pipeline_run_incremental_bucketed(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bktevents_state_g0")
         spark.sql("DROP TABLE IF EXISTS bktevents_state_g1")
+
+
+def test_state_lifecycle_metrics_accounting(spark, tmp_path):
+    """Two merge cycles, then the lifecycle accounting row: live vs
+    expired-tombstone split at an observation time between TTLs, file
+    and byte footprint, and generation-swap provenance (round 10)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from entity_etl_spark.state import (
+        load_state_bucketed,
+        merge_state_join,
+        save_state_bucketed,
+        state_lifecycle_metrics,
+    )
+
+    sd = str(tmp_path / "state")
+    table = f"lc_test_{uuid.uuid4().hex[:8]}"
+    HOUR = 3600 * 1000
+    T0, T1 = 0, 4 * HOUR
+    m1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "user_id long, payload string"
+    )
+    s1 = merge_state_join(None, m1, "user_id", ttl_hours=8, now_epoch_ms=T0)
+    save_state_bucketed(s1, sd, table, "user_id", n_buckets=2)
+    # merge 2 at T1 refreshes keys 2,3 and inserts 4; key 1 keeps ttl T0+8h
+    m2 = spark.createDataFrame(
+        [(2, "b2"), (3, "c2"), (4, "d")], "user_id long, payload string"
+    )
+    prev = load_state_bucketed(spark, sd, table)
+    s2 = merge_state_join(prev, m2, "user_id", ttl_hours=8, now_epoch_ms=T1)
+    save_state_bucketed(s2, sd, table, "user_id", n_buckets=2)
+    # observe at T0+10h: key 1 expired (ttl 8h) but still on disk;
+    # keys 2,3,4 live (ttl 12h)
+    row = state_lifecycle_metrics(
+        spark, sd, table, now_epoch_ms=10 * HOUR, bucketed=True
+    ).collect()[0]
+    assert row.n_keys == 4
+    assert row.n_live == 3
+    assert row.n_expired_tombstones == 1
+    assert row.n_files >= 1 and row.total_bytes > 0
+    assert row.generation == 1
+    assert row.n_merges == 2
+    assert row.generations_reclaimed == 1
+    # the NEXT merge purges the tombstone — the accounting's claim
+    s3 = merge_state_join(
+        load_state_bucketed(spark, sd, table),
+        spark.createDataFrame([(5, "e")], "user_id long, payload string"),
+        "user_id", ttl_hours=8, now_epoch_ms=10 * HOUR,
+    )
+    save_state_bucketed(s3, sd, table, "user_id", n_buckets=2)
+    row2 = state_lifecycle_metrics(
+        spark, sd, table, now_epoch_ms=10 * HOUR, bucketed=True
+    ).collect()[0]
+    assert row2.n_keys == 4  # 2,3,4 live + 5 inserted; 1 purged
+    assert row2.n_expired_tombstones == 0
+    assert row2.n_merges == 3 and row2.generations_reclaimed == 2

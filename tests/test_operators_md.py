@@ -65,3 +65,21 @@ def test_queries_package_has_no_cross_module_name_collisions():
             else:
                 owner.setdefault(k, (m.__name__, id(v)))
     assert not dupes, f"cross-submodule name collisions: {dupes}"
+
+
+def test_driver_gate_window_is_stable():
+    """The driver's correctness gate runs the registry's FIRST 50 names;
+    an innocently-placed new @register can silently push a gated query
+    out of the window (round 10 nearly did). Pin the window to the r9
+    gate set: new queries must register AFTER the first 50."""
+    import json
+    import os
+
+    from entity_etl_spark.queries import REGISTRY
+
+    gate_path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r09.json"
+    )
+    with open(gate_path, encoding="utf-8") as fh:
+        gate_names = list(json.load(fh))[:50]
+    assert list(REGISTRY)[:50] == gate_names
