@@ -186,6 +186,13 @@ def _type_name(t) -> str:
     return t["type"] if isinstance(t, dict) else t
 
 
+def _raise_on_datum(msg: str):
+    def dec(buf):
+        raise ValueError(msg)
+
+    return dec
+
+
 def _branch_matches(w, r) -> bool:
     wt, rt = _type_name(w), _type_name(r)
     return wt == rt or (wt, rt) in _PROMOTIONS
@@ -217,7 +224,17 @@ def _resolver(w, r):
     the READER type. Raises at build time on unresolvable pairs, never
     mid-stream."""
     if isinstance(w, list):  # writer union: index then resolve branch
-        subs = [_resolver(b, r) for b in w]
+        # per-branch resolution is DEFERRED: a branch unresolvable to
+        # the reader is an error only if a datum of that branch actually
+        # appears (Avro 1.11 resolution rules) — e.g. a ["null","long"]
+        # writer reads fine under a plain "long" reader when the data
+        # holds no nulls
+        subs = []
+        for b in w:
+            try:
+                subs.append(_resolver(b, r))
+            except ValueError as e:
+                subs.append(_raise_on_datum(str(e)))
 
         def dec_union(buf, subs=subs):
             return subs[zigzag_decode(buf)](buf)
@@ -397,7 +414,11 @@ def _decimal_encode(v, scale: int) -> bytes:
     from decimal import Decimal
 
     unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
-    length = max(1, (unscaled.bit_length() + 8) // 8)
+    # minimal signed length (Java BigInteger.toByteArray semantics, so
+    # bytes match canonical Avro writers): negatives measure via their
+    # complement — -128 -> 1 byte 0x80, +128 -> 2 bytes 0x0080
+    measure = unscaled if unscaled >= 0 else ~unscaled
+    length = measure.bit_length() // 8 + 1
     return unscaled.to_bytes(length, "big", signed=True)
 
 

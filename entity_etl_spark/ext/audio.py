@@ -235,22 +235,24 @@ def _adpcm_encode_block(samples) -> bytes:
     return struct.pack("<hBB", first, 0, 0) + _pack_nibbles(nibbles)
 
 
+def _unpack_nibbles(data: bytes) -> list[int]:
+    """Low-nibble-first 4-bit code stream."""
+    out: list[int] = []
+    for b in data:
+        out.append(b & 0x0F)
+        out.append(b >> 4)
+    return out
+
+
 def _adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
     if n_samples == 0:
         return np.empty(0, dtype=np.int16)
+    if len(block) < 4 + (n_samples - 1 + 1) // 2:
+        raise ValueError("truncated ADPCM block")
     predictor, index = struct.unpack_from("<hB", block, 0)
-    if not 0 <= index <= 88:
-        raise ValueError("ADPCM step index out of range")
-    out = np.empty(n_samples, dtype=np.int16)
-    out[0] = predictor
-    pos = 0
-    for i in range(1, n_samples):
-        b = block[4 + (pos >> 1)]
-        nibble = (b >> 4) if pos & 1 else (b & 0x0F)
-        pos += 1
-        predictor, index = _ima_step(predictor, index, nibble)
-        out[i] = predictor
-    return out
+    return _decode_nibbles(
+        predictor, index, _unpack_nibbles(block[4:]), n_samples
+    )
 
 
 # Stereo blocks (the RIFF multimedia spec's layout for wFormatTag 0x11,
@@ -297,6 +299,11 @@ def _adpcm_decode_block_stereo(
     if n_samples == 0:
         e = np.empty(0, dtype=np.int16)
         return e, e
+    groups = (n_samples - 1 + 7) // 8
+    if len(block) < 8 + groups * 8:
+        # a short read here must raise, not spin: the interleave walk
+        # below would otherwise loop forever on empty slices
+        raise ValueError("truncated stereo ADPCM block")
     pl, il = struct.unpack_from("<hB", block, 0)
     pr, ir = struct.unpack_from("<hB", block, 4)
     nl: list[int] = []
@@ -304,9 +311,7 @@ def _adpcm_decode_block_stereo(
     pos = 8
     while len(nl) < n_samples - 1:
         for target in (nl, nr):
-            for b in block[pos : pos + 4]:
-                target.append(b & 0x0F)
-                target.append(b >> 4)
+            target.extend(_unpack_nibbles(block[pos : pos + 4]))
             pos += 4
     return (
         _decode_nibbles(pl, il, nl, n_samples),
@@ -457,7 +462,11 @@ def decode_adpcm_samples(
         for pdf in batches:
             rows = []
             for vid, blob in zip(pdf[id_col], pdf[wav_col]):
-                rate, _ch, n, block = _parse_adpcm_chunks(bytes(blob))
+                rate, ch, n, block = _parse_adpcm_chunks(bytes(blob))
+                if ch != 1:
+                    raise ValueError(
+                        "mono decode path got a multi-channel clip"
+                    )
                 data = _adpcm_decode_block(block, n)
                 refix = _adpcm_decode_block(
                     _adpcm_encode_block(data.astype(np.int64)), n

@@ -225,10 +225,17 @@ def state_lifecycle_metrics(
         with open(_bucketed_meta_path(state_dir, table), encoding="utf-8") as fh:
             meta = _json.load(fh)
         state = spark.table(meta["table"])
-        wh = (spark.conf.get("spark.sql.warehouse.dir") or "").removeprefix(
-            "file:"
+        # resolve the table's DATA LOCATION from the catalog, not path
+        # arithmetic — a metastore database location or explicit-path
+        # table would silently walk a nonexistent guessed dir otherwise
+        loc = next(
+            r.data_type
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED {meta['table']}"
+            ).collect()
+            if r.col_name == "Location"
         )
-        root = os.path.join(wh, meta["table"].lower())
+        root = loc.removeprefix("file:")
         generation = meta["generation"]
         n_merges = meta.get("merges", 1)
     else:

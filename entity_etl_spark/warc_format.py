@@ -243,20 +243,37 @@ def _read_member(fh, pos: int, chunk: int = 1 << 20) -> tuple[bytes, int]:
     return b"".join(out), pos + fed - len(d.unused_data)
 
 
-def _find_member_start(fh, start: int, end: int) -> int | None:
+def _find_member_start(
+    fh, start: int, end: int, chunk: int = 1 << 20
+) -> int | None:
     """First byte offset in ``[start, end)`` where a gzip member whose
     payload begins with ``WARC/`` starts, or None. The gzip magic can
     occur inside compressed data, so every candidate is VERIFIED by
     decompressing its head — a false positive either raises
-    ``zlib.error`` or yields non-WARC bytes and the scan continues."""
-    fh.seek(start)
-    window = fh.read(max(0, end - start) + len(_GZ_MAGIC) - 1)
-    at = 0
+    ``zlib.error`` or yields non-WARC bytes and the scan continues.
+    Scans in a rolling chunked window (the boundary is typically within
+    the first record's length of ``start``), never materializing the
+    whole split range."""
+    pos = start
+    window = b""
+    win_base = start
     while True:
-        hit = window.find(_GZ_MAGIC, at)
-        if hit < 0 or start + hit >= end:
+        hit = window.find(_GZ_MAGIC)
+        while hit < 0:
+            fh.seek(pos)
+            more = fh.read(chunk)
+            if not more or win_base + len(window) >= end + len(_GZ_MAGIC):
+                return None
+            # keep a magic-spanning tail so a boundary split across
+            # chunk reads is still found
+            tail = window[-(len(_GZ_MAGIC) - 1) :] if window else b""
+            win_base = pos - len(tail)
+            window = tail + more
+            pos += len(more)
+            hit = window.find(_GZ_MAGIC)
+        cand = win_base + hit
+        if cand >= end:
             return None
-        cand = start + hit
         fh.seek(cand)
         probe = fh.read(1 << 16)
         try:
@@ -265,7 +282,8 @@ def _find_member_start(fh, start: int, end: int) -> int | None:
             head = b""
         if head.startswith(b"WARC/"):
             return cand
-        at = hit + 1
+        window = window[hit + 1 :]
+        win_base = cand + 1
 
 
 def read_wet_range(path: str, start: int, end: int) -> Iterator[tuple]:

@@ -214,3 +214,30 @@ def test_spark_seam(spark):
     assert all(r.refix_ok for r in out)
     assert all(r.n_block_bytes == 4 + 4 // 2 for r in out)
     assert all(len(r.samples) == 4 for r in out)
+
+
+def test_truncated_blocks_raise_not_hang():
+    # a fact chunk claiming more frames than the data holds must raise,
+    # never spin (code-review r10: the stereo walk looped forever on
+    # empty slices) — both layouts
+    x = np.arange(16, dtype=np.int64) * 100
+    mono = au._adpcm_encode_block(x)
+    with pytest.raises(ValueError, match="truncated"):
+        au._adpcm_decode_block(mono[:5], 16)
+    st = au._adpcm_encode_block_stereo(x, x)
+    with pytest.raises(ValueError, match="truncated"):
+        au._adpcm_decode_block_stereo(st[:10], 16)
+
+
+def test_mono_spark_seam_rejects_stereo_clip(spark):
+    # decode_adpcm_samples must not silently garbage-decode a stereo
+    # blob (code-review r10: the channels guard had moved out of
+    # _parse_adpcm_chunks and this path lost it)
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.5, -0.25, 0.0, 1.0])]
+    )
+    stereo = au.synthesize_adpcm_stereo(df)
+    with pytest.raises(Exception, match="multi-channel"):
+        au.decode_adpcm_samples(stereo).collect()

@@ -253,3 +253,39 @@ def test_spark_reader_schema_option(spark, tmp_path):
     assert back.schema.simpleString() == "struct<id:bigint,category:string>"
     got = {(r.id, r.category) for r in back.collect()}
     assert got == {(1, "unknown"), (2, "unknown")}
+
+
+def test_union_resolution_deferred_to_datum(tmp_path):
+    # ["null","int"] writer under a plain "long" reader must read fine
+    # when no null datum appears (Avro 1.11: branch mismatch is an
+    # error only when encountered), and raise only on an actual null
+    w = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "x", "type": ["null", "int"]}],
+    }
+    r = {
+        "type": "record", "name": "row",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    p1 = os.path.join(str(tmp_path), "nonull.avro")
+    av.write_container(p1, w, iter([(1,), (2,)]))
+    assert list(av.read_container(p1, reader_schema=r)) == [(1,), (2,)]
+    p2 = os.path.join(str(tmp_path), "withnull.avro")
+    av.write_container(p2, w, iter([(1,), (None,)]))
+    with pytest.raises(ValueError, match="cannot resolve"):
+        list(av.read_container(p2, reader_schema=r))
+
+
+def test_decimal_minimal_twos_complement_boundaries():
+    from decimal import Decimal
+
+    # Java BigInteger.toByteArray boundary semantics
+    assert av._decimal_encode(Decimal("-1.28"), 2) == b"\x80"
+    assert av._decimal_encode(Decimal("1.28"), 2) == b"\x00\x80"
+    assert av._decimal_encode(Decimal("1.27"), 2) == b"\x7f"
+    assert av._decimal_encode(Decimal("-1.29"), 2) == b"\xff\x7f"
+    assert av._decimal_encode(Decimal("0.00"), 2) == b"\x00"
+    for v in ("-1.28", "1.28", "-327.68", "327.68", "-0.01"):
+        assert av._decimal_decode(
+            av._decimal_encode(Decimal(v), 2), 2
+        ) == Decimal(v)
