@@ -29,6 +29,13 @@ and exposes it Spark-first, the :mod:`avro_format` /
   task partition led by a ``warcinfo`` record, each record its own
   gzip member, temp-staged and renamed at job commit (fail-fast: a
   failed job leaves only ``.tmp`` litter).
+- ``option("mode", "cdx")`` on the reader — a CDX(J)-style capture
+  index (:data:`CDX_SCHEMA`, the cc-index layout): per record, the
+  byte coordinates of its gzip member plus payload digest, built with
+  the same range-split parallelism. :func:`surt_urlkey` derives the
+  SURT sort key columnar; :func:`fetch_records` is the other half —
+  random access to exactly the indexed records by (filename, offset)
+  without scanning archives.
 
 Determinism (oracle-pairing contract): ``WARC-Record-ID`` is
 ``uuid5(NAMESPACE_URL, target_uri)`` and ``WARC-Date`` is a fixed
@@ -44,6 +51,7 @@ never shuffle — downstream sees columns, not containers.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 import os
 import uuid
@@ -86,6 +94,27 @@ WET_SCHEMA = T.StructType(
 )
 
 WRITE_COLUMNS = ("target_uri", "content_language", "payload")
+
+# CDX(J)-style capture index (the CommonCrawl cc-index layout): one row
+# per record with the byte coordinates of its gzip member, so a reader
+# can range-request exactly the records it wants instead of scanning
+# whole archives — the 100 TB random-access path. ``offset``/``length``
+# address the COMPRESSED member (usable as an HTTP Range header);
+# ``digest`` is the md5 hex of the exact payload bytes.
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
 
 
 # --------------------------------------------------------------- encoding
@@ -172,12 +201,14 @@ def write_wet_file(
 
 # --------------------------------------------------------------- decoding
 
-def _parse_records(stream: io.BufferedIOBase) -> Iterator[tuple]:
-    """Yield :data:`WET_SCHEMA` tuples from a decompressed WARC stream.
-
-    ``Content-Length`` frames the payload exactly, so payloads may
-    contain blank lines or even ``WARC/`` strings; the inter-record
-    blank lines are skipped by the version-line scan."""
+def _iter_raw_records(
+    stream: io.BufferedIOBase,
+) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(headers, payload)`` per record from a decompressed WARC
+    stream — header keys lowercased, payload framed exactly by
+    ``Content-Length`` (so payloads may contain blank lines or even
+    ``WARC/`` strings; the inter-record blank lines are skipped by the
+    version-line scan)."""
     while True:
         line = stream.readline()
         if not line:
@@ -199,13 +230,19 @@ def _parse_records(stream: io.BufferedIOBase) -> Iterator[tuple]:
         payload = stream.read(length)
         if len(payload) != length:
             raise ValueError("truncated WARC payload")
+        yield headers, payload
+
+
+def _parse_records(stream: io.BufferedIOBase) -> Iterator[tuple]:
+    """Yield :data:`WET_SCHEMA` tuples from a decompressed WARC stream."""
+    for headers, payload in _iter_raw_records(stream):
         yield (
             headers.get("warc-record-id"),
             headers.get("warc-type"),
             headers.get("warc-target-uri"),
             headers.get("warc-identified-content-language"),
             headers.get("content-type"),
-            length,
+            len(payload),
             payload.decode("utf-8", errors="replace"),
             payload,
         )
@@ -302,6 +339,37 @@ def read_wet_range(path: str, start: int, end: int) -> Iterator[tuple]:
             pos = nxt
 
 
+def read_cdx_range(path: str, start: int, end: int) -> Iterator[tuple]:
+    """Yield :data:`CDX_SCHEMA` tuples for every record whose gzip
+    member starts in ``[start, end)`` — the index-build scan. Same
+    split-ownership rule as :func:`read_wet_range`, but per member it
+    records the byte coordinates ``(offset, length)`` and the payload
+    digest instead of retaining the payload, so the index rows are tiny
+    regardless of record size. A repacked (single-member) archive
+    indexes every record at the member's coordinates; fetch then
+    disambiguates by ``record_id``."""
+    fname = os.path.basename(path)
+    with open(path, "rb") as fh:
+        pos = 0 if start == 0 else _find_member_start(fh, start, end)
+        while pos is not None and pos < end:
+            data, nxt = _read_member(fh, pos)
+            raw = _iter_raw_records(io.BufferedReader(io.BytesIO(data)))
+            for headers, payload in raw:
+                yield (
+                    headers.get("warc-record-id"),
+                    headers.get("warc-type"),
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date"),
+                    headers.get("content-type"),
+                    len(payload),
+                    hashlib.md5(payload).hexdigest(),
+                    fname,
+                    pos,
+                    nxt - pos,
+                )
+            pos = nxt
+
+
 def count_gzip_members(path: str) -> int:
     """Diagnostic: number of gzip members (CommonCrawl layout has one
     per record + 1 warcinfo). Walks member boundaries with zlib."""
@@ -358,9 +426,12 @@ class WarcPyReader(DataSourceReader):
         return parts
 
     def read(self, partition: WarcFilePartition) -> Iterator[tuple]:
-        yield from read_wet_range(
-            partition.file_path, partition.start, partition.end
+        rng = (
+            read_cdx_range
+            if self.options.get("mode") == "cdx"
+            else read_wet_range
         )
+        yield from rng(partition.file_path, partition.start, partition.end)
 
 
 class WarcCommit(WriterCommitMessage):
@@ -436,6 +507,8 @@ class WarcPyDataSource(DataSource):
         return "warc_py"
 
     def schema(self) -> T.StructType:
+        if self.options.get("mode") == "cdx":
+            return CDX_SCHEMA
         return WET_SCHEMA
 
     def reader(self, schema: T.StructType) -> WarcPyReader:
@@ -611,3 +684,59 @@ def wet_convert(df, spark=None):
     return df.select(
         "record_id", "target_uri", "warc_type", "payload_bytes"
     ).mapInPandas(conv, schema)
+
+
+# ------------------------------------------------------ CDX index / fetch
+
+def surt_urlkey(uri):
+    """SURT canonical url key as a pure-codegen Column expression:
+    scheme dropped, host lowercased and label-reversed comma-joined,
+    ``)/`` + lowercased path — ``https://www.Example.org/Doc/5`` →
+    ``org,example,www)/doc/5`` (the cc-index sort key, minus the
+    optional www-strip/query-normalize steps). Built-ins only
+    (``parse_url``/``split``/``reverse``) so key derivation over a
+    billion-row index stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    host = F.lower(F.parse_url(uri, F.lit("HOST")))
+    path = F.lower(F.parse_url(uri, F.lit("PATH")))
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    return F.concat(rev, F.lit(")"), path)
+
+
+def fetch_records(df_index, warc_dir: str):
+    """Random-access fetch: given CDX index rows (``filename``,
+    ``offset``, ``record_id``), read EXACTLY those records — the
+    100 TB access pattern (an HTTP Range request per member against an
+    object store; here a seek). Partition-clusters by ``filename`` and
+    reads each distinct member once in offset order (a multi-record
+    member fetched for several ids is decompressed once), emitting only
+    the requested ``record_id`` rows; archives are never scanned.
+    Returns :data:`WET_SCHEMA` rows via an Arrow ``mapInPandas`` seam —
+    payload bytes appear only inside the fetch batch."""
+    import pandas as pd
+
+    cols = [f.name for f in WET_SCHEMA.fields]
+
+    def fetch(batches):
+        for pdf in batches:
+            rows = []
+            for fname, grp in pdf.groupby("filename", sort=True):
+                path = os.path.join(warc_dir, fname)
+                with open(path, "rb") as fh:
+                    for off in sorted(grp["offset"].unique()):
+                        want = set(
+                            grp.loc[grp["offset"] == off, "record_id"]
+                        )
+                        data, _ = _read_member(fh, int(off))
+                        buf = io.BufferedReader(io.BytesIO(data))
+                        for rec in _parse_records(buf):
+                            if rec[0] in want:
+                                rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        df_index.select("filename", "offset", "record_id")
+        .repartition("filename")
+        .mapInPandas(fetch, WET_SCHEMA)
+    )

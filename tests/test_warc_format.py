@@ -9,6 +9,7 @@ partitioning, overwrite/commit atomicity.
 
 import glob
 import gzip
+import io
 import os
 
 import pytest
@@ -308,3 +309,144 @@ def test_response_writer_rejects_wet_columns(spark, tmp_path):
         df.write.format("warc_py").option("record_type", "response").mode(
             "append"
         ).option("path", os.path.join(str(tmp_path), "bad")).save()
+
+
+# ------------------------------------------------------ CDX index / fetch
+
+
+def test_cdx_offsets_address_the_right_members(tmp_path):
+    path = _write(tmp_path)
+    size = os.path.getsize(path)
+    idx = list(wf.read_cdx_range(path, 0, size))
+    # one row per record incl. warcinfo, lengths tile the file exactly
+    assert len(idx) == len(ROWS) + 1
+    assert sum(r[9] for r in idx) == size
+    assert [r[8] for r in idx] == sorted(r[8] for r in idx)
+    import hashlib
+
+    for rid, wtype, uri, date, ctype, length, digest, fname, off, ln in idx:
+        assert fname == os.path.basename(path)
+        assert date == "2026-01-01T00:00:00Z"
+        # re-read the member at (offset) and find exactly this record
+        with open(path, "rb") as fh:
+            data, nxt = wf._read_member(fh, off)
+        assert nxt - off == ln
+        recs = list(
+            wf._parse_records(io.BufferedReader(io.BytesIO(data)))
+        )
+        match = [r for r in recs if r[0] == rid]
+        assert len(match) == 1
+        assert match[0][7] is not None
+        assert hashlib.md5(match[0][7]).hexdigest() == digest
+        assert length == len(match[0][7])
+
+
+def test_cdx_range_splits_cover_exactly_once(tmp_path):
+    rows = [
+        (f"https://web.example.org/c/{i}", "en", f"doc {i} " + "y" * 40)
+        for i in range(25)
+    ]
+    path = os.path.join(str(tmp_path), "c.warc.gz")
+    wf.write_wet_file(path, iter(rows))
+    size = os.path.getsize(path)
+    whole = sorted(wf.read_cdx_range(path, 0, size))
+    for nsplits in (2, 5, size):
+        step = max(1, size // nsplits)
+        got = []
+        for off in range(0, size, step):
+            got.extend(
+                wf.read_cdx_range(path, off, min(off + step, size))
+            )
+        assert sorted(got) == whole, f"nsplits={nsplits}"
+
+
+def test_cdx_repacked_single_member_archive(tmp_path):
+    # every record of a repacked archive indexes at the one member's
+    # coordinates; fetch disambiguates by record_id
+    path = _write(tmp_path)
+    raw = gzip.decompress(open(path, "rb").read())
+    single = os.path.join(str(tmp_path), "single.warc.gz")
+    with gzip.open(single, "wb") as fh:
+        fh.write(raw)
+    size = os.path.getsize(single)
+    idx = list(wf.read_cdx_range(single, 0, size))
+    assert len(idx) == len(ROWS) + 1
+    assert {(r[8], r[9]) for r in idx} == {(0, size)}
+
+
+def test_datasource_cdx_mode(spark, tmp_path):
+    wf.register_warc(spark)
+    out = str(tmp_path / "w")
+    df = spark.createDataFrame(ROWS, schema=list(wf.WRITE_COLUMNS))
+    df.write.format("warc_py").mode("append").option("path", out).save()
+    idx = (
+        spark.read.format("warc_py")
+        .option("path", out)
+        .option("mode", "cdx")
+        .load()
+    )
+    assert idx.schema == wf.CDX_SCHEMA
+    rows = idx.filter("warc_type = 'conversion'").collect()
+    assert {r.target_uri for r in rows} == {r[0] for r in ROWS}
+    assert all(r.length > 0 and r.offset >= 0 for r in rows)
+
+
+def test_surt_urlkey(spark):
+    df = spark.createDataFrame(
+        [("https://www.Example.org/Doc/5",), ("http://a.b.co/x?q=1",)],
+        ["uri"],
+    )
+    got = [
+        r.k
+        for r in df.select(wf.surt_urlkey("uri").alias("k")).collect()
+    ]
+    assert got == ["org,example,www)/doc/5", "co,b,a)/x"]
+
+
+def test_fetch_records_exact_subset_multi_file(spark, tmp_path):
+    wf.register_warc(spark)
+    out = str(tmp_path / "w")
+    rows = [
+        (f"https://web.example.org/f/{i}", "en", f"body {i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, schema=list(wf.WRITE_COLUMNS))
+    df.repartition(3).write.format("warc_py").mode("append").option(
+        "path", out
+    ).save()
+    assert len(glob.glob(os.path.join(out, "*.warc.gz"))) == 3
+    idx = (
+        spark.read.format("warc_py")
+        .option("path", out)
+        .option("mode", "cdx")
+        .load()
+        .filter("warc_type = 'conversion' AND target_uri LIKE '%0'")
+    )
+    fetched = wf.fetch_records(idx, out).collect()
+    want = {u for (u, _, _) in rows if u.endswith("0")}
+    assert {r.target_uri for r in fetched} == want
+    assert all(
+        r.payload == f"body {r.target_uri.rsplit('/', 1)[1]}"
+        for r in fetched
+    )
+
+
+def test_fetch_records_disambiguates_within_member(spark, tmp_path):
+    # repacked single-member archive: index rows share coordinates,
+    # fetch must return only the requested ids (decompress once)
+    wf.register_warc(spark)
+    path = _write(tmp_path)
+    raw = gzip.decompress(open(path, "rb").read())
+    out = str(tmp_path / "rp")
+    os.makedirs(out)
+    with gzip.open(os.path.join(out, "r.warc.gz"), "wb") as fh:
+        fh.write(raw)
+    idx = (
+        spark.read.format("warc_py")
+        .option("path", out)
+        .option("mode", "cdx")
+        .load()
+        .filter("warc_type = 'conversion' AND target_uri LIKE '%/1'")
+    )
+    fetched = wf.fetch_records(idx, out).collect()
+    assert [r.target_uri for r in fetched] == [ROWS[0][0]]
