@@ -324,6 +324,43 @@ def decode_png_features(
     return df.mapInPandas(feats, PNG_FEATURE_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("hhi", T.LongType()),
+        T.StructField("hlo", T.LongType()),
+    ]
+)
+
+
+def decode_png_ahash(
+    df: DataFrame, id_col: str = "vec_id", png_col: str = "png"
+) -> DataFrame:
+    """Real PNG decode → 64-bit average hash (aHash) per image, as two
+    unsigned 32-bit halves in BIGINT columns so downstream Hamming math
+    (``bit_count(hhi ^ hhi')``) stays sign-safe and cross-engine
+    restatable. Bit i (row-major pixel order) is set iff
+    ``pixel_i > mean(pixels)`` — strict, with the mean an exact
+    power-of-two division of an integer sum, so an oracle recomputing
+    from the source floats lands on bit-identical hashes. One Arrow
+    pass; blobs never leave the seam."""
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, blob in zip(pdf[id_col], pdf[png_col]):
+                _w, _h, img, _n = _decode_png(bytes(blob))
+                p = img.astype(np.float64).ravel()
+                bits = p > (p.sum() / p.size)
+                w32 = (1 << np.arange(32, dtype=np.int64))
+                hhi = int((bits[:32] * w32).sum())
+                hlo = int((bits[32:] * w32).sum())
+                rows.append((int(vid), hhi, hlo))
+            yield pd.DataFrame(rows, columns=["vec_id", "hhi", "hlo"])
+
+    return df.mapInPandas(hashes, AHASH_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # GIF87a (round 8): the second REAL COMPRESSED format, and a genuinely
 # different compression family from PNG's DEFLATE — GIF image data is

@@ -2418,3 +2418,119 @@ def q_warc_cdx_fetch(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("payload_hashsum"),
     )
+
+
+@register(
+    "image_ahash_near_dups",
+    """
+    -- fully relational oracle: pixels restated from the source floats
+    -- through the exact byte quantization, the 64-bit average hash
+    -- rebuilt bit-by-bit (strict pixel > mean, mean an exact /64 of an
+    -- integer sum), then BRUTE-FORCE all-pairs Hamming — the Spark
+    -- side's pigeonhole-banded join must reproduce it exactly, which
+    -- the 4x16-bit blocking guarantees for hamming <= 3. Twins are
+    -- planted deterministically (+0.02 on dim 1, id + 1000000) so the
+    -- result is non-vacuous at every SF.
+    WITH allv AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_prepend(CAST(embedding[1] + 0.02 AS FLOAT),
+                          embedding[2:])
+      FROM embeddings
+    ), px AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               greatest(least(floor((CAST(x AS DOUBLE) + 1) / 2 * 255
+                                    + 0.5), 255), 0)) AS p
+      FROM allv
+    ), h AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(p, (x, i) ->
+               CASE WHEN i <= 32 AND x > list_sum(p) / 64.0
+                    THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS hhi,
+             CAST(list_sum(list_transform(p, (x, i) ->
+               CASE WHEN i > 32 AND x > list_sum(p) / 64.0
+                    THEN 2 ** (i - 33) ELSE 0 END)) AS BIGINT) AS hlo
+      FROM px
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(bit_count(xor(a.hhi, b.hhi))
+                + bit_count(xor(a.hlo, b.hlo)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.hhi, b.hhi))
+          + bit_count(xor(a.hlo, b.hlo)) <= 3
+    """,
+    doc="Image near-duplicate detection over REAL decoded blobs (E5 x "
+    "E2): embeddings (+ planted perturbed twins) -> zlib-deflated PNG "
+    "-> real chunk-walk/defilter decode -> 64-bit average hash "
+    "(ext/image.decode_png_ahash) -> pigeonhole-banded Hamming join "
+    "(4 blocks of 16 bits guarantee recall for hamming <= 3: a pair "
+    "within 3 flips must agree on one whole block) -> exact bit_count "
+    "verify. Never all-pairs: candidates come from the banded "
+    "equi-join, the perceptual-dedup shape that survives 100x.",
+    tags=("ext",),
+)
+def q_image_ahash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ext.image import decode_png_ahash, synthesize_png
+
+    emb = read_sf_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(
+                (F.element_at("embedding", 1) + F.lit(0.02)).cast("float")
+            ),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    h = decode_png_ahash(synthesize_png(emb.unionByName(twins)))
+    blocks = h.select(
+        "vec_id",
+        "hhi",
+        "hlo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col(c), s)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i, (c, s) in enumerate(
+                        [("hhi", 0), ("hhi", 16), ("hlo", 0), ("hlo", 16)]
+                    )
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "hhi", "hlo", "e.blk", "e.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.hhi").alias("ahhi"),
+            F.col("a.hlo").alias("ahlo"),
+            F.col("b.hhi").alias("bhhi"),
+            F.col("b.hlo").alias("bhlo"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("ahhi").bitwiseXOR(F.col("bhhi")))
+        + F.bit_count(F.col("ahlo").bitwiseXOR(F.col("bhlo")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -256,3 +256,48 @@ def test_420_spark_seam(spark):
         assert (r.width, r.height, r.n_blocks) == (16, 16, 6)
         assert len(r.y_pixels) == 256
         assert len(r.cb_pixels) == len(r.cr_pixels) == 64
+
+
+# -------------------------------------------------------- aHash (round 10)
+
+
+def test_png_ahash_hand_derived(spark):
+    from pyspark.sql import Row
+
+    from entity_etl_spark.ext.image import decode_png_ahash, synthesize_png
+
+    # pixels g_i = 4i: mean = 126, bit set iff 4i > 126 iff i >= 32
+    # -> hhi = 0, hlo = 0xFFFFFFFF; reversed image flips the halves
+    ramp = [(2 * (4 * i) - 255) / 255.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=ramp),
+         Row(vec_id=2, embedding=ramp[::-1])]
+    )
+    got = {
+        r.vec_id: (r.hhi, r.hlo)
+        for r in decode_png_ahash(synthesize_png(df)).collect()
+    }
+    assert got[1] == (0, 0xFFFFFFFF)
+    assert got[2] == (0xFFFFFFFF, 0)
+
+
+def test_png_ahash_matches_numpy_reference(spark):
+    from pyspark.sql import Row
+
+    from entity_etl_spark.ext.image import decode_png_ahash, synthesize_png
+
+    rng = np.random.default_rng(7)
+    vecs = rng.uniform(-1, 1, size=(20, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vecs)]
+    )
+    got = {
+        r.vec_id: (r.hhi, r.hlo)
+        for r in decode_png_ahash(synthesize_png(df)).collect()
+    }
+    for i, v in enumerate(vecs):
+        g = np.clip(np.floor((v.astype(np.float64) + 1) / 2 * 255 + 0.5), 0, 255)
+        bits = g > g.sum() / g.size
+        w = 1 << np.arange(32, dtype=np.int64)
+        assert got[i] == (int((bits[:32] * w).sum()), int((bits[32:] * w).sum()))
