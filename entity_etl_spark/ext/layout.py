@@ -52,3 +52,69 @@ def cluster_by_zorder(
     return keyed.repartitionByRange(n_partitions, key_name).sortWithinPartitions(
         key_name
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (round 10). The other half of layout hygiene:
+# streaming/incremental jobs leave thousands of KB-scale files per
+# table, and at 100 TB the per-file open/footer cost dominates scans.
+# The Spark-first move is to NOT reimplement bin packing: the file-source
+# scan planner already packs small files into size-bounded
+# FilePartitions (first-fit over maxPartitionBytes with openCostInBytes
+# as the per-file surcharge). Reading with those knobs pinned to the
+# compaction target and writing straight back is therefore a
+# ZERO-SHUFFLE compaction — each task concatenates one bin of small
+# files into one output file, no repartition(), no exchange, and AQE
+# has nothing to re-plan. Contrast with .repartition(n) compaction,
+# which shuffles every byte once.
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    open_cost_bytes: int = 4 << 20,
+) -> DataFrame:
+    """Compact a directory of small parquet files into ~``target_bytes``
+    files at ``dst`` without a shuffle. Returns the compacted frame
+    (read back from ``dst``). ``open_cost_bytes`` is the planner's
+    per-file surcharge — raising it biases toward FEWER output files
+    for directories of many tiny files (the surcharge models the real
+    footer/open overhead being compacted away)."""
+    conf = spark.conf
+    keys = ("spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes")
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    conf.set(keys[0], str(target_bytes))
+    conf.set(keys[1], str(open_cost_bytes))
+    try:
+        # plan AND execute under the pinned knobs (lazy plans capture
+        # the conf at action time, so the write happens inside)
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return spark.read.parquet(dst)
+
+
+def parquet_file_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a parquet directory — the
+    before/after observability for compaction."""
+    import os
+
+    n = tot = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                tot += os.path.getsize(os.path.join(root, f))
+    return n, tot

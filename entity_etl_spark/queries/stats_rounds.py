@@ -2534,3 +2534,59 @@ def q_image_ahash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@register(
+    "compact_small_files",
+    """
+    -- content preservation is the oracle-checkable half (rows, ids,
+    -- payload hashes through the rewrite); the layout half (fewer
+    -- files out than in, byte footprint in the same ballpark) is
+    -- measured Spark-side and pinned as booleans, the
+    -- state_lifecycle_metrics precedent for filesystem facts SQL
+    -- cannot see.
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS content_hashsum,
+           TRUE AS compacted_fewer_files,
+           TRUE AS bytes_within_2x
+    FROM documents
+    """,
+    doc="Zero-shuffle small-file compaction (ext/layout.compact_parquet): "
+    "32 deliberately tiny parquet files -> read with maxPartitionBytes/"
+    "openCostInBytes pinned to the compaction target, so Spark's own "
+    "file-source bin packing forms the output bins -> straight write, "
+    "no repartition, no Exchange (each task concatenates one bin). The "
+    "incremental-ingest hygiene op: at 100 TB, per-file open cost "
+    "dominates scans over fragmented tables, and THIS compaction never "
+    "shuffles a byte, unlike repartition(n).",
+    tags=("ext",),
+)
+def q_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..ext.layout import compact_parquet, parquet_file_stats
+
+    src = tempfile.mkdtemp(prefix="compact_src_")
+    dst = tempfile.mkdtemp(prefix="compact_dst_")
+    atexit.register(shutil.rmtree, src, True)
+    atexit.register(shutil.rmtree, dst, True)
+    docs = read_sf_table(spark, sf, "documents").select(
+        "doc_id", "text"
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(src)
+    back = compact_parquet(spark, src, dst)
+    n_in, b_in = parquet_file_stats(src)
+    n_out, b_out = parquet_file_stats(dst)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_ids"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+        ).alias("content_hashsum"),
+        F.lit(bool(n_out < n_in)).alias("compacted_fewer_files"),
+        F.lit(bool(b_in // 2 < b_out < b_in * 2)).alias("bytes_within_2x"),
+    )

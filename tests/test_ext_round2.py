@@ -1073,3 +1073,56 @@ def test_semdedup_incremental_empty_drop_path(spark):
         batch, cents, cells, threshold=0.999, n_probe=1
     )
     assert kept.count() == 1 and delta.count() == 1
+
+
+# ------------------------------------------------- compaction (round 10)
+
+
+def test_compact_parquet_zero_shuffle_and_content(spark, tmp_path):
+    from entity_etl_spark.ext.layout import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 10_000).withColumn(
+        "payload", F.concat(F.lit("row-"), F.col("id"))
+    )
+    df.repartition(24).write.parquet(src)
+    n_in, _ = parquet_file_stats(src)
+    assert n_in == 24
+
+    # the compaction read plans NO exchange: bins come from the file
+    # scan itself
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+    try:
+        plan = (
+            spark.read.parquet(src)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+
+    back = compact_parquet(spark, src, dst)
+    n_out, _ = parquet_file_stats(dst)
+    assert n_out < n_in
+    assert back.count() == 10_000
+    a = sorted(r.payload for r in back.collect())
+    b = sorted(f"row-{i}" for i in range(10_000))
+    assert a == b
+
+
+def test_compact_parquet_restores_session_conf(spark, tmp_path):
+    from entity_etl_spark.ext.layout import compact_parquet
+
+    src, dst = str(tmp_path / "s2"), str(tmp_path / "d2")
+    spark.range(100).write.parquet(src)
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    compact_parquet(spark, src, dst, target_bytes=1 << 20)
+    after = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    assert before == after
