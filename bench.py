@@ -18,62 +18,63 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# sf1 quiet bests — per-query MIN of the round-9 quiet runs
-# (BENCH_sf1_r9.json; merge of two full runs via tools/merge_bench_min).
+# sf1 quiet bests — per-query MIN of the round-10 quiet runs
+# (BENCH_sf1_r10.json; three full runs via tools/merge_bench_min,
+# median per-query ratio 1.01x vs the r9 dict — same host band, so this
+# re-base is a refresh, not an absorption of a regression).
 # The sf10 factor ratchet compares AGAINST these, so they must share the
 # sf10 run's measurement context: same host, same session design, same
-# round. The r8 dict was measured on a ~1.2x-faster box (median band —
-# BENCH_sf1_r9's commit message records the A/B), which made the r9
-# sf10 comparison measure the HOST, not the per-decade scaling; the
-# r8/r7 values live in git history and the committed BENCH artifacts.
+# round (the r9-established rule; comparing against a faster round's box
+# measures the HOST, not the per-decade scaling). The r9/r8/r7 values
+# live in git history and the committed BENCH artifacts.
 # Names missing from this dict are REPORTED as sf10_ratchet_ungated,
 # never silently passed.
 SF1_REF_BESTS: dict[str, float] = {
-    "asof_join": 0.405,
-    "bm25_topk": 1.596,
-    "boilerplate_segment_removal": 4.392,
-    "bpe_encode_tokens": 1.856,
-    "changed_rows": 1.733,
-    "chunk_documents_builtin": 0.751,
-    "containment_near_dups": 9.785,
-    "dedup_corpus_minhash": 10.898,
-    "dedup_corpus_minhash_prod": 5.282,
-    "dedup_exact": 0.371,
-    "embedding_pq_topk": 5.671,
-    "embedding_topk": 0.783,
-    "embedding_topk_heap": 0.787,
-    "incremental_scan": 0.378,
-    "item_item_cosine_topk": 12.697,
-    "item_item_cosine_topk_capped": 6.252,
-    "keep_latest_per_key": 1.124,
-    "kmeans_lloyd_2iter": 2.68,
-    "minhash_near_dups": 11.18,
-    "minhash_near_dups_xxh64_pairs": 4.763,
-    "minhash_recall_gate": 58.152,
-    "neardup_keep_best": 15.817,
-    "neardup_keep_best_prod": 9.575,
-    "q1_pricing_summary": 0.749,
-    "range_join": 1.105,
-    "region_nation_revenue": 2.012,
-    "scd2_user_event_history": 0.989,
-    "semantic_dedup_pairs": 5.62,
-    "session_window_agg": 2.263,
-    "sessionize": 0.289,
-    "state_merge_upsert": 1.017,
-    "streaming_bloom_state": 7.046,
-    "streaming_countmin_state": 5.691,
-    "streaming_dedup_watermark": 5.917,
-    "streaming_kmeans_state": 5.975,
-    "streaming_neardup_prep": 36.323,
-    "streaming_state_pipeline": 6.464,
-    "streaming_topk_state": 4.151,
-    "text_quality": 0.292,
+    "asof_join": 0.403,
+    "bm25_topk": 1.727,
+    "boilerplate_segment_removal": 1.992,
+    "bpe_encode_tokens": 2.074,
+    "changed_rows": 1.882,
+    "chunk_documents_builtin": 0.859,
+    "containment_near_dups": 10.204,
+    "dedup_corpus_minhash": 15.655,
+    "dedup_corpus_minhash_prod": 5.902,
+    "dedup_exact": 0.363,
+    "embedding_pq_topk": 6.675,
+    "embedding_topk": 0.825,
+    "embedding_topk_heap": 0.454,
+    "incremental_scan": 0.394,
+    "item_item_cosine_topk": 13.431,
+    "item_item_cosine_topk_capped": 5.621,
+    "keep_latest_per_key": 1.23,
+    "kmeans_lloyd_2iter": 2.28,
+    "minhash_near_dups": 10.269,
+    "minhash_near_dups_xxh64_pairs": 4.792,
+    "minhash_recall_gate": 19.65,
+    "neardup_keep_best": 18.676,
+    "neardup_keep_best_prod": 8.814,
+    "q1_pricing_summary": 0.753,
+    "range_join": 1.154,
+    "region_nation_revenue": 2.234,
+    "scd2_user_event_history": 1.166,
+    "semantic_dedup_pairs": 7.478,
+    "session_window_agg": 1.367,
+    "sessionize": 0.265,
+    "state_merge_upsert": 0.969,
+    "streaming_bloom_state": 5.003,
+    "streaming_countmin_state": 4.673,
+    "streaming_dedup_watermark": 5.614,
+    "streaming_kmeans_state": 5.016,
+    "streaming_neardup_prep": 43.396,
+    "streaming_state_pipeline": 7.754,
+    "streaming_topk_state": 3.546,
+    "text_quality": 0.326,
     "top_customers_per_nation": 1.785,
-    "top_orders_revenue": 2.298,
-    "training_data_prep": 25.765,
-    "triangle_count_copurchase": 91.333,
-    "triangle_count_doulion": 8.839,
-    "variant_shred": 0.185,
+    "top_orders_revenue": 2.31,
+    "training_data_prep": 40.902,
+    "triangle_count_copurchase": 51.642,
+    "triangle_count_doulion": 6.208,
+    "variant_shred": 0.152,
 }
 # sf10 exclusions — NEVER silent (reported in the JSON): the exact
 # near-dup pair family rides the shared-shingle counting join, whose
