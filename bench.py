@@ -43,6 +43,9 @@ SF1_REF_BESTS: dict[str, float] = {
     "embedding_pq_topk": 6.675,
     "embedding_topk": 0.825,
     "embedding_topk_heap": 0.454,
+    # r10 addition, timed solo at its tagging (7.684 s; sf10 24.2 s =
+    # 3.2x per decade, sub-linear — banded join + per-image codec)
+    "image_ahash_near_dups": 7.684,
     "incremental_scan": 0.394,
     "item_item_cosine_topk": 13.431,
     "item_item_cosine_topk_capped": 5.621,
@@ -171,6 +174,9 @@ HEAVY_CEILINGS_SF01: dict[str, float] = {
     # r7: DOULION sampled-triangle twin, 3.23 s quiet (2x + 0.5 s);
     # measured sf1 factor 2.8x vs exact's 6.4x — the ~linear path
     "triangle_count_doulion": 7.0,
+    # r10: aHash image near-dup over real PNG round-trips, 1.85 s
+    # quiet best-of-3 at sf0.1 (2x + 0.5 s)
+    "image_ahash_near_dups": 4.2,
     # r8: the production twins (BENCH_sf01_r8_quiet.json; 2x + 0.5 s)
     "dedup_corpus_minhash_prod": 5.7,
     "neardup_keep_best_prod": 9.0,

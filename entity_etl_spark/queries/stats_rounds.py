@@ -2469,7 +2469,7 @@ def q_warc_cdx_fetch(spark: SparkSession, sf: str) -> DataFrame:
     "within 3 flips must agree on one whole block) -> exact bit_count "
     "verify. Never all-pairs: candidates come from the banded "
     "equi-join, the perceptual-dedup shape that survives 100x.",
-    tags=("ext",),
+    tags=("ext", "bench2"),
 )
 def q_image_ahash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from ..ext.image import decode_png_ahash, synthesize_png
