@@ -178,7 +178,10 @@ _PROMOTIONS = {
     ("long", "double"): float,
     ("float", "double"): float,
     ("string", "bytes"): lambda v: v.encode("utf-8"),
-    ("bytes", "string"): lambda v: v.decode("utf-8"),
+    # U+FFFD replacement, the Java reference behavior (new String(b,
+    # UTF_8) never throws): a non-UTF-8 datum must not abort the whole
+    # container read mid-stream
+    ("bytes", "string"): lambda v: v.decode("utf-8", errors="replace"),
 }
 
 

@@ -64,7 +64,16 @@ def _iter_riff_chunks(blob: bytes):
     pos = 12
     while pos + 8 <= len(blob):
         cid, size = struct.unpack_from("<4sI", blob, pos)
-        yield cid, blob[pos + 8 : pos + 8 + size]
+        body = blob[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # a silently short body would decode to fewer samples with
+            # no error (quietly wrong durations downstream) — corrupt
+            # input must be loud
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declared {size} bytes, "
+                f"{len(body)} present"
+            )
+        yield cid, body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
 
 

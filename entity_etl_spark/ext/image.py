@@ -339,18 +339,20 @@ def decode_png_ahash(
     """Real PNG decode → 64-bit average hash (aHash) per image, as two
     unsigned 32-bit halves in BIGINT columns so downstream Hamming math
     (``bit_count(hhi ^ hhi')``) stays sign-safe and cross-engine
-    restatable. Bit i (row-major pixel order) is set iff
-    ``pixel_i > mean(pixels)`` — strict, with the mean an exact
-    power-of-two division of an integer sum, so an oracle recomputing
-    from the source floats lands on bit-identical hashes. One Arrow
-    pass; blobs never leave the seam."""
+    restatable. Any HxW image is first average-pooled onto the
+    canonical 8x8 aHash grid (:func:`_pool_8x8`; identity for 8x8
+    inputs). Bit i (row-major over the grid) is set iff
+    ``cell_i > mean(cells)`` — strict, with the 8x8 mean an exact
+    power-of-two division, so an oracle recomputing from the source
+    floats lands on bit-identical hashes for the fixture shape. One
+    Arrow pass; blobs never leave the seam."""
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for vid, blob in zip(pdf[id_col], pdf[png_col]):
                 _w, _h, img, _n = _decode_png(bytes(blob))
-                p = img.astype(np.float64).ravel()
+                p = _pool_8x8(img.astype(np.float64)).ravel()
                 bits = p > (p.sum() / p.size)
                 w32 = (1 << np.arange(32, dtype=np.int64))
                 hhi = int((bits[:32] * w32).sum())
@@ -359,6 +361,26 @@ def decode_png_ahash(
             yield pd.DataFrame(rows, columns=["vec_id", "hhi", "hlo"])
 
     return df.mapInPandas(hashes, AHASH_SCHEMA)
+
+
+def _pool_8x8(img: np.ndarray) -> np.ndarray:
+    """aHash's canonical downsample: average-pool any HxW grayscale
+    image onto the 8x8 grid (near-equal cell tiling via array_split —
+    deterministic, no interpolation). An 8x8 input is the identity, so
+    the fixture-size hash is unchanged."""
+    if img.shape == (8, 8):
+        return img
+    if img.ndim != 2 or min(img.shape) < 8:
+        raise ValueError(
+            f"aHash needs a 2-D grayscale image of at least 8x8, "
+            f"got shape {img.shape}"
+        )
+    return np.array(
+        [
+            [cell.mean() for cell in np.array_split(band, 8, axis=1)]
+            for band in np.array_split(img, 8, axis=0)
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -999,17 +1021,37 @@ def _decode_jpeg_planes(
                 table = _build_huff_decoder(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + n
+        elif marker == 0xDD:  # DRI: restart interval
+            # RSTn markers inside the entropy stream would be consumed
+            # as Huffman bits by the MCU walk below — refuse loudly
+            # rather than decode garbage (the hbs unsupported-token
+            # policy; restart support is a documented non-goal)
+            if struct.unpack_from(">H", payload)[0] != 0:
+                raise ValueError(
+                    "restart intervals (DRI/RSTn) unsupported by this "
+                    "baseline decoder"
+                )
         elif marker == 0xDA:  # SOS: entropy data follows the payload
             ns = payload[0]
+            scan_order = []
             for i in range(ns):
                 cid = payload[1 + 2 * i]
                 t = payload[2 + 2 * i]
                 scan_tables[cid] = (t >> 4, t & 0x0F)
+                scan_order.append(cid)
             pos += 2 + length
             break
         pos += 2 + length
     if width is None or not qtables or not dc_tables or not scan_tables:
         raise ValueError("missing SOF0/DQT/DHT before SOS")
+    # the MCU walk below interleaves components in SOF order; a scan
+    # that lists fewer components (progressive-style per-component
+    # scans) or a different order would misassign blocks to tables
+    if scan_order != [cid for cid, _, _, _ in comps]:
+        raise ValueError(
+            "SOS component set/order must match SOF0 (single "
+            "interleaved scan); per-component scans unsupported"
+        )
     hmax = max(h for _, h, _, _ in comps)
     vmax = max(v for _, _, v, _ in comps)
     mx = (width + 8 * hmax - 1) // (8 * hmax)

@@ -50,10 +50,17 @@ def assign_cells_multi(
     bc = corpus.sparkSession.sparkContext.broadcast(centroids)
     out_schema = T.StructType(
         [f for f in corpus.select(id_col, vec_col).schema.fields]
-        + [T.StructField("cell", T.IntegerType())]
+        + [
+            T.StructField("cell", T.IntegerType()),
+            # probe rank: 0 = the primary (nearest) cell — lets a
+            # consumer recover the single-assignment rows without a
+            # second centroid pass
+            T.StructField("__probe", T.IntegerType()),
+        ]
     )
 
     def run(batches):
+        import numpy as np
         import pandas as pd
 
         cent = bc.value
@@ -65,6 +72,7 @@ def assign_cells_multi(
             top = np.argsort(-(mat @ cent.T), axis=1)[:, :p]
             rep = pdf.loc[pdf.index.repeat(p), [id_col, vec_col]].copy()
             rep["cell"] = top.reshape(-1).astype("int32")
+            rep["__probe"] = np.tile(np.arange(p, dtype="int32"), len(pdf))
             yield rep
 
     return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
@@ -314,8 +322,8 @@ def semantic_dedup_incremental(
         if n_probe > 1
         else assign_cells(
             batch.select(id_col, vec_col), centroids, id_col, vec_col
-        )
-    ).localCheckpoint(eager=True)  # two consumers: pair gram + touched set
+        ).withColumn("__probe", F.lit(0))
+    ).localCheckpoint(eager=True)  # consumers: pair gram, touched set, delta
     touched = bcells.select("cell").distinct()
     scells = state_cells.join(touched, "cell", "left_semi")
     all_cells = scells.select(id_col, vec_col, "cell").withColumn(
@@ -336,8 +344,13 @@ def semantic_dedup_incremental(
     kept = batch.join(
         losers, batch[id_col] == losers["__loser"], "left_anti"
     )
-    delta = assign_cells(
-        kept.select(id_col, vec_col), centroids, id_col, vec_col
+    # the delta's primary-cell rows are already in the checkpointed
+    # bcells (__probe == 0) — prune to survivors instead of re-running
+    # the centroid matmul over the kept batch
+    delta = (
+        bcells.filter(F.col("__probe") == 0)
+        .join(kept.select(id_col), id_col, "left_semi")
+        .select(id_col, vec_col, "cell")
     )
     return kept, delta
 

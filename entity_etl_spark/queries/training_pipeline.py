@@ -1868,10 +1868,14 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     j = exact.join(sem, "vec_id", "full_outer")
     gates = j.agg(
         F.count("__e").cast("bigint").alias("n_exact_dropped"),
-        (
+        # vacuously true when NO exact pair lands in the batch window
+        # (tiny SFs): the division would yield NULL, not a boolean,
+        # and the oracle states literal true
+        F.coalesce(
             F.count(F.when(F.col("__e").isNotNull() & F.col("__s").isNotNull(), 1))
             / F.count("__e")
-            >= 0.8
+            >= 0.8,
+            F.lit(True),
         ).alias("recall_ok"),
         (F.count(F.when(F.col("__e").isNull(), 1)) == 0).alias(
             "precision_ok"

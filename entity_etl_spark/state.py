@@ -235,6 +235,14 @@ def state_lifecycle_metrics(
             ).collect()
             if r.col_name == "Location"
         )
+        if "://" in loc and not loc.startswith("file:"):
+            # a remote location (hdfs://, s3a://) would make the local
+            # os.walk below silently report 0 files / 0 bytes — the
+            # exact wrong-dir class this resolution exists to avoid
+            raise ValueError(
+                f"state_lifecycle_metrics walks the local filesystem; "
+                f"table location is remote: {loc}"
+            )
         root = loc.removeprefix("file:")
         generation = meta["generation"]
         n_merges = meta.get("merges", 1)
@@ -242,12 +250,9 @@ def state_lifecycle_metrics(
         root = state_path(state_dir, table)
         state = spark.read.parquet(root)
         generation, n_merges = 0, 1
-    n_files = total_bytes = 0
-    for dirpath, _dirs, files in os.walk(root):
-        for f in files:
-            if f.endswith(".parquet"):
-                n_files += 1
-                total_bytes += os.path.getsize(os.path.join(dirpath, f))
+    from .ext.layout import parquet_file_stats
+
+    n_files, total_bytes = parquet_file_stats(root)
     counts = state.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.count(F.when(F.col(TTL_COL) >= F.lit(now_epoch_ms), 1))
