@@ -2590,3 +2590,53 @@ def q_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(bool(n_out < n_in)).alias("compacted_fewer_files"),
         F.lit(bool(b_in // 2 < b_out < b_in * 2)).alias("bytes_within_2x"),
     )
+
+
+@register(
+    "url_dedup_canonical",
+    """
+    -- the oracle does NOT parse URLs: it reconstructs the canonical
+    -- key directly from the source columns, which pins the Spark
+    -- side's parse_url/SURT/www-strip/query-drop chain — any
+    -- canonicalization bug keys the planted variants differently and
+    -- every aggregate diverges. Variants are planted deterministically
+    -- (scheme + www by doc_id % 3, utm query by doc_id % 5, path
+    -- collisions by doc_id % 97).
+    SELECT 'org,example,' || lower(source) || ')/p/'
+             || CAST(doc_id % 97 AS VARCHAR) AS urlkey,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(count(*) AS BIGINT) AS n_variants
+    FROM documents GROUP BY 1
+    """,
+    doc="URL canonicalization dedup (the crawl-pipeline URL-dedup "
+    "step): deliberately varied spellings (http/https, www., utm "
+    "query) -> canonical_urlkey (SURT + www-strip + query-drop, pure "
+    "codegen built-ins) -> keep-min-id per key. One hash aggregate on "
+    "the key; at 100 TB this is the cheap first pass that collapses "
+    "re-crawled spellings before any content hashing runs.",
+    tags=("ext",),
+)
+def q_url_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    from ..warc_format import canonical_urlkey
+
+    docs = read_sf_table(spark, sf, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("http://www.")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            F.lit(".example.org/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return urls.groupBy(
+        canonical_urlkey(F.col("url")).alias("urlkey")
+    ).agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )

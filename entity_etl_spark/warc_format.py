@@ -704,6 +704,18 @@ def surt_urlkey(uri):
     return F.concat(rev, F.lit(")"), path)
 
 
+def canonical_urlkey(uri):
+    """URL-dedup canonical key: :func:`surt_urlkey` plus the two
+    normalizations crawl dedup pipelines apply before keying — strip a
+    leading ``www`` host label and drop the query string (``parse_url
+    PATH`` already excludes it). Pure codegen; two spellings of the
+    same page (`http://www.X/p?utm=...` vs `https://X/p`) key
+    identically."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(surt_urlkey(uri), ",www\\)", ")")
+
+
 def fetch_records(df_index, warc_dir: str):
     """Random-access fetch: given CDX index rows (``filename``,
     ``offset``, ``record_id``), read EXACTLY those records — the

@@ -450,3 +450,23 @@ def test_fetch_records_disambiguates_within_member(spark, tmp_path):
     )
     fetched = wf.fetch_records(idx, out).collect()
     assert [r.target_uri for r in fetched] == [ROWS[0][0]]
+
+
+def test_canonical_urlkey_collapses_spellings(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://www.Example.org/p/5?utm_source=feed",),
+            ("https://example.org/p/5",),
+            ("https://www.example.org/p/5?x=1&y=2",),
+            # a host whose LAST label is legitimately www-like must not
+            # be stripped mid-host: only the leading label matches ,www)
+            ("https://www.example.org/www/5",),
+        ],
+        ["uri"],
+    )
+    got = [
+        r.k
+        for r in df.select(wf.canonical_urlkey("uri").alias("k")).collect()
+    ]
+    assert got[0] == got[1] == got[2] == "org,example)/p/5"
+    assert got[3] == "org,example)/www/5"
