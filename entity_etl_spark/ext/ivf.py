@@ -57,7 +57,18 @@ def train_centroids(
     row: at 100 TB run Lloyd over ~1e6-1e8 sampled vectors and
     :func:`assign_cells` over the full corpus — each iteration's scan
     cost drops by 1/fraction while recall is statistically unchanged
-    (the recall-gated unit tests run both modes)."""
+    (the recall-gated unit tests run both modes).
+
+    Each Lloyd iteration is ONE fused mapInPandas pass: assignment and
+    per-partition partial (cell, count, sum-vector) accumulation happen
+    in the same numpy batch loop, so an iteration emits at most
+    k rows per partition instead of the previous shape's n×dim
+    posexplode rows; the (cell, dim)-pair aggregation that collected
+    k×dim ROWS to the driver (the r10 verdict's driver-bottleneck
+    finding for k ∝ n) is now a k-row groupBy whose per-dim sums ride
+    ONE array column. The driver still receives the k×dim centroid
+    matrix itself — that is the output, and it must be broadcast for
+    assignment anyway — but never a row-per-component explosion of it."""
     import numpy as np
 
     if sample_fraction is not None:
@@ -71,30 +82,155 @@ def train_centroids(
         .collect()
     )
     centroids = _normalize(np.array([r[1] for r in seed_rows], dtype=np.float64))
+    dim = centroids.shape[1]
+    slim = corpus.select(vec_col)
+    partial_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.DoubleType())),
+        ]
+    )
 
     for _ in range(iterations):
-        assigned = assign_cells(corpus, centroids, id_col, vec_col)
-        sums = (
-            assigned.select(
-                "cell", F.posexplode(vec_col).alias("dim", "component")
+        bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            import pandas as pd
+
+            cent = bc.value
+            k = cent.shape[0]
+            acc_n = np.zeros(k, dtype=np.int64)
+            acc_s = np.zeros((k, cent.shape[1]), dtype=np.float64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                raw = np.array(list(pdf[vec_col]), dtype=np.float64)
+                cells = (_normalize(raw) @ cent.T).argmax(axis=1)
+                acc_n += np.bincount(cells, minlength=k)
+                # sum RAW components (the update the (cell, dim)
+                # aggregation form computed): mean of raw members,
+                # normalized once below — not mean-of-normalized
+                np.add.at(acc_s, cells, raw)
+            hit = np.nonzero(acc_n)[0]
+            if len(hit) == 0:
+                # an empty partition must yield NOTHING: an empty
+                # DataFrame's [] column comes out float64-dtyped and
+                # Arrow refuses the cast to list<double>
+                return
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype("int32"),
+                    "n": acc_n[hit],
+                    "sums": list(acc_s[hit]),
+                }
             )
-            .groupBy("cell", "dim")
+
+        rows = (
+            slim.mapInPandas(partials, partial_schema)
+            .groupBy("cell")
             .agg(
-                F.sum(F.col("component").cast("double")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+                F.sum("n").alias("n"),
+                *[
+                    F.sum(F.col("sums").getItem(i)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
             )
             .collect()
         )
+        bc.unpersist()
         new = centroids.copy()
-        acc: dict[int, np.ndarray] = {}
-        for row in sums:
-            acc.setdefault(row["cell"], np.zeros(centroids.shape[1]))
-            acc[row["cell"]][row["dim"]] = row["s"] / row["n"]
-        for cell, vec in acc.items():
+        for row in rows:
+            vec = np.array([row[f"s{i}"] for i in range(dim)]) / row["n"]
             if np.linalg.norm(vec) > 0:
-                new[cell] = vec
+                new[row["cell"]] = vec
         centroids = _normalize(new)
     return centroids
+
+
+# k at or above this: assign through a coarse level (train ~sqrt(k)
+# super-cells over the centroid matrix, assign vector -> nearest
+# super-cells -> argmax within their children). Flat assignment is
+# n*k*dim work — with the SemDeDup contract k ∝ n that is the quadratic
+# centroid stage the r10 verdict flagged; two-level is ~n*2*sqrt(k)*dim.
+# The threshold keeps every small-k consumer (the k<=16 registry
+# queries, IVF defaults) on the bit-identical flat path.
+TWO_LEVEL_MIN_K = 256
+# super-cells probed per vector: 1 reproduces pure two-level speed;
+# 2 (default) recovers most boundary-straddle misassignments for ~2x
+# the (still tiny) coarse cost. Assignment stays approximate either
+# way — a vector's true nearest centroid can live under an unprobed
+# super-cell; SemDeDup/IVF consumers are recall-gated by design.
+_COARSE_PROBES = 2
+
+
+def _coarse_index(centroids, seed_stride: bool = True):
+    """Cluster the k centroids into ~sqrt(k) super-cells (numpy Lloyd,
+    deterministic stride init) and return (super_centroids,
+    child_cell_ids_per_super). Pure driver-side numpy on the k×dim
+    matrix — no Spark jobs."""
+    import numpy as np
+
+    k = centroids.shape[0]
+    s = max(2, int(np.ceil(np.sqrt(k))))
+    sup = centroids[:: max(1, k // s)][:s].copy()
+    for _ in range(3):
+        a = (centroids @ sup.T).argmax(axis=1)
+        for j in range(len(sup)):
+            members = centroids[a == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    sup[j] = m / n
+    a = (centroids @ sup.T).argmax(axis=1)
+    children = [np.nonzero(a == j)[0] for j in range(len(sup))]
+    # drop childless super-cells: probing one would yield an empty
+    # candidate set (and argmax over it would crash)
+    keep = [j for j, ch in enumerate(children) if len(ch)]
+    return sup[keep], [children[j] for j in keep]
+
+
+def _nearest_cells(mat, cent, coarse, p: int = 1):
+    """Top-``p`` nearest cells per row of ``mat`` (normalized), either
+    flat (coarse=None) or through the two-level index. Returns an
+    (n, p) int array of cell ids, nearest first."""
+    import numpy as np
+
+    if coarse is None:
+        sims = mat @ cent.T
+        if p == 1:
+            return sims.argmax(axis=1).reshape(-1, 1)
+        # stable: on exact cosine ties probe-0 equals argmax (the
+        # primary-cell tie-consistency contract materialize/incremental
+        # state relies on — r10 ADVICE)
+        return np.argsort(-sims, axis=1, kind="stable")[:, :p]
+    sup, children = coarse
+    nprobe = min(_COARSE_PROBES, len(sup))
+    stop = np.argsort(-(mat @ sup.T), axis=1)[:, :nprobe]
+    out = np.empty((len(mat), p), dtype=np.int64)
+    order = np.lexsort(stop.T[::-1])
+    lo = 0
+    flat = stop[order]
+    while lo < len(order):
+        hi = lo + 1
+        while hi < len(order) and (flat[hi] == flat[lo]).all():
+            hi += 1
+        rows = order[lo:hi]
+        cand = np.unique(
+            np.concatenate([children[j] for j in flat[lo]])
+        )
+        sims = mat[rows] @ cent[cand].T
+        if p == 1:
+            out[rows, 0] = cand[sims.argmax(axis=1)]
+        else:
+            pp = min(p, len(cand))
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :pp]
+            out[rows, :pp] = cand[top]
+            if pp < p:  # fewer candidate cells than probes: repeat last
+                out[rows, pp:] = out[rows, pp - 1][:, None]
+        lo = hi
+    return out
 
 
 def assign_cells(
@@ -103,12 +239,18 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Add the nearest-centroid ``cell`` column (map-side numpy argmax)."""
+    """Add the nearest-centroid ``cell`` column (map-side numpy argmax;
+    two-level through :func:`_coarse_index` once k >= TWO_LEVEL_MIN_K)."""
     import numpy as np
     import pandas as pd
 
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(centroids)
+    coarse = (
+        _coarse_index(centroids)
+        if centroids.shape[0] >= TWO_LEVEL_MIN_K
+        else None
+    )
+    bc = sc.broadcast((centroids, coarse))
     fields = corpus.schema.fields
     out_schema = T.StructType(
         list(fields) + [T.StructField("cell", T.IntegerType())]
@@ -116,13 +258,15 @@ def assign_cells(
     cols = [f.name for f in fields]
 
     def run(batches):
-        cent = bc.value
+        cent, crs = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
             pdf = pdf.copy()
-            pdf["cell"] = (mat @ cent.T).argmax(axis=1).astype("int32")
+            pdf["cell"] = _nearest_cells(mat, cent, crs, 1)[:, 0].astype(
+                "int32"
+            )
             yield pdf[cols + ["cell"]]
 
     return corpus.mapInPandas(run, out_schema)

@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
 
-from .ivf import _normalize, assign_cells, train_centroids
+from .ivf import (
+    TWO_LEVEL_MIN_K,
+    _coarse_index,
+    _nearest_cells,
+    _normalize,
+    assign_cells,
+    train_centroids,
+)
 
 
 def assign_cells_multi(
@@ -44,10 +51,19 @@ def assign_cells_multi(
     """One row per (vector, cell) for the ``n_probe`` nearest centroids —
     the multi-assignment that recovers boundary-straddling pairs (two
     vectors compare iff they share ANY probed cell). Map-side numpy top-p,
-    no shuffle; downstream candidate rows multiply by <= n_probe."""
+    no shuffle; downstream candidate rows multiply by <= n_probe. Once
+    k >= ``ivf.TWO_LEVEL_MIN_K`` the top-p runs through the two-level
+    coarse index (n·~2√k instead of n·k centroid dot products — the r10
+    verdict's quadratic-centroid-stage fix; ties are stable so probe-0
+    always equals :func:`ivf.assign_cells`'s argmax)."""
     import numpy as np
 
-    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    coarse = (
+        _coarse_index(centroids)
+        if centroids.shape[0] >= TWO_LEVEL_MIN_K
+        else None
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((centroids, coarse))
     out_schema = T.StructType(
         [f for f in corpus.select(id_col, vec_col).schema.fields]
         + [
@@ -63,19 +79,27 @@ def assign_cells_multi(
         import numpy as np
         import pandas as pd
 
-        cent = bc.value
+        cent, crs = bc.value
         p = min(n_probe, cent.shape[0])
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            top = np.argsort(-(mat @ cent.T), axis=1)[:, :p]
+            top = _nearest_cells(mat, cent, crs, p)
             rep = pdf.loc[pdf.index.repeat(p), [id_col, vec_col]].copy()
             rep["cell"] = top.reshape(-1).astype("int32")
             rep["__probe"] = np.tile(np.arange(p, dtype="int32"), len(pdf))
             yield rep
 
     return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+# corpora above this train Lloyd on a deterministic hash-sample of
+# ~this many rows (floored at 20 rows per requested cluster). 50k keeps
+# every driver-tested SF (<= 20k embeddings at sf1) training full-corpus
+# bit-identically; the sf10 rehearsal (200k) and anything larger get
+# the bounded-training path.
+_MAX_TRAIN_ROWS = 50_000
 
 
 def semantic_near_dup_pairs(
@@ -101,12 +125,24 @@ def semantic_near_dup_pairs(
     quadratic trap this module's header warns about — at 10× the corpus
     each cell holds 10× the vectors and every reducer does 100× the
     matmul (caught by the round-5 sf1 rehearsal: 29× cost for 10× data).
-    The count() spent resolving k is one columnar metadata job."""
+    The count() spent resolving k is one columnar metadata job.
+
+    Training is hash-sampled once the corpus exceeds
+    ``_MAX_TRAIN_ROWS`` (Lloyd over a bounded representative sample —
+    centroid quality needs coverage, not every row; assignment still
+    runs full-corpus), and with auto-k large the assignment itself runs
+    through the two-level coarse index (``ivf.TWO_LEVEL_MIN_K``) — the
+    two halves of the r10 verdict's quadratic-centroid-stage fix."""
     import math
 
+    n = emb.count()
     if n_clusters is None:
-        n_clusters = max(1, math.ceil(emb.count() / target_cell_size))
-    cents = train_centroids(emb, id_col, vec_col, n_clusters, iterations)
+        n_clusters = max(1, math.ceil(n / target_cell_size))
+    frac = min(1.0, max(_MAX_TRAIN_ROWS, 20 * n_clusters) / max(n, 1))
+    cents = train_centroids(
+        emb, id_col, vec_col, n_clusters, iterations,
+        sample_fraction=frac if frac < 1.0 else None,
+    )
     if n_probe > 1:
         cells = assign_cells_multi(
             emb, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe
@@ -165,29 +201,224 @@ def cell_pairs_gram(
                  "id_b": pdf[id_col].iloc[:0],
                  "cos_sim": pd.Series(dtype="float64")}
             )
+        # sort by id: with unique ascending ids, (id_a < id_b) becomes
+        # (position_a < position_b), so each row chunk only multiplies
+        # against the columns at or after it — half the flops AND half
+        # the sims traffic of the full-rectangle form
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy()
         mat = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-        # row-chunked gram: peak sims block is 1024 x N_c doubles instead
-        # of N_c x N_c — an oversized cell (fixed small k on a big corpus)
-        # degrades to more chunks, not a multi-GB allocation in one worker
+        # row-chunked gram, block size shrunk for oversized cells so the
+        # peak sims block stays ~128 MB (a fixed 1024-row chunk against
+        # a 10^5-row cell is a ~1 GB allocation per concurrent worker —
+        # the r10 sf10 kernel-OOM mechanism)
+        block = max(64, min(1024, int(16e6 / max(1, len(ids)))))
         frames = []
-        for lo in range(0, len(ids), 1024):
-            sims = mat[lo : lo + 1024] @ mat.T
+        for lo in range(0, len(ids), block):
+            hi = min(lo + block, len(ids))
+            sims = mat[lo:hi] @ mat[lo:].T
             ii, jj = np.where(sims >= threshold)
-            ids_blk = ids[lo : lo + 1024]
-            keep = ids_blk[ii] < ids[jj]  # upper triangle, no self-pairs
+            keep = ii < jj  # upper triangle, no self-pairs
             frames.append(
                 pd.DataFrame(
                     {
-                        "id_a": ids_blk[ii][keep],
-                        "id_b": ids[jj][keep],
-                        "cos_sim": sims[ii, jj][keep],
+                        "id_a": ids[lo:][ii[keep]],
+                        "id_b": ids[lo:][jj[keep]],
+                        "cos_sim": sims[ii[keep], jj[keep]],
                     }
                 )
             )
         return pd.concat(frames, ignore_index=True)
 
     return cells.groupBy("cell").applyInPandas(gram, schema)
+
+
+def semantic_pair_gate(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.4,
+    n_probe: int = 3,
+) -> DataFrame:
+    """The SemDeDup recall/precision gate as ONE tiled masked-matmul
+    pass — the optimization of the pair-materializing gate form
+    (``semantic_near_dup_pairs`` + ``exact_cosine_pairs`` + full_outer):
+    identical output row ``(n_exact_pairs, recall_ok, precision_ok)``,
+    but neither side materializes its O(n²·density) pair set as rows.
+
+    Semantics (unchanged from the join form):
+
+    - ``exact``  = unordered pairs (a < b) with float64 cosine >=
+      threshold;
+    - ``found``  = exact pairs that additionally share ANY of each
+      vector's ``n_probe`` nearest cells (the multi-probe assignment
+      :func:`assign_cells_multi` computes) — the SemDeDup candidate
+      policy. Every emitted SemDeDup pair is exact-cosine-verified, so
+      found ⊆ exact structurally; n_bad counts any violation anyway;
+    - ``recall_ok``     = |found| / |exact| >= 0.8 (NULL when the exact
+      set is empty — the division semantics of the join form);
+    - ``precision_ok``  = n_bad == 0.
+
+    One float64 dot product per surviving pair is the authoritative
+    cosine for BOTH memberships. The join form evaluated each side with
+    a separate float64 BLAS pass; with the measured corpus margin
+    around the threshold (>= 1e-8 at every rehearsed SF, vs ~1e-15
+    float64 summation noise) the two evaluations always classify
+    identically — the same margin argument that lets the DuckDB oracle
+    restate the count — so collapsing them changes no output.
+
+    Physical shape: the corpus collects ONCE to the driver (the
+    ``MAX_DRIVER_COLLECT_ROWS``-guarded audit-scale contract
+    exact_cosine_pairs documents); Lloyd runs driver-side on the
+    collected matrix (bit-equivalent math to ivf.train_centroids'
+    full-corpus path, zero extra Spark jobs); the normalized float64
+    matrix + per-vector probe bitmasks broadcast once. Upper-triangle
+    TILES (square, cache-sized, float32 gram) fan out over the cluster;
+    each tile extracts the sparse >= threshold-band survivors and
+    re-evaluates only those in float64, emitting three partial COUNTS.
+    float32 rounding is immaterial: its worst-case dot error for
+    unit-norm dim-d vectors (~d·2⁻²⁴, ~4e-6 at d=64) is orders below
+    the pre-filter band, so no exact pair can be missed, and every
+    counted membership comes from the float64 re-evaluation. Nothing
+    else shuffles: the 10×-data cost at sf10 drops from the r10
+    measured 94× (pair-row materialization through Arrow + a 22M-vs-
+    22M-row full_outer, 703 s) to near the tiled-matmul floor."""
+    import numpy as np
+
+    from .similarity import _collect_matrix
+
+    spark = emb.sparkSession
+    ids, mat, raw = _collect_matrix(
+        emb, id_col, vec_col, "all-pairs corpus", return_raw=True
+    )
+    order = np.argsort(ids, kind="stable")
+    mat = np.ascontiguousarray(mat[order])
+    raw = raw[order]
+    n = len(ids)
+
+    # driver-side Lloyd, replicating train_centroids' full-corpus math:
+    # seed = k smallest ids, assignment = argmax cosine vs normalized
+    # centroids, update = mean of RAW members then one normalize.
+    # (Summation order differs from the distributed aggregation by
+    # ~1e-15 — harmless: n_exact is centroid-independent and the recall
+    # margin is ~0.17, so the output row is unchanged.)
+    k = min(n_clusters, n) if n else n_clusters
+    if n == 0:
+        cents = np.zeros((0, 1))
+    else:
+        cents = _normalize(raw[:k].astype(np.float64))
+        for _ in range(iterations):
+            cells = (mat @ cents.T).argmax(axis=1)
+            new = cents.copy()
+            for c in range(k):
+                members = raw[cells == c]
+                if len(members):
+                    vec = members.mean(axis=0)
+                    if np.linalg.norm(vec) > 0:
+                        new[c] = vec
+            cents = _normalize(new)
+    k = cents.shape[0]
+    coarse = _coarse_index(cents) if k >= TWO_LEVEL_MIN_K else None
+    p = min(n_probe, k)
+    if n:
+        top = _nearest_cells(mat, cents, coarse, p)
+    else:
+        top = np.zeros((0, max(p, 1)), dtype=np.int64)
+    if k <= 64:
+        bits = np.bitwise_or.reduce(
+            np.left_shift(np.uint64(1), top.astype(np.uint64)), axis=1
+        )
+        top = None
+    else:  # probe lists compare pairwise on the sparse survivors below
+        bits = None
+        top = np.ascontiguousarray(top.astype(np.int32))
+    bc = spark.sparkContext.broadcast((mat, bits, top))
+
+    # square tile fan-out over the upper triangle: each float32 sims
+    # tile is ~tile² · 4 bytes (16 MB at 2048) — cache-friendly, and
+    # per-tile temporaries stay small regardless of corpus size (the
+    # 128 MB-per-strip shape of the row-blocked form was the sf10
+    # memory-traffic wall). Tiles round-robin across tasks so the
+    # half-weight diagonal tiles spread.
+    tile = 2048
+    nt = (n + tile - 1) // tile
+    coords = [(i, j) for i in range(nt) for j in range(i, nt)]
+    starts = spark.createDataFrame(
+        coords or [(0, 0)], "ti: int, tj: int"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    if not coords:
+        starts = starts.limit(0)
+    out_schema = T.StructType(
+        [
+            T.StructField("n_exact", T.LongType()),
+            T.StructField("n_inter", T.LongType()),
+            T.StructField("n_bad", T.LongType()),
+        ]
+    )
+    # pairs at or above (threshold - band) in the float32 gram get the
+    # float64 re-evaluation; float32 error is ~4e-6 for these vectors,
+    # so every pair whose true cosine is >= threshold survives the
+    # pre-filter with 3 decimal orders of slack
+    band = 1e-2
+
+    def run(batches):
+        import pandas as pd
+
+        mat_b, bits_b, top_b = bc.value
+        mat32 = mat_b.astype(np.float32)
+        for pdf in batches:
+            n_exact = n_inter = n_bad = 0
+            for ti, tj in zip(pdf["ti"], pdf["tj"]):
+                a0, a1 = ti * tile, min((ti + 1) * tile, n)
+                b0, b1 = tj * tile, min((tj + 1) * tile, n)
+                sims = mat32[a0:a1] @ mat32[b0:b1].T
+                cand = sims >= threshold - band
+                if ti == tj:  # keep strict upper triangle only
+                    cand &= np.triu(
+                        np.ones(cand.shape, dtype=bool), k=1
+                    )
+                ii, jj = np.nonzero(cand)
+                if not len(ii):
+                    continue
+                gi, gj = a0 + ii, b0 + jj
+                d = np.einsum("ij,ij->i", mat_b[gi], mat_b[gj])
+                exact = d >= threshold
+                if bits_b is not None:
+                    share = (bits_b[gi] & bits_b[gj]) != 0
+                else:
+                    share = (
+                        top_b[gi][:, :, None] == top_b[gj][:, None, :]
+                    ).any(axis=(1, 2))
+                found = share & (d >= threshold)
+                n_exact += int(exact.sum())
+                n_inter += int((found & exact).sum())
+                n_bad += int((found & ~exact).sum())
+            yield pd.DataFrame(
+                {
+                    "n_exact": [n_exact],
+                    "n_inter": [n_inter],
+                    "n_bad": [n_bad],
+                }
+            )
+
+    partials = starts.mapInPandas(run, out_schema)
+    agg = partials.agg(
+        F.sum("n_exact").alias("__e"),
+        F.sum("n_inter").alias("__i"),
+        F.sum("n_bad").alias("__b"),
+    )
+    return agg.select(
+        F.coalesce(F.col("__e"), F.lit(0))
+        .cast("bigint")
+        .alias("n_exact_pairs"),
+        F.when(
+            F.col("__e") > 0, (F.col("__i") / F.col("__e")) >= 0.8
+        ).alias("recall_ok"),
+        (F.coalesce(F.col("__b"), F.lit(0)) == 0).alias("precision_ok"),
+    )
 
 
 # ------------------------------------------------ incremental state twin
@@ -271,10 +502,13 @@ def cell_cross_pairs(
         qids = ids[new]
         qmat = mat[new]
         frames = []
-        for lo in range(0, len(qids), 1024):
-            sims = qmat[lo : lo + 1024] @ mat.T
+        # block size shrinks for oversized cells: peak sims block stays
+        # ~128 MB instead of 1024 x |cell| doubles per concurrent worker
+        block = max(64, min(1024, int(16e6 / max(1, len(ids)))))
+        for lo in range(0, len(qids), block):
+            sims = qmat[lo : lo + block] @ mat.T
             ii, jj = np.where(sims >= threshold)
-            qa = qids[lo : lo + 1024][ii]
+            qa = qids[lo : lo + block][ii]
             mb = ids[jj]
             # partner drops the new doc iff it is state (any id) or a
             # smaller-id new sibling; never self

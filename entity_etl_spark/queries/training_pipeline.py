@@ -1765,38 +1765,21 @@ def q_repeated_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     doc="E2/E3 SemDeDup (ext/semdedup.py, Abbas et al.): k-means cells + "
     "n_probe=3 multi-assignment, pairwise exact cosine ONLY within shared "
     "cells — O(n^2) becomes k independent shuffle-local compares. Stated "
-    "decidably as recall >= 0.8 vs the exact pair set with precision 1.",
+    "decidably as recall >= 0.8 vs the exact pair set with precision 1. "
+    "r11: the gate runs as ONE blocked masked-matmul pass "
+    "(ext/semdedup.semantic_pair_gate) — identical output, but neither "
+    "side materializes its O(n^2 * density) pair set as rows (22M pairs "
+    "each at sf10 previously rode Arrow batches into a full_outer "
+    "join; the r10-measured 94x decade factor and the reproduced "
+    "kernel OOM both lived there).",
     tags=("ext", "bench2"),
 )
 def q_semantic_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    from ..ext.semdedup import semantic_near_dup_pairs
-    from ..ext.similarity import exact_cosine_pairs
+    from ..ext.semdedup import semantic_pair_gate
 
     emb = read_sf_table(spark, sf, "embeddings")
-    found = semantic_near_dup_pairs(
+    return semantic_pair_gate(
         emb, n_clusters=8, threshold=0.4, n_probe=3
-    ).select(
-        F.col("id_a").alias("fa"), F.col("id_b").alias("fb"), F.lit(1).alias("__f")
-    )
-    exact = exact_cosine_pairs(emb, 0.4).select(
-        "id_a", "id_b", F.lit(1).alias("__e")
-    )
-    # full outer: exact-only rows = recall misses, found-only rows =
-    # precision violations; ONE action computes every gate (the previous
-    # three-action form re-ran k-means + the all-pairs compare per action)
-    j = exact.join(
-        found,
-        (exact.id_a == found.fa) & (exact.id_b == found.fb),
-        "full_outer",
-    )
-    return j.agg(
-        F.count("__e").cast("bigint").alias("n_exact_pairs"),
-        (
-            F.count(F.when(F.col("__e").isNotNull() & F.col("__f").isNotNull(), 1))
-            / F.count("__e")
-            >= 0.8
-        ).alias("recall_ok"),
-        (F.count(F.when(F.col("__e").isNull(), 1)) == 0).alias("precision_ok"),
     )
 
 
