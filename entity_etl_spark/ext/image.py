@@ -1026,6 +1026,8 @@ def _decode_jpeg_planes(
             # as Huffman bits by the MCU walk below — refuse loudly
             # rather than decode garbage (the hbs unsupported-token
             # policy; restart support is a documented non-goal)
+            if len(payload) < 2:
+                raise ValueError("truncated DRI segment")
             if struct.unpack_from(">H", payload)[0] != 0:
                 raise ValueError(
                     "restart intervals (DRI/RSTn) unsupported by this "

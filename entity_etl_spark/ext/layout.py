@@ -82,27 +82,16 @@ def compact_parquet(
     per-file surcharge — raising it biases toward FEWER output files
     for directories of many tiny files (the surcharge models the real
     footer/open overhead being compacted away)."""
-    conf = spark.conf
-    keys = ("spark.sql.files.maxPartitionBytes",
-            "spark.sql.files.openCostInBytes")
-    saved = {}
-    for k in keys:
-        try:
-            saved[k] = conf.get(k)
-        except Exception:
-            saved[k] = None
-    conf.set(keys[0], str(target_bytes))
-    conf.set(keys[1], str(open_cost_bytes))
-    try:
-        # plan AND execute under the pinned knobs (lazy plans capture
-        # the conf at action time, so the write happens inside)
-        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                conf.unset(k)
-            else:
-                conf.set(k, v)
+    # pin the knobs on an ISOLATED session (shared SparkContext, own
+    # SQLConf): a concurrent query on the caller's session is never
+    # planned under the compaction knobs, and nothing has to be
+    # restored afterwards (the save/restore form also turned
+    # previously-unset keys into explicitly-set defaults, because
+    # conf.get returns the built-in default rather than raising)
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.files.maxPartitionBytes", str(target_bytes))
+    sess.conf.set("spark.sql.files.openCostInBytes", str(open_cost_bytes))
+    sess.read.parquet(src).write.mode("overwrite").parquet(dst)
     return spark.read.parquet(dst)
 
 

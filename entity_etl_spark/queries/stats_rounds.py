@@ -2578,7 +2578,16 @@ def q_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "text"
     )
     docs.repartition(32).write.mode("overwrite").parquet(src)
-    back = compact_parquet(spark, src, dst)
+    # scale the bin target to the input so fewer-files holds at every
+    # SF: with a FIXED 128MB target, once per-fragment size plus the
+    # 4MB open-cost surcharge exceeds half the target (documents
+    # roughly >2GB total), first-fit yields one bin per file and
+    # n_out == n_in — diverging from the oracle's pinned TRUE. At the
+    # driver SFs total//8 < 128MB, so behavior there is bit-identical.
+    _, b_src = parquet_file_stats(src)
+    back = compact_parquet(
+        spark, src, dst, target_bytes=max(128 << 20, b_src // 8)
+    )
     n_in, b_in = parquet_file_stats(src)
     n_out, b_out = parquet_file_stats(dst)
     return back.agg(

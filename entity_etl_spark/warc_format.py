@@ -710,10 +710,19 @@ def canonical_urlkey(uri):
     leading ``www`` host label and drop the query string (``parse_url
     PATH`` already excludes it). Pure codegen; two spellings of the
     same page (`http://www.X/p?utm=...` vs `https://X/p`) key
-    identically."""
+    identically. The www label is stripped from the HOST before the
+    key is assembled (not from the finished key, where a path that
+    happens to contain the literal ``,www)`` — both are legal path
+    characters — would be rewritten too and distinct URLs could
+    collide onto one canonical key)."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(surt_urlkey(uri), ",www\\)", ")")
+    host = F.regexp_replace(
+        F.lower(F.parse_url(uri, F.lit("HOST"))), "^www\\.", ""
+    )
+    path = F.lower(F.parse_url(uri, F.lit("PATH")))
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    return F.concat(rev, F.lit(")"), path)
 
 
 def fetch_records(df_index, warc_dir: str):
