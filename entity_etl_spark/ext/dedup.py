@@ -110,6 +110,39 @@ def _spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingle_rows_with_size(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """``(doc, sh, n)`` rows: one row per distinct k-shingle per doc,
+    each carrying the doc's distinct-shingle-set size ``n`` computed
+    map-side from the UN-exploded array (``F.size``) — no per-doc
+    aggregation ever re-counts it downstream.
+
+    Shape matters (measured, r11): materializing the shingle array in
+    its own Project before the Generate — the natural two-select form —
+    ran ~10x slower at sf0.1 than explode-with-the-expression-inside-
+    the-Generate (the higher-order ``transform`` expression is
+    codegen-incompatible, and an interpreted Project materializing the
+    array across a codegen boundary is far costlier than the Generate
+    evaluating the same expression in place). So both the element and
+    the size ride ONE generator expression:
+    ``arrays_zip(shs, array_repeat(size(shs), size(shs)))`` — the
+    per-ROW triple evaluation of ``shingles()`` is noise next to the
+    per-ELEMENT work (and next to the 10x Project penalty), and no
+    expensive expression ever sits beside the generator in a select
+    (the kmeans_lloyd ~17x per-element trap, pinned in
+    tests/test_plans.py)."""
+    shs = shingles(text_col, k)
+    z = F.arrays_zip(shs, F.array_repeat(F.size(shs), F.size(shs)))
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(z).alias("__z")
+    ).select(
+        "doc",
+        F.col("__z")["0"].alias("sh"),
+        F.col("__z")["1"].alias("n"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -137,14 +170,15 @@ def jaccard_pairs(
     from .graph import within_group_pairs
 
     df = _spread_input(df)
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(shingles(text_col, k)).alias("sh"),
-        )
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
+    # (doc, sh, n): the per-doc distinct-shingle-set size rides every
+    # row (computed map-side from the un-exploded array), so the sizes
+    # reach the Jaccard filter through the pair aggregation itself —
+    # the separate sizes aggregation (a third full shingling pass over
+    # the corpus plus its shuffle) and both post-aggregation sizes
+    # joins are gone (r11; capped runs keep the stated semantics:
+    # sizes count ALL shingles, intersections only uncapped ones)
+    sh = _shingle_rows_with_size(df, id_col, text_col, k)
+    return (
         within_group_pairs(
             sh,
             "sh",
@@ -155,15 +189,14 @@ def jaccard_pairs(
             observation=observation,
             dropped_metric="jac_rows_in_dropped_shingles",
             max_metric="jac_max_shingle_df",
+            carry=("n",),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -196,7 +229,8 @@ def containment_pairs(
     pre-training corpora (CCNet/Gopher use containment for exactly this).
 
     Same physical shape as :func:`jaccard_pairs` (one shingle-keyed
-    shuffle, per-pair intersection count, per-doc sizes joined in); only
+    shuffle, per-pair intersection count, per-doc sizes carried on the
+    rows); only
     the final ratio differs, so the 100 TB story is identical — run
     :func:`lsh_candidate_pairs` first and verify candidates here.
 
@@ -205,11 +239,9 @@ def containment_pairs(
     from .graph import within_group_pairs
 
     df = _spread_input(df)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(text_col, k)).alias("sh"),
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes ride each row map-side (see jaccard_pairs — same r11
+    # denormalization: no separate sizes pass, no post-agg sizes joins)
+    sh = _shingle_rows_with_size(df, id_col, text_col, k)
     inter = (
         within_group_pairs(
             sh,
@@ -221,17 +253,18 @@ def containment_pairs(
             observation=observation,
             dropped_metric="cont_rows_in_dropped_shingles",
             max_metric="cont_max_shingle_df",
+            carry=("n",),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     raw_max = F.col("n_inter") / F.least("n_a", "n_b")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(raw_max >= threshold)
+        inter.filter(raw_max >= threshold)
         .select(
             "doc_a",
             "doc_b",
@@ -1175,8 +1208,12 @@ def exact_neardup_dedup_incremental(
     n-gram Jaccard with the accumulated corpus (or a smaller-id batch
     sibling) reaches ``threshold`` — same keep-min-id policy as
     :func:`minhash_dedup_incremental`, but the persistent state is the
-    corpus' SHINGLE INVERTED INDEX (one ``(doc, sh)`` row per distinct
-    shingle per kept doc) instead of MinHash signatures, so the pair set
+    corpus' SHINGLE INVERTED INDEX (one ``(doc, sh, n)`` row per
+    distinct shingle per kept doc, ``n`` the doc's distinct-shingle-set
+    size — immutable per doc, so persisting it removes the per-batch
+    O(state) sizes aggregation and both sizes joins the bare (doc, sh)
+    layout needed; old-layout states upgrade transparently on load —
+    r11) instead of MinHash signatures, so the pair set
     is the exact one: a threshold-pinned dedup policy keeps its contract
     at any corpus size (the r5 sf1 rehearsal showed LSH signatures
     silently keep extra near-threshold docs).
@@ -1203,10 +1240,8 @@ def exact_neardup_dedup_incremental(
     computed = None
     if corpus_shingles is None:
         corpus_shingles = (
-            _spread_input(corpus)
-            .select(
-                F.col(id_col).alias("doc"),
-                F.explode(shingles(text_col, k)).alias("sh"),
+            _shingle_rows_with_size(
+                _spread_input(corpus), id_col, text_col, k
             )
             .localCheckpoint(eager=True)
         )
@@ -1224,40 +1259,49 @@ def exact_neardup_dedup_incremental(
         #   shifting every affected Jaccard (2i/(2na+nb-2i) != i/(na+nb-i)),
         #   i.e. wrong drops/keeps. Excluding the state copy re-evaluates
         #   the doc as a batch doc; the batch-ids side is tiny → broadcast.
+        if "n" not in corpus_shingles.columns:
+            # legacy (doc, sh) state: attach the per-doc set size once
+            # (the pre-r11 per-batch sizes aggregation, now paid only
+            # when reading an old-layout state)
+            legacy_sizes = corpus_shingles.groupBy("doc").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            corpus_shingles = corpus_shingles.join(legacy_sizes, "doc")
         corpus_shingles = corpus_shingles.dropDuplicates(["doc", "sh"]).join(
             F.broadcast(batch.select(F.col(id_col).alias("doc")).distinct()),
             "doc",
             "left_anti",
         )
     # pinned: consumed by the join's right side, the union'd left side,
-    # sizes, and the survivors' state delta
+    # and the survivors' state delta. Rows carry the per-doc distinct
+    # shingle-set size ``n`` (immutable per doc, computed map-side at
+    # shingling time / persisted in the state), so no per-batch
+    # O(state) sizes aggregation and no sizes joins exist anymore —
+    # the Jaccard filter reads na/nb straight off the candidate join.
     batch_sh = (
-        _spread_input(batch)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(shingles(text_col, k)).alias("sh"),
-        )
+        _shingle_rows_with_size(_spread_input(batch), id_col, text_col, k)
         .localCheckpoint(eager=True)
     )
     all_sh = corpus_shingles.unionByName(batch_sh)
-    sizes = all_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("__n"))
-    left = all_sh.select(F.col("doc").alias("doc_a"), "sh")
-    right = batch_sh.select(
-        F.col("doc").alias("doc_b"), F.col("sh").alias("__shb")
+    left = all_sh.select(
+        F.col("doc").alias("doc_a"), "sh", F.col("n").alias("__na")
     )
-    inter = (
+    right = batch_sh.select(
+        F.col("doc").alias("doc_b"),
+        F.col("sh").alias("__shb"),
+        F.col("n").alias("__nb"),
+    )
+    losers = (
         left.join(
             right,
             (left["sh"] == right["__shb"]) & (left["doc_a"] < right["doc_b"]),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__ni"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("__n").alias("__nb"))
-    losers = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("__ni"),
+            F.min("__na").alias("__na"),
+            F.min("__nb").alias("__nb"),
+        )
         .filter(
             F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))
             >= threshold

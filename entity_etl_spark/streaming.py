@@ -253,7 +253,15 @@ def run_available_now(
         candidate_key: Any = None
         candidate_at = 0.0
         while _time.monotonic() < deadline:
-            if q.awaitTermination(1.0):
+            # 0.2 s poll: awaitTermination returns the moment a
+            # self-terminating (availableNow, timer-free) query ends, so
+            # the granularity only prices the DETECTION loop for
+            # timer-kept-alive stateful queries — there it bounds the
+            # latency between the drain completing and the first ok
+            # probe (was up to 1 s of dead wait per streaming query).
+            # The >= 1.0 s unchanged-offsets confirmation window below
+            # is a correctness guard and stays as-is.
+            if q.awaitTermination(0.2):
                 finished = True
                 break
             ok, strong, key = _drained_now()
