@@ -15,11 +15,16 @@ dedup is the only shuffle; the split is map-only again):
 Output: the surviving corpus with ``n_tokens`` and ``split`` attached —
 ready for :func:`ext.packing.pack_sequences` / shard writing.
 
-At 100 TB nothing in this chain materializes an intermediate: the
-winners branch re-scans the source column-pruned to (id, text) for
-fingerprints (plan-verified ReadSchema), the only exchange carries
-(fp, id) pairs, and the survivors semi-join back broadcast — two pruned
-scans beat shuffling full bodies through the dedup. The near-dup pass
+At 100 TB this chain materializes exactly ONE intermediate — the
+featurized corpus, checkpointed between the feature projection and the
+quality gate (r11): a pushed-down gate re-evaluates the whole
+clean+count expression tree inside FilterExec, which applies no
+subexpression elimination (measured 8x the one-pass cost), and the
+gated corpus has two more consumers (fingerprint branch, survivor
+semi-join) that each re-ran the clean+feature scan. One executor-local
+write plus cache reads replaces three scans carrying ~8x-duplicated
+expression work; the only exchange still carries (fp, id) pairs and
+the survivors still semi-join back broadcast. The near-dup pass
 (MinHash) and the LM perplexity gate slot between stages 3 and 4 when
 their cost is warranted.
 """
@@ -65,9 +70,21 @@ def prepare_training_data(
     global training permutation (operators.distributed_shuffle_rank; no
     single-reducer global sort)."""
     cleaned = docs.withColumn(text_col, clean_text(text_col))
-    gated = quality_features(cleaned, text_col).filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("quality_score") >= min_quality)
+    # checkpoint BETWEEN the feature projection and the gate: pushing
+    # the gate's predicate into the feature expressions re-evaluates
+    # the whole clean+count tree inside FilterExec, which (unlike
+    # ProjectExec) applies no subexpression elimination — measured 8x
+    # the one-pass cost at sf1 (16.4 s vs 2.0 s for 50k docs). The
+    # barrier computes features exactly once; it also serves the two
+    # downstream consumers (fingerprint branch + survivor semi-join)
+    # that previously re-ran the clean+feature scan each.
+    gated = (
+        quality_features(cleaned, text_col)
+        .localCheckpoint(eager=True)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+        )
     )
     if classifier_threshold is not None:
         from .classifier import quality_score
@@ -155,11 +172,17 @@ def run_streaming_prep(
         # barrier each re-runs the clean + quality-feature scan
         gated = (
             quality_features(cleaned, text_col)
+            # barrier BELOW the gate: FilterExec applies no
+            # subexpression elimination, so a pushed-down gate
+            # re-evaluates the whole feature tree ~8x (see
+            # prepare_training_data); the ckpt was already here for
+            # the multi-consumer pin and now also pays the features
+            # exactly once
+            .localCheckpoint(eager=True)
             .filter(
                 (F.col("n_tokens") >= min_tokens)
                 & (F.col("quality_score") >= min_quality)
             )
-            .localCheckpoint(eager=True)
         )
         seen = load_state(spark, state_dir, "doc_fps")
         kept, new_fps = exact_dedup_incremental(
@@ -229,11 +252,17 @@ def run_streaming_neardup_prep(
         # union, and the kept anti-join — one clean+quality scan, not three
         gated = (
             quality_features(cleaned, text_col)
+            # barrier BELOW the gate: FilterExec applies no
+            # subexpression elimination, so a pushed-down gate
+            # re-evaluates the whole feature tree ~8x (see
+            # prepare_training_data); the ckpt was already here for
+            # the multi-consumer pin and now also pays the features
+            # exactly once
+            .localCheckpoint(eager=True)
             .filter(
                 (F.col("n_tokens") >= min_tokens)
                 & (F.col("quality_score") >= min_quality)
             )
-            .localCheckpoint(eager=True)
         )
         if method == "exact":
             state = load_state(spark, state_dir, "doc_shingles")
