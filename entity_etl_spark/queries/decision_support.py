@@ -2470,15 +2470,35 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    gl = dl.agg(
+    # ONE tokenize pass: dl and the per-term tfs come out of a single
+    # groupBy(doc_id) with 1 + |terms| aggregates (partial map-side, the
+    # exchange carries one slim row per doc) — the dl/tf split used to
+    # re-scan and re-explode the corpus once per branch (r11, guide
+    # §2.3 aggregate-before-you-shuffle). The per-doc table is tiny and
+    # multi-consumed (gl, melt), so it pins once; dl rides the melted
+    # rows, removing the dl re-join.
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count(F.when(F.col("tok") == t, 1)).alias(f"__tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    gl = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stack_args = ", ".join(
+        f"'{t}', __tf{i}" for i, t in enumerate(_BM25_TERMS)
     )
+    tf = per_doc.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(_BM25_TERMS)}, {stack_args}) as (tok, tf)",
+    ).filter(F.col("tf") > 0)
     idf = (
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2493,7 +2513,6 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
     scored = (
         tf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
         .join(F.broadcast(gl))
         .withColumn(
             "term_score",
@@ -3247,6 +3266,10 @@ def q_boilerplate_segment_removal(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("pos").cast("bigint").alias("pos"), "seg")
     )
+    # NOTE (r11): pinning intra with localCheckpoint was tried and
+    # measured SLOWER at sf1 (2.9-4.5 s -> 4.9-5.4 s): the two intra
+    # consumers share one ReusedExchange already, so the pin only added
+    # a segment-table materialization. Left as-is deliberately.
     intra = segs.groupBy("doc_id", "source", "seg").agg(
         F.min("pos").alias("pos")
     )
