@@ -725,17 +725,30 @@ def canonical_urlkey(uri):
     return F.concat(rev, F.lit(")"), path)
 
 
-def fetch_records(df_index, warc_dir: str):
+def fetch_records(df_index, warc_dir: str, offset_buckets: int = 16):
     """Random-access fetch: given CDX index rows (``filename``,
     ``offset``, ``record_id``), read EXACTLY those records — the
     100 TB access pattern (an HTTP Range request per member against an
-    object store; here a seek). Partition-clusters by ``filename`` and
-    reads each distinct member once in offset order (a multi-record
-    member fetched for several ids is decompressed once), emitting only
-    the requested ``record_id`` rows; archives are never scanned.
+    object store; here a seek). Partition-clusters by ``(filename,
+    offset bucket)`` and reads each distinct member once in offset
+    order within its task (a multi-record member fetched for several
+    ids is decompressed once per task), emitting only the requested
+    ``record_id`` rows; archives are never scanned.
+
+    ``offset_buckets`` (r11, guide §2.5 skew): partitioning by filename
+    ALONE serializes one hot archive — an index with 10^6 records
+    against a single member file became ONE task. The deterministic
+    offset-hash bucket (``pmod(xxhash64(offset), buckets)``; hash-based,
+    so retried tasks reproduce the assignment) fans a hot archive out
+    across up to ``offset_buckets`` tasks while keeping each (file,
+    bucket) group's offsets sorted and fetched once within its task.
+    Records sharing an offset but split across buckets decompress that
+    member once per bucket — bounded duplicate work, unchanged output.
     Returns :data:`WET_SCHEMA` rows via an Arrow ``mapInPandas`` seam —
     payload bytes appear only inside the fetch batch."""
     import pandas as pd
+
+    from pyspark.sql import functions as F
 
     cols = [f.name for f in WET_SCHEMA.fields]
 
@@ -756,8 +769,19 @@ def fetch_records(df_index, warc_dir: str):
                                 rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
+    # explicit partition COUNT (REPARTITION_BY_NUM): a column-only
+    # repartition lets AQE coalesce by shuffle BYTES, and index rows are
+    # slim — a hot archive's 10^6-record index is ~50 MB and would
+    # collapse back into one task even though the real cost (member
+    # decompression) is invisible to AQE. Cluster-width keeps the fetch
+    # stage scale-adaptive without being byte-fooled.
+    parts = df_index.sparkSession.sparkContext.defaultParallelism
     return (
         df_index.select("filename", "offset", "record_id")
-        .repartition("filename")
+        .repartition(
+            parts,
+            F.col("filename"),
+            F.pmod(F.xxhash64(F.col("offset")), F.lit(offset_buckets)),
+        )
         .mapInPandas(fetch, WET_SCHEMA)
     )

@@ -470,3 +470,56 @@ def test_canonical_urlkey_collapses_spellings(spark):
     ]
     assert got[0] == got[1] == got[2] == "org,example)/p/5"
     assert got[3] == "org,example)/www/5"
+
+
+def test_fetch_records_hot_archive_fans_out(spark, tmp_path):
+    # r11 skew guard (guide §2.5): ONE archive holding every indexed
+    # record must not serialize into one task — the (filename,
+    # offset-bucket) repartition spreads a hot file across tasks while
+    # the fetch output stays exactly the requested subset.
+    import pyspark.sql.functions as F
+
+    wf.register_warc(spark)
+    out = str(tmp_path / "hot")
+    rows = [
+        (f"https://hot.example.org/d/{i}", "en", f"body {i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, schema=list(wf.WRITE_COLUMNS))
+    # ONE member file = the skew case
+    df.coalesce(1).write.format("warc_py").mode("append").option(
+        "path", out
+    ).save()
+    assert len(glob.glob(os.path.join(out, "*.warc.gz"))) == 1
+    idx = (
+        spark.read.format("warc_py")
+        .option("path", out)
+        .option("mode", "cdx")
+        .load()
+        .filter("warc_type = 'conversion'")
+    )
+    fetched_df = wf.fetch_records(idx, out)
+    # partition-count assertion: the repartition stage must spread the
+    # single hot filename across >1 non-empty partition (offsets hash
+    # into up to offset_buckets groups; 60 distinct offsets make an
+    # all-in-one-bucket hash accident ~16^-59)
+    parts = spark.sparkContext.defaultParallelism
+    nonempty = (
+        idx.select("filename", "offset", "record_id")
+        .repartition(
+            parts,
+            F.col("filename"),
+            F.pmod(F.xxhash64(F.col("offset")), F.lit(16)),
+        )
+        .rdd.glom()
+        .map(len)
+        .filter(lambda n: n > 0)
+        .count()
+    )
+    assert nonempty > 1
+    fetched = fetched_df.collect()
+    assert {r.target_uri for r in fetched} == {u for (u, _, _) in rows}
+    assert all(
+        r.payload == f"body {r.target_uri.rsplit('/', 1)[1]}"
+        for r in fetched
+    )
