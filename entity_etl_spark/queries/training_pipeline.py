@@ -2628,12 +2628,11 @@ def _stage_ts_ordered_batches(
             F.floor((ts_num - mn) * n_batches / span),
         ).cast("int"),
     )
-    parts = [
-        (f"b{b}.parquet", staged.filter(F.col("__b") == b).drop("__b"))
-        for b in range(n_batches)
-    ]
-    parts += list(extra_files or [])
-    for i, (fname, part_df) in enumerate(parts):
+    # main buckets stage in ONE job (see _stage_bucketed_batches);
+    # sentinel extra_files (tiny 1-row flush frames) stay per-file
+    _stage_bucketed_batches(base, in_dir, staged, n_batches)
+    extras = list(extra_files or [])
+    for i, (fname, part_df) in enumerate(extras):
         stage_dir = os.path.join(base, f"stage_{fname}")
         part_df.coalesce(1).write.parquet(stage_dir)
         src = next(
@@ -2641,7 +2640,9 @@ def _stage_ts_ordered_batches(
         )
         dst = os.path.join(in_dir, fname)
         shutil.move(os.path.join(stage_dir, src), dst)
-        os.utime(dst, (time.time() - (len(parts) - i) * 100,) * 2)
+        # mtimes strictly AFTER every main bucket (those end at
+        # time.time() - 100): sentinels replay last, as before
+        os.utime(dst, (time.time() - (len(extras) - i) * 40,) * 2)
     return in_dir, df.schema
 
 
@@ -2652,22 +2653,43 @@ def _stage_bucketed_batches(
     file per bucket into ``in_dir``, with ascending mtimes so the file
     source (``maxFilesPerTrigger=1``) replays buckets in order. The
     shared mechanics of every micro-batch staging harness; callers own
-    the bucketing rule (doc-id terciles, event-id terciles, ...)."""
+    the bucketing rule (doc-id terciles, event-id terciles, ...).
+
+    ONE job stages every bucket (r11): ``repartition(n, __b)`` +
+    ``partitionBy(__b)`` — each bucket value lands in exactly one task,
+    so each ``__b=<b>`` dir holds exactly one data file. The previous
+    per-bucket loop re-ran the whole staging frame (often carrying a
+    window de-tie) once per bucket — n_batches full scans where one
+    suffices. Every consumer's state fold is row-order-insensitive
+    (counts, bit-ORs, decimal sums, keep-min-id / de-tied keep-latest),
+    so the shuffle's row-order change is invisible in every output."""
     import os
     import shutil
     import time
 
+    stage_dir = os.path.join(base, "stage_all")
+    (
+        staged.repartition(n_batches, "__b")
+        .write.partitionBy("__b")
+        .parquet(stage_dir)
+    )
     for b in range(n_batches):
-        stage_dir = os.path.join(base, f"stage{b}")
-        (
-            staged.filter(F.col("__b") == b)
-            .drop("__b")
-            .coalesce(1)
-            .write.parquet(stage_dir)
-        )
-        src = next(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+        bdir = os.path.join(stage_dir, f"__b={b}")
         dst = os.path.join(in_dir, f"b{b}.parquet")
-        shutil.move(os.path.join(stage_dir, src), dst)
+        if os.path.isdir(bdir):
+            src = next(
+                f for f in os.listdir(bdir) if f.endswith(".parquet")
+            )
+            shutil.move(os.path.join(bdir, src), dst)
+        else:
+            # an empty bucket writes no partition dir; the stream still
+            # needs its placeholder file so batch ids stay aligned
+            edir = os.path.join(base, f"stage_empty{b}")
+            staged.limit(0).drop("__b").coalesce(1).write.parquet(edir)
+            src = next(
+                f for f in os.listdir(edir) if f.endswith(".parquet")
+            )
+            shutil.move(os.path.join(edir, src), dst)
         os.utime(dst, (time.time() - (n_batches - b) * 100,) * 2)
 
 
