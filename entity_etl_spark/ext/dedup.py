@@ -170,15 +170,24 @@ def jaccard_pairs(
     from .graph import within_group_pairs
 
     df = _spread_input(df)
-    # (doc, sh, n): the per-doc distinct-shingle-set size rides every
-    # row (computed map-side from the un-exploded array), so the sizes
-    # reach the Jaccard filter through the pair aggregation itself —
-    # the separate sizes aggregation (a third full shingling pass over
-    # the corpus plus its shuffle) and both post-aggregation sizes
-    # joins are gone (r11; capped runs keep the stated semantics:
-    # sizes count ALL shingles, intersections only uncapped ones)
-    sh = _shingle_rows_with_size(df, id_col, text_col, k)
-    return (
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    )
+    # per-doc distinct-shingle-set size = size() of the UN-exploded
+    # array: a map-only projection (no explode, no aggregation, no
+    # shuffle — shingles() emits the distinct set). The first r11 form
+    # carried n on every (doc, sh) row instead and folded min(n_a)/
+    # min(n_b) into the pair aggregation; that widened the ONE truly
+    # giant frame in the query — the sum C(df_s, 2) join fan-out — by
+    # two agg buffers and measured 1.4x SLOWER at sf1
+    # (neardup_keep_best 44.6 -> 59.2 s paired). Sizes re-attach AFTER
+    # the aggregation, on the small verified-pair set.
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(shingles(text_col, k)).alias("n_sh"),
+    )
+    inter = (
         within_group_pairs(
             sh,
             "sh",
@@ -189,14 +198,15 @@ def jaccard_pairs(
             observation=observation,
             dropped_metric="jac_rows_in_dropped_shingles",
             max_metric="jac_max_shingle_df",
-            carry=("n",),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.min("n_a").alias("n_a"),
-            F.min("n_b").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -229,8 +239,8 @@ def containment_pairs(
     pre-training corpora (CCNet/Gopher use containment for exactly this).
 
     Same physical shape as :func:`jaccard_pairs` (one shingle-keyed
-    shuffle, per-pair intersection count, per-doc sizes carried on the
-    rows); only
+    shuffle, per-pair intersection count, per-doc sizes from a map-only
+    ``size()`` projection joined onto the aggregated pair set); only
     the final ratio differs, so the 100 TB story is identical — run
     :func:`lsh_candidate_pairs` first and verify candidates here.
 
@@ -239,9 +249,17 @@ def containment_pairs(
     from .graph import within_group_pairs
 
     df = _spread_input(df)
-    # sizes ride each row map-side (see jaccard_pairs — same r11
-    # denormalization: no separate sizes pass, no post-agg sizes joins)
-    sh = _shingle_rows_with_size(df, id_col, text_col, k)
+    # narrow (doc, sh) rows through the pair join; sizes re-attach
+    # post-aggregation (see jaccard_pairs — carrying them through the
+    # C(df_s, 2) fan-out measured 1.4x slower at sf1)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(shingles(text_col, k)).alias("n_sh"),
+    )
     inter = (
         within_group_pairs(
             sh,
@@ -253,15 +271,13 @@ def containment_pairs(
             observation=observation,
             dropped_metric="cont_rows_in_dropped_shingles",
             max_metric="cont_max_shingle_df",
-            carry=("n",),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.min("n_a").alias("n_a"),
-            F.min("n_b").alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    inter = inter.join(sa, "doc_a").join(sb, "doc_b")
     raw_max = F.col("n_inter") / F.least("n_a", "n_b")
     return (
         inter.filter(raw_max >= threshold)
