@@ -214,6 +214,10 @@ SF01_REF_BESTS: dict[str, float] = {
     "dedup_corpus_minhash_prod": 2.60,
     "neardup_keep_best_prod": 4.26,
     "item_item_cosine_topk_capped": 1.79,
+    # r10 addition (quiet best-of-3 at its tagging — the same number
+    # the 4.2 s heavy ceiling derives from); was missing here, so the
+    # sf1 run reported it ratchet-ungated (r11)
+    "image_ahash_near_dups": 1.85,
 }
 
 
