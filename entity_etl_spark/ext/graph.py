@@ -165,15 +165,8 @@ def within_group_pairs(
     observation=None,
     dropped_metric: str = "pairs_rows_in_dropped_groups",
     max_metric: str = "pairs_max_group_size",
-    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unordered within-group item pairs: (group_col, item_a < item_b).
-
-    ``carry`` names extra per-row columns to ride each join side through
-    to the output as ``<col>_a`` / ``<col>_b`` — per-item attributes
-    (e.g. a doc's shingle-set size) that the pair consumer would
-    otherwise have to re-attach with two post-aggregation joins against
-    a separately aggregated table.
 
     The shared kernel of every basket-shaped pair explode — co-purchase
     edges (items per order), item-item co-occurrence (items per
@@ -196,14 +189,10 @@ def within_group_pairs(
         max_metric=max_metric,
     )
     a = capped.select(
-        F.col(group_col).alias("__wg"),
-        F.col(item_col).alias(item_a),
-        *[F.col(c).alias(f"{c}_a") for c in carry],
+        F.col(group_col).alias("__wg"), F.col(item_col).alias(item_a)
     )
     b = capped.select(
-        F.col(group_col).alias("__wg2"),
-        F.col(item_col).alias(item_b),
-        *[F.col(c).alias(f"{c}_b") for c in carry],
+        F.col(group_col).alias("__wg2"), F.col(item_col).alias(item_b)
     )
     return (
         a.join(
@@ -211,13 +200,7 @@ def within_group_pairs(
             (F.col("__wg") == F.col("__wg2"))
             & (F.col(item_a) < F.col(item_b)),
         )
-        .select(
-            F.col("__wg").alias(group_col),
-            item_a,
-            item_b,
-            *[f"{c}_a" for c in carry],
-            *[f"{c}_b" for c in carry],
-        )
+        .select(F.col("__wg").alias(group_col), item_a, item_b)
     )
 
 
