@@ -1275,6 +1275,10 @@ def exact_neardup_dedup_incremental(
         #   shifting every affected Jaccard (2i/(2na+nb-2i) != i/(na+nb-i)),
         #   i.e. wrong drops/keeps. Excluding the state copy re-evaluates
         #   the doc as a batch doc; the batch-ids side is tiny → broadcast.
+        # sanitize BEFORE any size derivation: a crashed append may have
+        # duplicated (doc, sh) rows, and sizes counted off the raw rows
+        # would inflate n for exactly those docs (wrong Jaccards)
+        corpus_shingles = corpus_shingles.dropDuplicates(["doc", "sh"])
         if "n" not in corpus_shingles.columns:
             # legacy (doc, sh) state: attach the per-doc set size once
             # (the pre-r11 per-batch sizes aggregation, now paid only
@@ -1283,7 +1287,24 @@ def exact_neardup_dedup_incremental(
                 F.count(F.lit(1)).alias("n")
             )
             corpus_shingles = corpus_shingles.join(legacy_sizes, "doc")
-        corpus_shingles = corpus_shingles.dropDuplicates(["doc", "sh"]).join(
+        else:
+            # MIXED dir: (doc, sh, n) deltas appended into a pre-r11
+            # (doc, sh) directory load as 3-col with n NULL on the
+            # legacy files' rows (plain schema inference) — re-derive
+            # those docs' sizes. A doc's rows are n-homogeneous (its
+            # shingles are written once), so the repair splits cleanly;
+            # parquet null-count stats prune the isNull scan to ~zero
+            # when the state is homogeneous, the common case.
+            legacy = corpus_shingles.filter(F.col("n").isNull()).drop("n")
+            if not legacy.isEmpty():
+                legacy_sizes = legacy.groupBy("doc").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+                corpus_shingles = (
+                    corpus_shingles.filter(F.col("n").isNotNull())
+                    .unionByName(legacy.join(legacy_sizes, "doc"))
+                )
+        corpus_shingles = corpus_shingles.join(
             F.broadcast(batch.select(F.col(id_col).alias("doc")).distinct()),
             "doc",
             "left_anti",

@@ -164,7 +164,7 @@ TWO_LEVEL_MIN_K = 256
 _COARSE_PROBES = 2
 
 
-def _coarse_index(centroids, seed_stride: bool = True):
+def _coarse_index(centroids):
     """Cluster the k centroids into ~sqrt(k) super-cells (numpy Lloyd,
     deterministic stride init) and return (super_centroids,
     child_cell_ids_per_super). Pure driver-side numpy on the k×dim

@@ -89,6 +89,20 @@ def compact_parquet(
     # previously-unset keys into explicitly-set defaults, because
     # conf.get returns the built-in default rather than raising)
     sess = spark.newSession()
+    # newSession starts from builder-time confs only — runtime set()
+    # values on the caller's session do NOT carry over. Copy the confs
+    # that change what the compaction WRITES (codec, timestamp
+    # encoding/rebase, file sizing, session zone), so the compacted
+    # bytes match what the caller's own session would have produced.
+    for key in (
+        "spark.sql.parquet.compression.codec",
+        "spark.sql.parquet.outputTimestampType",
+        "spark.sql.parquet.datetimeRebaseModeInWrite",
+        "spark.sql.parquet.int96RebaseModeInWrite",
+        "spark.sql.files.maxRecordsPerFile",
+        "spark.sql.session.timeZone",
+    ):
+        sess.conf.set(key, spark.conf.get(key))
     sess.conf.set("spark.sql.files.maxPartitionBytes", str(target_bytes))
     sess.conf.set("spark.sql.files.openCostInBytes", str(open_cost_bytes))
     sess.read.parquet(src).write.mode("overwrite").parquet(dst)

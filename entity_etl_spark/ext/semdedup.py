@@ -89,6 +89,19 @@ def assign_cells_multi(
             rep = pdf.loc[pdf.index.repeat(p), [id_col, vec_col]].copy()
             rep["cell"] = top.reshape(-1).astype("int32")
             rep["__probe"] = np.tile(np.arange(p, dtype="int32"), len(pdf))
+            # the two-level path pads a short candidate list by
+            # repeating its LAST cell (ivf._nearest_cells) — drop the
+            # padded duplicates, or the same vector enters one cell's
+            # gram twice and pairs with itself (an id_a == id_b row,
+            # violating the id_a < id_b contract). Padding repeats are
+            # adjacent by construction (distinct argsort candidates),
+            # so one shifted compare finds them all.
+            dup = np.zeros_like(top, dtype=bool)
+            if p > 1:
+                dup[:, 1:] = top[:, 1:] == top[:, :-1]
+            keep = ~dup.reshape(-1)
+            if not keep.all():
+                rep = rep.loc[keep]
             yield rep
 
     return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
@@ -300,7 +313,10 @@ def semantic_pair_gate(
     n = len(ids)
 
     # driver-side Lloyd, replicating train_centroids' full-corpus math:
-    # seed = k smallest ids, assignment = argmax cosine vs normalized
+    # seed = the k smallest-xxhash64(id) vectors (collected by the SAME
+    # orderBy(xxhash64).limit(k) job train_centroids runs — hash
+    # semantics are the engine's, so the seeds are bit-identical to the
+    # distributed trainer's), assignment = argmax cosine vs normalized
     # centroids, update = mean of RAW members then one normalize.
     # (Summation order differs from the distributed aggregation by
     # ~1e-15 — harmless: n_exact is centroid-independent and the recall
@@ -309,7 +325,14 @@ def semantic_pair_gate(
     if n == 0:
         cents = np.zeros((0, 1))
     else:
-        cents = _normalize(raw[:k].astype(np.float64))
+        seed_rows = (
+            emb.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(k)
+            .collect()
+        )
+        cents = _normalize(np.array([r[0] for r in seed_rows],
+                                    dtype=np.float64))
         for _ in range(iterations):
             cells = (mat @ cents.T).argmax(axis=1)
             new = cents.copy()

@@ -379,6 +379,12 @@ def _collect_matrix(
             .astype(np.float64)
             .reshape(n, int(widths[0]))
         )
+    elif n == 0:
+        # an empty frame must come back as an empty MATRIX — the 1-D
+        # (0,) array the general path builds blows up _normalize's
+        # axis=1 norm, making every caller's n == 0 branch dead code
+        # and empty inputs crash with AxisError instead
+        mat = np.zeros((0, 0))
     else:  # ragged/null rows: the general (slow) materialization
         mat = np.array(vec.to_pylist(), dtype=np.float64)
     if return_raw:

@@ -2584,11 +2584,10 @@ def q_compact_small_files(spark: SparkSession, sf: str) -> DataFrame:
     # roughly >2GB total), first-fit yields one bin per file and
     # n_out == n_in — diverging from the oracle's pinned TRUE. At the
     # driver SFs total//8 < 128MB, so behavior there is bit-identical.
-    _, b_src = parquet_file_stats(src)
-    back = compact_parquet(
-        spark, src, dst, target_bytes=max(128 << 20, b_src // 8)
-    )
     n_in, b_in = parquet_file_stats(src)
+    back = compact_parquet(
+        spark, src, dst, target_bytes=max(128 << 20, b_in // 8)
+    )
     n_out, b_out = parquet_file_stats(dst)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -2641,8 +2641,13 @@ def _stage_ts_ordered_batches(
         dst = os.path.join(in_dir, fname)
         shutil.move(os.path.join(stage_dir, src), dst)
         # mtimes strictly AFTER every main bucket (those end at
-        # time.time() - 100): sentinels replay last, as before
-        os.utime(dst, (time.time() - (len(extras) - i) * 40,) * 2)
+        # time.time() - 100) for ANY number of sentinels: spread them
+        # evenly through the (-100, 0) window, ascending
+        os.utime(
+            dst,
+            (time.time() - 100.0 * (len(extras) - i) / (len(extras) + 1),)
+            * 2,
+        )
     return in_dir, df.schema
 
 

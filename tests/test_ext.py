@@ -675,3 +675,54 @@ def test_exact_neardup_incremental_replayed_batch_docs_in_state(spark):
     # doc 6 is NOT a near-dup of doc 5 (J = 0.333 < 0.5): it must be
     # kept, redelivery of doc 5 notwithstanding
     assert sorted(r["doc_id"] for r in kept2.collect()) == [5, 6]
+
+
+def test_exact_neardup_incremental_mixed_schema_state_dir(spark):
+    """A pre-r11 (doc, sh) state dir that later received (doc, sh, n)
+    appends loads as 3-col with n NULL on the legacy rows (plain schema
+    inference picks one footer). The op must re-derive those docs'
+    sizes — a NULL n makes the Jaccard predicate NULL and silently KEEPS
+    every near-dup of a legacy corpus doc (r11 review finding)."""
+    from entity_etl_spark.ext.dedup import (
+        _shingle_rows_with_size,
+        exact_neardup_dedup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "completely different content about spark query engines ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    state = _shingle_rows_with_size(corpus, "doc_id", "text", 3)
+    # doc 1 = legacy rows (n NULL, as a mixed-dir load yields); doc 2 =
+    # post-upgrade rows (n present)
+    mixed = state.withColumn(
+        "n", F.when(F.col("doc") == 1, F.lit(None)).otherwise(F.col("n"))
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of LEGACY doc 1 -> must drop (NULL-n bug kept it)
+            (10, "the quick brown fox jumps over the lazy dog near the bend"),
+            # near-dup of upgraded doc 2 -> drops either way
+            (11, "completely different content about spark query engines no"),
+            (12, "a wholly novel sentence with nothing shared at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    kept, _ = exact_neardup_dedup_incremental(
+        empty, batch, corpus_shingles=mixed, new_shingles_only=True
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12]
+
+    # legacy (no n column at all) + replay-duplicated rows: sizes must
+    # come from the DEDUPED rows (duplicated counts would halve every
+    # Jaccard and wrongly keep near-dups)
+    legacy = state.drop("n")
+    dup = legacy.unionByName(legacy)
+    kept2, _ = exact_neardup_dedup_incremental(
+        empty, batch, corpus_shingles=dup, new_shingles_only=True
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [12]

@@ -1126,3 +1126,41 @@ def test_compact_parquet_restores_session_conf(spark, tmp_path):
     compact_parquet(spark, src, dst, target_bytes=1 << 20)
     after = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     assert before == after
+
+
+def test_assign_cells_multi_drops_padded_duplicate_probes(spark):
+    """Two-level assignment pads a short candidate list by repeating its
+    last cell; the padded duplicates must NOT survive into the emitted
+    (id, cell) rows or the same vector enters one cell's gram twice and
+    pairs with itself (r11 review finding). Geometry: 256 centroids
+    (>= TWO_LEVEL_MIN_K) where the coarse index isolates e1 and e2 into
+    singleton super-cells (both are stride-init seeds), so a query
+    between them probes exactly those two supers and sees only TWO
+    candidate cells for n_probe=3."""
+    import numpy as np
+
+    from entity_etl_spark.ext.ivf import TWO_LEVEL_MIN_K, _coarse_index
+    from entity_etl_spark.ext.semdedup import assign_cells_multi
+
+    k = 256
+    assert k >= TWO_LEVEL_MIN_K
+    cents = np.zeros((k, 3))
+    cents[:, 0] = 1.0          # bulk at e0
+    cents[0] = [0.0, 1.0, 0.0]   # stride-init seed -> singleton super
+    cents[16] = [0.0, 0.0, 1.0]  # stride-init seed -> singleton super
+    sup, children = _coarse_index(cents)
+    # the geometry must actually produce the two singleton supers the
+    # padding path needs — assert it so the test can't pass vacuously
+    sizes = sorted(len(c) for c in children)
+    assert sizes[0] == 1 and sizes[1] == 1
+
+    q = [0.0, 2 ** -0.5, 2 ** -0.5]
+    emb = spark.createDataFrame(
+        [(7, q)], "vec_id long, embedding array<double>"
+    )
+    out = assign_cells_multi(emb, cents, n_probe=3).collect()
+    cells = [r["cell"] for r in out]
+    # only the two probed singleton supers' cells are reachable: the
+    # third probe was padding and must have been dropped
+    assert sorted(cells) == [0, 16]
+    assert [r["__probe"] for r in sorted(out, key=lambda r: r["__probe"])] == [0, 1]
