@@ -103,9 +103,19 @@ def _spread_input(df: DataFrame) -> DataFrame:
     file arrives as ONE scan partition (maxPartitionBytes) and would
     serialize per-doc work (shingling, hashing) through a single task.
     File count proxies partition count plan-side (no RDD conversion); an
-    input already split across >= parallelism files is left alone."""
+    input already split across >= parallelism files is left alone.
+
+    An input that exposes NO files (a checkpointed / staged micro-batch,
+    an in-memory frame) is trusted as-is: its partitioning was chosen by
+    the materializing caller (e.g. streaming.spread_batch's input-scaled
+    width), and a blind full-parallelism re-repartition would both pay an
+    extra exchange and undo that sizing (r12; the streaming batch path
+    previously repartitioned the same tiny batch twice)."""
+    files = df.inputFiles() or ()
+    if not files:
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles() or ()) < parallelism:
+    if len(files) < parallelism:
         return df.repartition(parallelism)
     return df
 

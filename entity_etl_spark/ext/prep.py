@@ -154,18 +154,21 @@ def run_streaming_prep(
     table (sinks.write_bucketed) keeps the anti-join shuffle-free.
     """
     from ..state import append_state, load_state
-    from ..streaming import run_available_now
+    from ..streaming import (
+        planned_batch_rows,
+        run_available_now,
+        spread_batch,
+    )
     from .dedup import exact_dedup_incremental
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        rows = planned_batch_rows(checkpoint_dir, batch_id)
+        if rows == 0 or (rows is None and batch_df.isEmpty()):
             return
         # a micro-batch often arrives as ONE input partition (one landed
         # file / one page); fan out before the per-doc heavy work or all
-        # cores but one sit idle
-        batch_df = batch_df.repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        # cores but one sit idle — width scaled to the batch's size
+        batch_df = spread_batch(spark, batch_df, rows)
         cleaned = batch_df.withColumn(text_col, clean_text(text_col))
         # pinned: the gated batch has several downstream consumers
         # (fingerprints, body semi-join, split+write) — without the
@@ -233,20 +236,24 @@ def run_streaming_neardup_prep(
     recall trade near the threshold. Both grow state by exactly the
     survivors' rows (append, never rewrite)."""
     from ..state import append_state, load_state
-    from ..streaming import run_available_now
+    from ..streaming import (
+        planned_batch_rows,
+        run_available_now,
+        spread_batch,
+    )
     from .dedup import exact_neardup_dedup_incremental, minhash_dedup_incremental
 
     if method not in ("exact", "minhash"):
         raise ValueError(f"unknown near-dup method: {method!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        rows = planned_batch_rows(checkpoint_dir, batch_id)
+        if rows == 0 or (rows is None and batch_df.isEmpty()):
             return
         # one landed file = one input partition; fan out before the
-        # per-doc heavy work (clean/quality/signature fold)
-        batch_df = batch_df.repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        # per-doc heavy work (clean/quality/signature fold) — width
+        # scaled to the batch's size
+        batch_df = spread_batch(spark, batch_df, rows)
         cleaned = batch_df.withColumn(text_col, clean_text(text_col))
         # pinned: consumed by the shingle/signature fold, the verify body
         # union, and the kept anti-join — one clean+quality scan, not three

@@ -273,7 +273,7 @@ def run_streaming(
     """
     import inspect
 
-    from .streaming import run_available_now
+    from .streaming import planned_batch_rows, run_available_now
 
     try:
         sink_takes_batch_id = (
@@ -293,7 +293,13 @@ def run_streaming(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         now_b = now_fn(batch_id) if now_fn is not None else now_epoch_ms
-        if batch_df.isEmpty():
+        # zero-job empty probe (file-source checkpoint log); non-file
+        # sources fall back to the take(1) job. A planned-rows>0 batch
+        # emptied by caller-side transforms would run the main branch on
+        # an empty frame — same resulting state (merge_state filters
+        # expired rows itself), plus one empty sink append.
+        rows = planned_batch_rows(checkpoint_dir, batch_id)
+        if rows == 0 or (rows is None and batch_df.isEmpty()):
             state = state_mod.load_state(spark, config.state_dir, spec.name)
             if state is not None:
                 now = state_mod.now_ms() if now_b is None else now_b

@@ -2682,10 +2682,21 @@ def _stage_bucketed_batches(
         bdir = os.path.join(stage_dir, f"__b={b}")
         dst = os.path.join(in_dir, f"b{b}.parquet")
         if os.path.isdir(bdir):
-            src = next(
+            parts = [
                 f for f in os.listdir(bdir) if f.endswith(".parquet")
-            )
-            shutil.move(os.path.join(bdir, src), dst)
+            ]
+            # one task per bucket value is what repartition(n, __b)
+            # guarantees TODAY; a session conf (maxRecordsPerFile) or a
+            # retried task could split a bucket across several data
+            # files, and moving only the first would silently truncate
+            # the staged micro-batch — fail loudly instead
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"staging bucket {bdir} holds {len(parts)} data "
+                    "files (expected exactly 1); refusing to stage a "
+                    "partial micro-batch"
+                )
+            shutil.move(os.path.join(bdir, parts[0]), dst)
         else:
             # an empty bucket writes no partition dir; the stream still
             # needs its placeholder file so batch ids stay aligned
