@@ -23,8 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # tools/merge_bench_min). The reworked queries re-based DOWN
 # (training_data_prep 40.9 -> 2.6, semantic_dedup_pairs 7.5 -> 2.0);
 # the rest moved within the host band — zero sf1 factor breaches
-# against the r10 dict before this refresh, so nothing regressive is
-# absorbed.
+# against the r10 dict before this refresh.
+# ONE known loosening that refresh absorbed (r11 ADVICE): the
+# minhash_recall_gate entry (19.65 -> 50.835) embeds full-suite
+# contention — the r11 same-host interleaved SOLO A/B measured the same
+# code at 31.5-34.1 s — so its sf10 factor gate is ~1.6x softer than a
+# solo-derived ref would be. Re-base it from a solo quiet measurement
+# when the r12 prefix-filter rework lands (it changes this query's
+# cost anyway).
 # The sf10 factor ratchet compares AGAINST these, so they must share the
 # sf10 run's measurement context: same host, same session design, same
 # round (the r9-established rule; comparing against a faster round's box
@@ -306,17 +312,54 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads
     REGISTRY[bench_queries[0]].fn(spark, sf_dir).count()
 
+    # Scaling evidence (r12, VERDICT item 2): per-query executed job /
+    # stage / task counts, read from the DAGScheduler job counter + the
+    # public StatusTracker AFTER the timed runs — the probe adds nothing
+    # to the timed path. The driver's low-core probe can then tell
+    # overhead-bound (few tasks, ratio ~1 at tiny SF) from genuinely
+    # serial (tasks >> cores but ratio ~1) instead of flagging
+    # suspect_cpus_ignored on sub-second queries.
+    sc = spark.sparkContext
+
+    def _next_job_id() -> int:
+        v = sc._jsc.sc().dagScheduler().nextJobId()
+        return v if isinstance(v, int) else int(v.get())
+
+    query_stats: dict[str, dict[str, int]] = {}
+
+    def _collect_stats(name: str, j0: int, j1: int) -> None:
+        tracker = sc.statusTracker()
+        stages: set[int] = set()
+        for jid in range(j0, j1):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                stages.update(info.stageIds)
+        tasks = 0
+        for sid in stages:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                tasks += sinfo.numTasks
+        query_stats[name] = {
+            "jobs": j1 - j0, "stages": len(stages), "tasks": tasks
+        }
+
     # best-of-2 per query: the second run amortizes codegen compilation and
     # GC noise, so round-over-round comparisons track plan quality, not JIT
     def run_group(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
             best = float("inf")
-            for _ in range(2):
+            run1_jobs: tuple[int, int] | None = None
+            for run in range(2):
+                j0 = _next_job_id()
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
+                if run == 0:
+                    run1_jobs = (j0, _next_job_id())
             timings[name] = round(best, 3)
+            if run1_jobs is not None:
+                _collect_stats(name, *run1_jobs)
             # a query that persists internally (item_item_cosine_topk's
             # 4-consumer cp set) must not pin executor storage for every
             # LATER query's memory budget — clear between queries (no-op
@@ -481,6 +524,12 @@ def main() -> None:
                 "sf10_ratchet_ungated": sf10_ungated,
                 "sf10_excluded": sf10_excluded,
                 "sf": sf,
+                # scaling evidence (r12): the core count this run actually
+                # executed with, and per-query executed job/stage/task
+                # counts from run 1 — additions only; the timed loop and
+                # every pre-existing key are unchanged
+                "cpus": int(cpus) if cpus.isdigit() else cpus,
+                "query_stats": query_stats,
             }
         )
     )

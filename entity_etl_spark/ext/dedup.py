@@ -1226,6 +1226,7 @@ def exact_neardup_dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_shingles: DataFrame | None = None,
+    corpus_sizes: DataFrame | None = None,
     k: int = 3,
     threshold: float = 0.5,
     new_shingles_only: bool = False,
@@ -1234,15 +1235,23 @@ def exact_neardup_dedup_incremental(
     n-gram Jaccard with the accumulated corpus (or a smaller-id batch
     sibling) reaches ``threshold`` — same keep-min-id policy as
     :func:`minhash_dedup_incremental`, but the persistent state is the
-    corpus' SHINGLE INVERTED INDEX (one ``(doc, sh, n)`` row per
-    distinct shingle per kept doc, ``n`` the doc's distinct-shingle-set
-    size — immutable per doc, so persisting it removes the per-batch
-    O(state) sizes aggregation and both sizes joins the bare (doc, sh)
-    layout needed; old-layout states upgrade transparently on load —
-    r11) instead of MinHash signatures, so the pair set
-    is the exact one: a threshold-pinned dedup policy keeps its contract
-    at any corpus size (the r5 sf1 rehearsal showed LSH signatures
-    silently keep extra near-threshold docs).
+    corpus' SHINGLE INVERTED INDEX instead of MinHash signatures, so the
+    pair set is the exact one: a threshold-pinned dedup policy keeps its
+    contract at any corpus size (the r5 sf1 rehearsal showed LSH
+    signatures silently keep extra near-threshold docs).
+
+    State layouts, newest preferred:
+
+    - TWO-TABLE (r12): ``corpus_shingles`` = narrow ``(doc, sh)`` rows
+      plus ``corpus_sizes`` = one ``(doc, n)`` row per doc (``n`` the
+      doc's distinct-shingle-set size, immutable per doc). The pair
+      join's fan-out frame then carries only the two ids and the
+      aggregation keeps one count buffer; sizes attach on the
+      (candidate-bounded) aggregated pair set.
+    - single-table (r11): ``(doc, sh, n)`` rows, sizes riding every row.
+    - legacy (pre-r11): bare ``(doc, sh)``; sizes re-derived on load,
+      including the mixed-dir case (a doc with rows in BOTH layouts is
+      recounted over all its deduped rows).
 
     Both sides of the candidate equi-join carry complete shingle sets, so
     the per-pair match count IS the exact intersection — no verification
@@ -1264,6 +1273,10 @@ def exact_neardup_dedup_incremental(
     no-longer-bitwise-exact; the text form here keeps the contract
     airtight)."""
     computed = None
+    batch_ids = F.broadcast(
+        batch.select(F.col(id_col).alias("doc")).distinct()
+    )
+    sizes_state = None
     if corpus_shingles is None:
         corpus_shingles = (
             _shingle_rows_with_size(
@@ -1272,7 +1285,29 @@ def exact_neardup_dedup_incremental(
             .localCheckpoint(eager=True)
         )
         computed = corpus_shingles
+    elif corpus_sizes is not None:
+        # TWO-TABLE state (r12): narrow (doc, sh) shingle rows plus a
+        # tiny (doc, n) sizes table. The pair join's fan-out frame —
+        # the one giant frame in this op — then carries ONLY
+        # (doc_a, doc_b), and the per-pair aggregation keeps a single
+        # count buffer; sizes re-attach on the aggregated pair set
+        # (candidate-pair-bounded), the same narrow-through-the-fan-out
+        # correction r11 measured on the batch pair family. Replay
+        # sanitation (see the single-table branch's comment) applies to
+        # BOTH tables: dedup each, then exclude the batch's own ids —
+        # a crashed append of either table is repaired wholesale by the
+        # replayed batch re-appending both.
+        corpus_shingles = (
+            corpus_shingles.select("doc", "sh")
+            .dropDuplicates(["doc", "sh"])
+            .join(batch_ids, "doc", "left_anti")
+        )
+        sizes_state = (
+            corpus_sizes.dropDuplicates(["doc"])
+            .join(batch_ids, "doc", "left_anti")
+        )
     else:
+        # SINGLE-TABLE state (r11 layout, and pre-r11 (doc, sh) dirs).
         # Loaded state is sanitized for at-least-once replay BEFORE it can
         # touch the intersection counts, which are plain row counts here
         # (unlike the MinHash twin, whose verify recomputes Jaccard from
@@ -1301,55 +1336,112 @@ def exact_neardup_dedup_incremental(
             # MIXED dir: (doc, sh, n) deltas appended into a pre-r11
             # (doc, sh) directory load as 3-col with n NULL on the
             # legacy files' rows (plain schema inference) — re-derive
-            # those docs' sizes. A doc's rows are n-homogeneous (its
-            # shingles are written once), so the repair splits cleanly;
-            # parquet null-count stats prune the isNull scan to ~zero
-            # when the state is homogeneous, the common case.
-            legacy = corpus_shingles.filter(F.col("n").isNull()).drop("n")
-            if not legacy.isEmpty():
-                legacy_sizes = legacy.groupBy("doc").agg(
-                    F.count(F.lit(1)).alias("n")
+            # those docs' sizes. A doc caught mid-upgrade can hold rows
+            # in BOTH layouts (a batch replayed across the layout
+            # change), and dropDuplicates keeps an arbitrary null/
+            # non-null mix per (doc, sh) — so for any doc with at least
+            # one null-n row, n is recounted over ALL of that doc's
+            # deduped rows, not just the null subset (counting only the
+            # nulls understated n and overstated Jaccard). Parquet
+            # null-count stats prune the isNull scan to ~zero when the
+            # state is homogeneous, the common case.
+            null_docs = (
+                corpus_shingles.filter(F.col("n").isNull())
+                .select("doc")
+                .distinct()
+            )
+            if not null_docs.isEmpty():
+                affected = corpus_shingles.join(
+                    F.broadcast(null_docs), "doc", "left_semi"
+                )
+                resized = affected.drop("n").join(
+                    affected.groupBy("doc").agg(
+                        F.count(F.lit(1)).alias("n")
+                    ),
+                    "doc",
                 )
                 corpus_shingles = (
-                    corpus_shingles.filter(F.col("n").isNotNull())
-                    .unionByName(legacy.join(legacy_sizes, "doc"))
+                    corpus_shingles.join(
+                        F.broadcast(null_docs), "doc", "left_anti"
+                    ).unionByName(resized)
                 )
-        corpus_shingles = corpus_shingles.join(
-            F.broadcast(batch.select(F.col(id_col).alias("doc")).distinct()),
-            "doc",
-            "left_anti",
-        )
+        corpus_shingles = corpus_shingles.join(batch_ids, "doc", "left_anti")
     # pinned: consumed by the join's right side, the union'd left side,
     # and the survivors' state delta. Rows carry the per-doc distinct
     # shingle-set size ``n`` (immutable per doc, computed map-side at
-    # shingling time / persisted in the state), so no per-batch
-    # O(state) sizes aggregation and no sizes joins exist anymore —
-    # the Jaccard filter reads na/nb straight off the candidate join.
+    # shingling time — never a per-batch O(state) aggregation).
     batch_sh = (
         _shingle_rows_with_size(_spread_input(batch), id_col, text_col, k)
         .localCheckpoint(eager=True)
     )
-    all_sh = corpus_shingles.unionByName(batch_sh)
-    left = all_sh.select(
-        F.col("doc").alias("doc_a"), "sh", F.col("n").alias("__na")
-    )
-    right = batch_sh.select(
-        F.col("doc").alias("doc_b"),
-        F.col("sh").alias("__shb"),
-        F.col("n").alias("__nb"),
-    )
+    if sizes_state is not None:
+        # narrow fan-out: (doc_a, doc_b) only through the giant join
+        # frame, one count buffer in the aggregation; na/nb attach on
+        # the aggregated pair set. batch sizes are batch-bounded
+        # (broadcast); corpus sizes never shuffle — the pair set is the
+        # (small) build side against their scan.
+        all_sh = corpus_shingles.unionByName(batch_sh.select("doc", "sh"))
+        left = all_sh.select(F.col("doc").alias("doc_a"), "sh")
+        right = batch_sh.select(
+            F.col("doc").alias("doc_b"), F.col("sh").alias("__shb")
+        )
+        pair_counts = (
+            left.join(
+                right,
+                (left["sh"] == right["__shb"])
+                & (left["doc_a"] < right["doc_b"]),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__ni"))
+        )
+        # batch sizes from the PINNED batch_sh (one row per doc via a
+        # tiny dedup): the map-only size(shingles()) alternative was
+        # tried and costs a full re-shingling pass of the batch per
+        # consumer (the expression recomputes; nothing is pinned),
+        # where this is a scan of already-materialized blocks.
+        batch_sizes = batch_sh.select("doc", "n").dropDuplicates(["doc"])
+        sizes_a = sizes_state.unionByName(batch_sizes).select(
+            F.col("doc").alias("doc_a"), F.col("n").alias("__na")
+        )
+        sizes_b = batch_sizes.select(
+            F.col("doc").alias("doc_b"), F.col("n").alias("__nb")
+        )
+        # nb attaches via a broadcast of the truly batch-bounded sizes_b;
+        # the na join is left to the planner — the PAIR set is candidate-
+        # bounded, not batch-bounded (a shared-vocabulary corpus emits
+        # millions of candidate pairs per batch at sf1), and force-
+        # broadcasting it measured 140 s vs 44 s at sf1. Locally AQE
+        # broadcasts the doc-count-sized sizes_a side at runtime; at
+        # state scales past the broadcast cap both sides shuffle slim
+        # (id, int) rows.
+        scored = pair_counts.join(F.broadcast(sizes_b), "doc_b").join(
+            sizes_a, "doc_a"
+        )
+    else:
+        all_sh = corpus_shingles.unionByName(batch_sh)
+        left = all_sh.select(
+            F.col("doc").alias("doc_a"), "sh", F.col("n").alias("__na")
+        )
+        right = batch_sh.select(
+            F.col("doc").alias("doc_b"),
+            F.col("sh").alias("__shb"),
+            F.col("n").alias("__nb"),
+        )
+        scored = (
+            left.join(
+                right,
+                (left["sh"] == right["__shb"])
+                & (left["doc_a"] < right["doc_b"]),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("__ni"),
+                F.min("__na").alias("__na"),
+                F.min("__nb").alias("__nb"),
+            )
+        )
     losers = (
-        left.join(
-            right,
-            (left["sh"] == right["__shb"]) & (left["doc_a"] < right["doc_b"]),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("__ni"),
-            F.min("__na").alias("__na"),
-            F.min("__nb").alias("__nb"),
-        )
-        .filter(
+        scored.filter(
             F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))
             >= threshold
         )
@@ -1365,6 +1457,11 @@ def exact_neardup_dedup_incremental(
         if computed is not None:
             return kept, computed.unionByName(kept_sh)
         return kept, kept_sh
+    if sizes_state is not None:
+        # the full-state return re-attaches n to the narrow state rows
+        # so the returned frame keeps the documented (doc, sh, n) shape
+        # regardless of which layout was loaded
+        corpus_shingles = corpus_shingles.join(sizes_state, "doc")
     return kept, corpus_shingles.unionByName(kept_sh)
 
 

@@ -273,6 +273,16 @@ def run_streaming_neardup_prep(
         )
         if method == "exact":
             state = load_state(spark, state_dir, "doc_shingles")
+            sizes = load_state(spark, state_dir, "doc_sizes")
+            # two-table layout (r12): narrow (doc, sh) shingle rows plus
+            # a tiny (doc, n) sizes table, so the per-batch pair join
+            # stays narrow and its aggregation keeps one count buffer. A
+            # fresh dir starts two-table; a dir that already holds a
+            # single-table state but no sizes table KEEPS the
+            # single-table layout (appending narrow rows would leave
+            # NULL-n rows the sizes table doesn't cover) — migrate old
+            # dirs offline if the narrow layout matters.
+            two_table = state is None or sizes is not None
             empty = spark.createDataFrame(
                 [], f"{id_col} long, {text_col} string"
             )
@@ -282,13 +292,27 @@ def run_streaming_neardup_prep(
                 id_col=id_col,
                 text_col=text_col,
                 corpus_shingles=state,
+                corpus_sizes=sizes if state is not None else None,
                 threshold=verify_threshold,
                 new_shingles_only=True,
             )
             out = grouped_split(kept, group_col)
             out.write.mode("append").partitionBy("split").parquet(out_dir)
-            # append exactly the survivors' shingles: O(batch) state growth
-            append_state(new_sh, state_dir, "doc_shingles")
+            # append exactly the survivors' rows: O(batch) state growth
+            if two_table:
+                append_state(
+                    new_sh.select("doc", "sh"), state_dir, "doc_shingles"
+                )
+                # one (doc, n) row per survivor, deduped from the delta
+                # rows (which read pinned shingle blocks — recomputing
+                # sizes from text here would re-shingle the batch)
+                append_state(
+                    new_sh.select("doc", "n").dropDuplicates(["doc"]),
+                    state_dir,
+                    "doc_sizes",
+                )
+            else:
+                append_state(new_sh, state_dir, "doc_shingles")
             return
         sigs = load_state(spark, state_dir, "doc_sigs")
         try:

@@ -726,3 +726,97 @@ def test_exact_neardup_incremental_mixed_schema_state_dir(spark):
         empty, batch, corpus_shingles=dup, new_shingles_only=True
     )
     assert sorted(r["doc_id"] for r in kept2.collect()) == [12]
+
+
+def test_exact_neardup_incremental_two_table_state(spark):
+    """r12 two-table state: narrow (doc, sh) + (doc, n) sizes must give
+    the same kept set and delta as the single-table (doc, sh, n) layout,
+    including under replay-duplicated rows in EITHER table and a
+    replayed batch whose docs already sit in both tables."""
+    from entity_etl_spark.ext.dedup import exact_neardup_dedup_incremental
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "completely different content about spark query engines ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    _, state = exact_neardup_dedup_incremental(empty, corpus)
+    batch = spark.createDataFrame(
+        [
+            (2, "completely different content about spark query engines ok"),
+            (10, "the quick brown fox jumps over the lazy dog near the bend"),
+            (11, "completely different content about spark query engines no"),
+            (12, "a wholly novel sentence with nothing shared at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept_single, delta_single = exact_neardup_dedup_incremental(
+        empty, batch, corpus_shingles=state, new_shingles_only=True
+    )
+    # two-table: same state split into narrow shingles + sizes, each
+    # with worst-case full replay duplication
+    narrow = state.select("doc", "sh")
+    sizes = state.select("doc", "n").dropDuplicates(["doc"])
+    kept_two, delta_two = exact_neardup_dedup_incremental(
+        empty,
+        batch,
+        corpus_shingles=narrow.unionByName(narrow),
+        corpus_sizes=sizes.unionByName(sizes),
+        new_shingles_only=True,
+    )
+    assert sorted(r["doc_id"] for r in kept_two.collect()) == sorted(
+        r["doc_id"] for r in kept_single.collect()
+    )
+    assert sorted(
+        (r["doc"], r["sh"], r["n"]) for r in delta_two.collect()
+    ) == sorted((r["doc"], r["sh"], r["n"]) for r in delta_single.collect())
+    # full-state return keeps the (doc, sh, n) shape in two-table mode
+    _, full = exact_neardup_dedup_incremental(
+        empty, batch, corpus_shingles=narrow, corpus_sizes=sizes
+    )
+    assert set(full.columns) == {"doc", "sh", "n"}
+
+
+def test_exact_neardup_incremental_heterogeneous_mixed_doc(spark):
+    """A doc with state rows in BOTH layouts (a batch replayed across
+    the layout upgrade): after dedup its rows are an arbitrary
+    null/non-null n mix. Counting only the null subset understates n and
+    OVERSTATES Jaccard (the r11 repair's blind spot, r11 ADVICE) — the
+    repair must recount over ALL of the doc's deduped rows."""
+    from pyspark.sql import functions as F
+
+    from entity_etl_spark.ext.dedup import (
+        _shingle_rows_with_size,
+        exact_neardup_dedup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(5, "a b c d e f g h")], ["doc_id", "text"]  # 6 distinct shingles
+    )
+    rows = _shingle_rows_with_size(corpus, "doc_id", "text", 3)
+    # exactly the 3 SHARED shingles carry NULL n (the pre-upgrade rows
+    # the (doc, sh) dedup kept), the other 3 carry n=6: the null-subset
+    # recount then reads n=3, and every pair row that matters carries
+    # the undercounted value — J = 3/(3 + 6 - 3) = 0.5 >= 0.5, the
+    # wrong drop (doc 6's true J is 3/9). Pinned deterministic so the
+    # broken repair ALWAYS fails, not only when a hash cooperates.
+    shared = ("d e f", "e f g", "f g h")
+    mixed = rows.withColumn(
+        "n",
+        F.when(
+            F.col("sh").isin(*shared),
+            F.lit(None).cast(rows.schema["n"].dataType),
+        ).otherwise(F.col("n")),
+    )
+    assert mixed.filter(F.col("n").isNull()).count() == 3
+    batch = spark.createDataFrame(
+        [(6, "d e f g h p q r")], ["doc_id", "text"]
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    kept, _ = exact_neardup_dedup_incremental(
+        empty, batch, corpus_shingles=mixed, new_shingles_only=True
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [6]
