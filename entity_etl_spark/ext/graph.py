@@ -247,21 +247,25 @@ def sample_edges_portable(
 _WEDGE_GUARD_DEFAULT = 2_000_000_000
 
 
-def _wedge_preflight(e_dir: DataFrame, max_wedges: int | None) -> None:
+def _wedge_preflight(e_dir: DataFrame, max_wedges: int | None) -> int | None:
     """Exact wedge-join volume Σ_src C(outdeg, 2) of an oriented edge
     table, as one linear agg over the (pinned) frame; raises above
     ``max_wedges`` with the DOULION pointer. Measured envelope on one
     local[32]/64g box (r7/r8): 415M wedges = 45 s; 4.15G wedges = JVM
-    death after ~70 GB of shuffle spill (~60M wedges per GB)."""
+    death after ~70 GB of shuffle spill (~60M wedges per GB).
+
+    Returns the edge count (free in the same agg — the broadcast-close
+    decision below reuses it), or None when the guard is disabled."""
     if max_wedges is None:
-        return
+        return None
     row = (
         e_dir.groupBy("src")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
             F.sum(
                 F.col("c").cast("bigint") * (F.col("c") - F.lit(1)) / F.lit(2)
-            ).alias("w")
+            ).alias("w"),
+            F.sum("c").alias("m"),
         )
         .collect()[0]
     )
@@ -276,6 +280,18 @@ def _wedge_preflight(e_dir: DataFrame, max_wedges: int | None) -> None:
             f"error gated) or raise/disable the guard (max_wedges=None) "
             f"on a cluster with aggregate disk for the spill"
         )
+    return int(row["m"] or 0)
+
+
+# Closing-probe broadcast threshold (rows): the wedge set — the one
+# frame here whose volume is inherently superlinear — otherwise
+# SHUFFLES for the closing sort-merge join. Broadcasting the oriented
+# edge table instead keeps every wedge in its generating task: 3 longs
+# per row ≈ ~50 MB framed at 2M rows, the guide's §3.1 "a few hundred
+# MB is fine" regime with margin. Above the threshold (edge count from
+# the preflight agg, a caller-supplied count, or one cheap count of the
+# pinned frame) the sort-merge close stands.
+_BROADCAST_CLOSE_MAX_EDGES = 2_000_000
 
 
 def count_triangles_compact_forward(
@@ -283,6 +299,7 @@ def count_triangles_compact_forward(
     *,
     assume_pinned: bool = False,
     max_wedges: int | None = _WEDGE_GUARD_DEFAULT,
+    known_n_edges: int | None = None,
 ) -> DataFrame:
     """Exact triangle count of an undirected edge set (columns ``u`` <
     ``v``, distinct) as a 1-row (n_tri bigint) DataFrame.
@@ -335,11 +352,30 @@ def count_triangles_compact_forward(
         )
         .localCheckpoint(eager=True)
     )
-    _wedge_preflight(e_dir, max_wedges)
+    n_edges = _wedge_preflight(e_dir, max_wedges)
+    if n_edges is None:
+        n_edges = known_n_edges
+    if n_edges is None:
+        # pinned frame: one cheap narrow count decides the close strategy
+        n_edges = e_dir.count()
     dst_rank_lt = (F.col("a.dst_d") < F.col("b.dst_d")) | (
         (F.col("a.dst_d") == F.col("b.dst_d"))
         & (F.col("a.dst") < F.col("b.dst"))
     )
+    # Closing probe (§3.1): the wedge set is the superlinear frame —
+    # when the edge table fits a broadcast, close each wedge with a
+    # BroadcastHashJoin so wedges never cross an exchange; above the cap,
+    # a shuffled-hash hint builds the (small) edge side per partition and
+    # STREAMS the wedges, where the default sort-merge close must sort
+    # the full wedge set (sf1 measured: sorting 415M wedge rows is the
+    # stage's dominant cost). The wedge SELF-join keeps its src shuffle
+    # either way (it also spreads wedge generation across the cluster —
+    # broadcasting it would serialize generation into however few
+    # partitions the pinned edges occupy).
+    if n_edges <= _BROADCAST_CLOSE_MAX_EDGES:
+        close_side = F.broadcast(e_dir.alias("c"))
+    else:
+        close_side = e_dir.alias("c").hint("shuffle_hash")
     return (
         e_dir.alias("a")
         .join(
@@ -347,7 +383,7 @@ def count_triangles_compact_forward(
             (F.col("a.src") == F.col("b.src")) & dst_rank_lt,
         )
         .join(
-            e_dir.alias("c"),
+            close_side,
             (F.col("c.src") == F.col("a.dst"))
             & (F.col("c.dst") == F.col("b.dst")),
         )
@@ -384,23 +420,25 @@ def doulion_triangle_estimate(
     # join consumers: pin ONCE here and tell the kernel not to re-pin
     # (a second localCheckpoint would store the identical frame twice)
     samp = samp.localCheckpoint(eager=True)
+    # the sampled-edge count is needed twice — the estimator's own
+    # output and the kernel's broadcast-close decision — so take it
+    # driver-side ONCE from the pinned frame and inject it as a literal
+    # (one narrow count job replaces the previous lazy agg + broadcast
+    # join in the plan)
+    n_edges = samp.count()
     # max_wedges=None: DOULION IS the fallback the wedge guard points
     # at, and its p² wedge reduction is the bound — pre-flighting the
     # sampled graph would charge every estimate an extra linear pass
     # (measured +1.6 s at sf1) to defend against the regime the sampler
     # exists to prevent. Exact callers keep the guard.
     tri = count_triangles_compact_forward(
-        samp, assume_pinned=True, max_wedges=None
+        samp, assume_pinned=True, max_wedges=None, known_n_edges=n_edges
     )
-    n_edges = samp.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_sampled"))
     inv_p3 = 1.0 / (p * p * p)
-    return (
-        tri.join(F.broadcast(n_edges))
-        .select(
-            "n_edges_sampled",
-            F.col("n_tri").alias("n_tri_sampled"),
-            F.floor(F.col("n_tri") * F.lit(inv_p3) + F.lit(0.5))
-            .cast("bigint")
-            .alias("est_triangles"),
-        )
+    return tri.select(
+        F.lit(n_edges).cast("bigint").alias("n_edges_sampled"),
+        F.col("n_tri").alias("n_tri_sampled"),
+        F.floor(F.col("n_tri") * F.lit(inv_p3) + F.lit(0.5))
+        .cast("bigint")
+        .alias("est_triangles"),
     )

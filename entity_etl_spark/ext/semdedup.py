@@ -255,6 +255,7 @@ def semantic_pair_gate(
     iterations: int = 2,
     threshold: float = 0.4,
     n_probe: int = 3,
+    return_counts: bool = False,
 ) -> DataFrame:
     """The SemDeDup recall/precision gate as ONE tiled masked-matmul
     pass — the optimization of the pair-materializing gate form
@@ -433,7 +434,7 @@ def semantic_pair_gate(
         F.sum("n_inter").alias("__i"),
         F.sum("n_bad").alias("__b"),
     )
-    return agg.select(
+    cols = [
         F.coalesce(F.col("__e"), F.lit(0))
         .cast("bigint")
         .alias("n_exact_pairs"),
@@ -441,7 +442,20 @@ def semantic_pair_gate(
             F.col("__e") > 0, (F.col("__i") / F.col("__e")) >= 0.8
         ).alias("recall_ok"),
         (F.coalesce(F.col("__b"), F.lit(0)) == 0).alias("precision_ok"),
-    )
+    ]
+    if return_counts:
+        # measurement surface (the two-level recall artifact): the raw
+        # found/bad counts behind the booleans. Additive and default-off;
+        # the declared gate row is byte-identical without it.
+        cols += [
+            F.coalesce(F.col("__i"), F.lit(0))
+            .cast("bigint")
+            .alias("n_found_pairs"),
+            F.coalesce(F.col("__b"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bad_pairs"),
+        ]
+    return agg.select(*cols)
 
 
 # ------------------------------------------------ incremental state twin

@@ -405,11 +405,23 @@ def q_triangle_count_copurchase(
     # computes the EXACT wedge-join volume and raises with the DOULION
     # pointer instead of dying on disk — the r7 sf10 attempt spilled
     # ~70 GB and killed the JVM at 4.15G wedges; sf1's 415M ran in 45 s
-    _wedge_preflight(e_dir, max_wedges)
+    n_edges_known = _wedge_preflight(e_dir, max_wedges)
+    if n_edges_known is None:
+        n_edges_known = e_dir.count()  # pinned: one cheap narrow count
     dst_rank_lt = (F.col("a.dst_d") < F.col("b.dst_d")) | (
         (F.col("a.dst_d") == F.col("b.dst_d"))
         & (F.col("a.dst") < F.col("b.dst"))
     )
+    # closing-probe strategy (§3.1, same rule as ext.graph's kernel):
+    # broadcast the edge table when it fits so the wedge set — the
+    # superlinear frame — never crosses an exchange; else shuffled-hash
+    # so the wedges stream instead of sorting for a sort-merge close
+    from ..ext.graph import _BROADCAST_CLOSE_MAX_EDGES
+
+    if n_edges_known <= _BROADCAST_CLOSE_MAX_EDGES:
+        close_side = F.broadcast(e_dir.alias("c"))
+    else:
+        close_side = e_dir.alias("c").hint("shuffle_hash")
     tri = (
         e_dir.alias("a")
         .join(
@@ -417,7 +429,7 @@ def q_triangle_count_copurchase(
             (F.col("a.src") == F.col("b.src")) & dst_rank_lt,
         )
         .join(
-            e_dir.alias("c"),
+            close_side,
             (F.col("c.src") == F.col("a.dst"))
             & (F.col("c.dst") == F.col("b.dst")),
         )
